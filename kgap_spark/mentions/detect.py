@@ -1,0 +1,82 @@
+"""Mention detection: dictionary matching of alias surface forms.
+
+k-gap's analysis joins vocabulary feeds (e.g. the BODC P02 vocab and its
+Dutch translation, reference: ``data/ldes-feeds-example.yml:12-21``)
+against harvested data at query time; our batch analog scans page text
+for alias surface forms from the broadcast dictionary.
+
+Everything here is JVM-side Catalyst expressions (split / transform /
+explode / broadcast hash join) — no Python in the hot path. Matching is
+language-routed: an alias matches only pages whose ``lang`` equals the
+alias ``lang`` (or alias lang ``'*'``), mirroring the reference's
+language-tagged-literal filter ``FILTER(LANG(?label) = 'en')``
+(``docs/components/jupyter.md:439-440``).
+
+Scale notes (100 TB): the n-gram explode multiplies rows by ~3× token
+count, but it feeds directly into a broadcast join + partial aggregation
+— no shuffle until the per-(url, alias) count, which AQE coalesces. The
+dictionary stays < autoBroadcastJoinThreshold by design (SURVEY §2.4 J6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ALIAS_TOKENS = 3
+
+
+def with_ngrams(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``gram`` (exploded 1..3-token spans of the lowercased text).
+
+    Token spans are built with ``transform`` over the token array —
+    pure Catalyst, whole-stage-codegen friendly.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    df = pages.withColumn("_toks", F.filter(toks, lambda t: t != F.lit("")))
+    grams = F.array_union(
+        df["_toks"],
+        F.array_union(_spans(2), _spans(3)),
+    )
+    return (
+        df.withColumn("gram", F.explode(grams))
+        .drop("_toks")
+    )
+
+
+def _spans(n: int):
+    """n-token spans of the ``_toks`` array as space-joined strings."""
+    # transform gives a 0-based index; span j covers tokens j..j+n-1.
+    parts = ", ".join(f"_toks[i + {k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(slice(_toks, 1, size(_toks) - {n - 1}), "
+        f"(x, i) -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
+def detect_mentions(
+    pages: DataFrame, alias_dict: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """pages(url, lang, text) × alias_dict → candidate mentions.
+
+    Returns ``(url, lang, alias, entity_id, prior, tf)`` — one row per
+    (page, alias, candidate entity) with the term frequency of the alias
+    in the page. The dictionary side is explicitly ``broadcast`` (J6).
+    """
+    grams = with_ngrams(pages.select("url", "lang", text_col), text_col)
+    d = alias_dict.select(
+        F.col("alias"), F.col("entity_id"), F.col("lang").alias("alias_lang"),
+        F.col("prior"),
+    )
+    joined = grams.join(
+        F.broadcast(d),
+        (grams["gram"] == d["alias"])
+        & ((d["alias_lang"] == grams["lang"]) | (d["alias_lang"] == F.lit("*"))),
+        "inner",
+    )
+    return (
+        joined.groupBy("url", "lang", "alias", "entity_id", "prior")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -1,0 +1,144 @@
+"""Partitioned triple store with Iceberg-style write semantics.
+
+k-gap offers two sink modes (reference: ``ldes-consumer/README.md:
+147-149``): "Replication" (append-only bulk load) and "Sync"
+(create/update/delete per member). ``TripleStore`` reproduces both over
+a ``graph``-partitioned table:
+
+- ``append(df)``        → Replication mode (S3);
+- ``overwrite_graphs``  → idempotent per-partition rewrite — the MERGE
+  building block (S4/U3). Uses dynamic partition overwrite so only the
+  graphs present in ``df`` are replaced;
+- ``merge(df)``         → Sync mode: quad-level upsert = union of
+  existing rows not in the update's graphs' keyspace + the update,
+  deduplicated (A7 — "no duplicate data ingestion",
+  docs/components/ldes-consumer.md:589-590);
+- ``delete_graph``      → graph-scoped clear (S7,
+  docs/quick-reference.md:330-336).
+
+Physical format: partitioned parquet. In production this class is the
+seam where an Iceberg catalog plugs in (``writeTo(...).append()`` /
+``MERGE INTO`` / snapshot ids); the jars aren't in this image, so the
+parquet implementation keeps the exact same call surface and semantics
+(partition-granular atomicity via dynamic partition overwrite).
+
+One semantic gap vs Iceberg — no snapshot isolation: a lazy DataFrame
+obtained from ``read()``/``read_graph()`` pins the *file listing* at
+creation time and becomes invalid once an overwriting write replaces
+those files. Callers that re-use a store-derived frame across writes
+must materialize it first (``df.localCheckpoint(eager=True)``);
+``merge`` does this internally for its own read-then-overwrite cycle.
+
+Layout for scale: partition by ``graph`` (the query workload is
+graph-scoped: per-feed counts, graph-scoped import/export/clear —
+docs/components/ldes-consumer.md:330-336), then repartition by
+``(graph, subj)`` before writing so each file covers a subject range —
+subject-joins downstream read co-located files (bucketing analog).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgap_spark import schemas as S
+
+QUAD_KEY = ["subj", "pred", "obj", "graph"]
+
+
+class TripleStore:
+    def __init__(self, spark: SparkSession, path: str, files_per_graph: int = 4):
+        self.spark = spark
+        self.path = path
+        self.files_per_graph = files_per_graph
+
+    # -- reads --------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            e.startswith("graph=") for e in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], S.TRIPLES)
+        df = self.spark.read.parquet(self.path)
+        # partition column comes back last; restore canonical order
+        return df.select([f.name for f in S.TRIPLES.fields])
+
+    def read_graph(self, graph: str) -> DataFrame:
+        # predicate on the partition column → partition pruning
+        return self.read().filter(F.col("graph") == graph)
+
+    # -- writes -------------------------------------------------------
+    def _prep(self, df: DataFrame) -> DataFrame:
+        cols = [f.name for f in S.TRIPLES.fields]
+        out = df.select(*cols)
+        # co-locate subjects inside each graph partition (bucketing
+        # analog): files_per_graph output files per graph, split by subj
+        return out.repartition(self.files_per_graph, "graph", F.col("subj"))
+
+    def append(self, df: DataFrame) -> None:
+        """Replication mode: additions only (fast path)."""
+        self._prep(df).write.mode("append").partitionBy("graph").parquet(self.path)
+
+    def overwrite_graphs(self, df: DataFrame) -> None:
+        """Replace exactly the graph partitions present in df
+        (idempotent re-run of a source — the resume building block)."""
+        (
+            self._prep(df)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("graph")
+            .parquet(self.path)
+        )
+
+    def merge(self, df: DataFrame) -> None:
+        """Sync mode: quad-level upsert. For each graph present in the
+        update, the stored content becomes dedup(existing ∪ update).
+        Emulates `MERGE INTO triples ON quad-key WHEN NOT MATCHED
+        INSERT` at partition granularity."""
+        update = df.select([f.name for f in S.TRIPLES.fields])
+        graphs = update.select("graph").distinct()
+        if self.exists():
+            existing = self.read().join(F.broadcast(graphs), "graph", "left_semi")
+            merged = existing.unionByName(update).dropDuplicates(QUAD_KEY)
+        else:
+            merged = update.dropDuplicates(QUAD_KEY)
+        # Materialize BEFORE overwriting: the merged plan reads the very
+        # files dynamic partition overwrite is about to delete (Spark's
+        # read-overwrite-same-path hazard; Iceberg's snapshot isolation
+        # makes this safe natively — parquet needs the explicit cut).
+        merged = merged.localCheckpoint(eager=True)
+        self.overwrite_graphs(merged)
+
+    def delete_graph(self, graph: str) -> None:
+        """Graph-scoped clear (reference: DELETE ?context=graph,
+        docs/quick-reference.md:330-336). Partition drop = O(1) metadata
+        in Iceberg; here: remove the partition directory."""
+        import shutil
+
+        part_dir = os.path.join(self.path, f"graph={_escape_partition(graph)}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+
+    # -- accounting (docs/components/ldes-consumer.md:330-336) ---------
+    def counts_by_graph(self) -> DataFrame:
+        return (
+            self.read()
+            .groupBy("graph")
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+            .orderBy("graph")
+        )
+
+
+def _escape_partition(value: str) -> str:
+    """Hive partition-dir escaping for the characters our graph IRIs use."""
+    out = []
+    for ch in value:
+        if ch in '":%/\\{}[]^' or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
