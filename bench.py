@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced with a full-result count() (executes the whole
+plan); wall time includes plan + execution, excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "kg_mentions",
+    "tpch_q1",
+    "bgp_chain",
+    "left_join",
+    "latest_version",
+    "sessionize",
+    "fts_search",
+    "minhash_band",
+    "simhash",
+    "ngram_jaccard",
+    "emb_cosine_topk",
+    "doc_lang_id",
+    "dedup_exact",
+    "multimodal_features",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from kgap_spark.session import get_spark
+    from kgap_spark.workload import QUERIES
+
+    spark = get_spark(
+        "kgap-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+
+    # warm the JVM/Python-worker path once so per-query times measure
+    # the plans, not interpreter startup
+    QUERIES["count_all"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        n = QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,219 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash banding,
+Spark-ML MinHash LSH, SimHash.
+
+Web-corpus dedup is the first heavy stage of any 100 TB training-data
+pipeline. Design rules here: (1) everything shuffles on *shingle/band
+keys*, never on document pairs — the candidate set is built by
+bucket-join, so cost follows collisions, not |docs|²; (2) all hashes
+are content-derived (md5 of the shingle text) so results are
+deterministic, partition-invariant, and reproducible in the ANSI-SQL
+oracle (DuckDB md5 == Spark md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgap_spark.functions.textstats import fingerprint
+
+
+def _shingles_from_toks(n: int):
+    """Distinct word n-gram shingles from a ``_t`` token-array column."""
+    parts = ", ".join(f"_t[i + {k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size(_t) >= {n} THEN "
+        f"array_distinct(transform(slice(_t, 1, size(_t) - {n - 1}), "
+        f"(x, i) -> concat_ws(' ', {parts}))) ELSE array() END"
+    )
+
+
+def with_shingle_array(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """docs → (doc, shingles: array<string>) with distinct word n-grams."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+        .withColumn(
+            "_t",
+            F.filter(F.split(F.lower(F.col("_txt")), r"\s+"),
+                     lambda t: t != F.lit("")),
+        )
+        .withColumn("shingles", _shingles_from_toks(n))
+        .select("doc", "shingles")
+    )
+
+
+def _with_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return (
+        with_shingle_array(docs, id_col, text_col, n)
+        .withColumn("shingle", F.explode("shingles"))
+        .select("doc", "shingle")
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: normalize → md5 → group. Returns one
+    row per duplicate *group* (fingerprint, n_docs, first/last doc id).
+    One shuffle on the fingerprint; partial agg does the heavy lifting."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc").alias("first_doc"),
+            F.max("doc").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle (pairs only materialize where docs actually share one),
+    then |A∩B| via count and |A∪B| via per-doc sizes. The shingle join
+    is the shuffle; hot shingles behave like hub keys → AQE skew-split
+    applies. For true 100 TB runs, gate this behind minhash banding
+    (below) to cap the candidate set first."""
+    sh = _with_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_band_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH banding, content-hash flavor: per band b, the
+    document's signature is min(md5(b || shingle)); docs agreeing on any
+    band's signature are candidate near-duplicates.
+
+    shingle→minhash→band→bucket-join, all in native SQL functions. The
+    band bucket-join is the only pair-producing step — candidate count
+    scales with bucket collisions."""
+    sh = _with_shingles(docs, id_col, text_col, n)
+    banded = sh.select(
+        "doc",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(bands)])
+        ).alias("band"),
+        "shingle",
+    ).select(
+        "doc", "band",
+        F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle"))
+              .cast("binary")).alias("h"),
+    )
+    sig = banded.groupBy("doc", "band").agg(F.min("h").alias("band_sig"))
+    s1 = sig.alias("s1")
+    s2 = sig.alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.band") == F.col("s2.band"))
+            & (F.col("s1.band_sig") == F.col("s2.band_sig"))
+            & (F.col("s1.doc") < F.col("s2.doc")),
+        )
+        .select(F.col("s1.doc").alias("doc_a"), F.col("s2.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_near_duplicates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_jaccard_dist: float = 0.5,
+    num_hash_tables: int = 5,
+) -> DataFrame:
+    """Spark-ML flavor: HashingTF over shingles → MinHashLSH
+    approxSimilarityJoin. JVM-side end-to-end; the scale path when the
+    corpus doesn't fit the pure-SQL banding above."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    base = with_shingle_array(docs, id_col, text_col, n).filter(
+        F.size("shingles") > 0
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(base)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_jaccard_dist,
+                                       distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc") < F.col("datasetB.doc"))
+        .select(
+            F.col("datasetA.doc").alias("doc_a"),
+            F.col("datasetB.doc").alias("doc_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over word tokens, content-hash flavor: token hash =
+    first 8 hex chars of md5 (portable to the SQL oracle), bit votes
+    weighted by term frequency, sign-aggregated natively (one shuffle on
+    doc id, 32 conditional sums — all inside whole-stage codegen)."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+        .select(
+            "doc",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("_txt")), r"\s+"),
+                         lambda t: t != F.lit(""))
+            ).alias("tok"),
+        )
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8),
+                                16, 10).cast("long"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("doc", sim.alias("simhash"))

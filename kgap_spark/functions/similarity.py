@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one scan, no shuffle
+until the top-k, which TakeOrderedAndProject handles); the LSH-bucketed
+variant is the scale path — sign-random-projection buckets shrink the
+candidate set so each query touches one bucket instead of the corpus.
+
+All arithmetic is native Catalyst (``zip_with`` + ``aggregate`` in
+double precision, sequential index order) so results are deterministic
+and reproducible by the DuckDB oracle's ``list_dot_product``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k. Returns (id, cosine) with a total
+    deterministic order (cosine desc, id asc). Rounded to 6 dp so the
+    value is stable across double-summation environments."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    emb = F.col(vec_col)
+    cos = F.round(_dot(emb, q) / (_norm(emb) * F.lit(qn)), 6)
+    return (
+        embeddings.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from SHA-256 (no
+    RNG state; same planes on every executor and every run)."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for i in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{i}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / 2**64  # [0,1)
+            vals.append(2.0 * u - 1.0)
+        planes.append(vals)
+    return planes
+
+
+def signature_col(vec_col, planes: list[list[float]]):
+    """Sign-random-projection bucket id of a vector column."""
+    sig = F.lit(0).cast("int")
+    for b, plane in enumerate(planes):
+        d = _dot(vec_col, F.array(*[F.lit(v) for v in plane]))
+        sig = sig + F.when(d >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: search only vectors whose sign-random-
+    projection bucket is within ``multiprobe_hamming`` bits of the
+    query's bucket. At corpus scale the table is written partitioned by
+    the (precomputable) signature, so a query scans ~(1+planes) buckets
+    out of 2^planes — the IVF-style pruning path."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+
+    def sig_of(vec: list[float]) -> int:
+        s = 0
+        for b, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(vec, plane)) >= 0:
+                s += 2 ** b
+        return s
+
+    qsig = sig_of([float(x) for x in query_vec])
+    probe = [qsig]
+    if multiprobe_hamming >= 1:
+        probe += [qsig ^ (1 << b) for b in range(n_planes)]
+
+    with_sig = embeddings.withColumn("_sig", signature_col(F.col(vec_col), planes))
+    cands = with_sig.filter(F.col("_sig").isin(probe))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)

@@ -1,0 +1,108 @@
+"""Text analysis: token counts, quality scoring, language ID,
+document fingerprinting — all native Catalyst expressions (JVM-side,
+whole-stage-codegen; no Python).
+
+Every function is deterministic and oracle-expressible in ANSI SQL so
+the driver's DuckDB comparison can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# language heuristic. Deliberately small + closed so the same lists can
+# be inlined into the SQL oracle.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+_TOKENS = lambda c: F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))  # noqa: E731
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_TOKENS(text_col))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """BPE-ish proxy: count of word/number/punctuation units — a
+    regex-split approximation of subword tokenizers (ceil(chars/4) is
+    the common rule of thumb; this counts actual unit boundaries)."""
+    return F.size(
+        F.filter(
+            F.split(F.lower(text_col), r"([^a-z0-9]+)"), lambda t: t != F.lit("")
+        )
+    ) + F.size(F.filter(F.split(text_col, r"[a-zA-Z0-9\s]+"), lambda t: t != F.lit("")))
+
+
+def stopword_hits(text_col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(_TOKENS(text_col), lambda t: t.isin(words)))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Heuristic document quality in [0,1]: penalize very short docs,
+    reward moderate average token length. Pure arithmetic over native
+    aggregates (matches the SQL oracle exactly).
+
+    score = least(1, n_tokens/100) * (1 - least(1, abs(avg_len - 5)/10))
+    """
+    toks = _TOKENS(text_col)
+    n = F.size(toks)
+    avg_len = (F.length(F.regexp_replace(F.lower(text_col), r"\s+", ""))
+               / F.greatest(n.cast("double"), F.lit(1.0)))
+    return F.round(
+        F.least(F.lit(1.0), n / F.lit(100.0))
+        * (F.lit(1.0) - F.least(F.lit(1.0), F.abs(avg_len - 5.0) / 10.0)),
+        4,
+    )
+
+
+def language_id(text_col: Column) -> Column:
+    """Stopword-vote language heuristic: argmax of per-language stopword
+    hits, 'und' (undetermined) when no list scores > 0. Deterministic
+    tie-break by language code order (de < en < es < fr)."""
+    toks = _TOKENS(text_col)
+
+    def _hits(words: list[str]):
+        # NB: single-arg lambda only — a 2-arg lambda would make
+        # F.filter pass the array index as the second argument.
+        wl = list(words)
+        return F.size(F.filter(toks, lambda t: t.isin(wl)))
+
+    scores = {lang: _hits(words) for lang, words in STOPWORDS.items()}
+    best = None
+    for lang in sorted(STOPWORDS):  # deterministic tie order
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(s > best["score"],
+                          F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+                          ).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Normalization-invariant document fingerprint: md5 of the
+    lowercased, whitespace-collapsed text (the exact-dedup key; the
+    rolling-hash shingle variant lives in dedup.py)."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")).cast("binary")
+    )
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return (
+        docs.withColumn("n_tokens", token_count(c))
+        .withColumn("n_chars", F.length(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_pred", language_id(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,20 +48,22 @@ def score_candidates(cands: DataFrame) -> DataFrame:
 
 def disambiguate(cands: DataFrame) -> DataFrame:
     """Per (url, alias): keep the argmax-(prior desc, entity_id asc)
-    candidate. Returns (url, lang, alias, entity_id, prior, tf, score).
+    candidate. Preserves all other columns.
 
-    Window partitioned by (url, alias) — high cardinality, well spread;
-    no skew concern (the skewed key is the *entity*, which is not a
-    partition key here).
+    Implemented as a hash-aggregation argmax — ``min`` over a
+    ``struct((-prior), entity_id, …)`` sort key — instead of a window
+    ``row_number``: one partial+final hash agg (map-side combine, no
+    per-partition sort), which also neutralizes hot-page skew.
     """
-    w = Window.partitionBy("url", "alias").orderBy(
-        F.col("prior").desc(), F.col("entity_id").asc()
+    keys = ["url", "lang", "alias"]
+    payload = [c for c in cands.columns if c not in keys]
+    sort_struct = F.struct(
+        (-F.col("prior")).alias("_np"),
+        F.col("entity_id").alias("_eid"),
+        *[F.col(c).alias(c) for c in payload],
     )
-    return (
-        cands.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    best = cands.groupBy(*keys).agg(F.min(sort_struct).alias("_b"))
+    return best.select(*keys, *[F.col(f"_b.{c}").alias(c) for c in payload])
 
 
 def link_mentions(cands: DataFrame) -> DataFrame:

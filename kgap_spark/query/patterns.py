@@ -1,0 +1,149 @@
+"""SPARQL-workload operator patterns over the triple table.
+
+k-gap's entire query surface is SPARQL evaluated by GraphDB; the
+patterns its docs prescribe (SURVEY.md §2.2–2.8) compile to DataFrame
+operations here. The centerpiece is ``bgp`` — a basic-graph-pattern
+compiler: SPARQL's n-way self-join of the triple relation on shared
+variables (e.g. the 4-pattern observation query,
+``docs/advanced-topics.md:299-311``) becomes a chain of equi-joins over
+predicate-filtered slices, which Catalyst then reorders/broadcasts.
+
+Scale design: each pattern's slice starts with a ``pred = <iri>``
+filter — with the triple table partitioned by graph and the store
+sorted/bucketed by subj, this is a pruned scan; the joins are plain
+equi-joins AQE can re-plan (broadcast for selective slices, skew-split
+for hub subjects).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Var:
+    """A SPARQL variable (?name)."""
+
+    name: str
+
+
+def _slice(triples: DataFrame, pattern, idx: int) -> tuple[DataFrame, dict[str, str]]:
+    """One triple pattern → filtered/projected slice + var→column map."""
+    s, p, o = pattern
+    df = triples
+    out_cols: dict[str, str] = {}
+    for field, term in (("subj", s), ("pred", p), ("obj", o)):
+        if isinstance(term, Var):
+            col = f"{term.name}"
+            out_cols[term.name] = col
+        else:
+            df = df.filter(F.col(field) == F.lit(term))
+    sel = []
+    for field, term in (("subj", s), ("pred", p), ("obj", o)):
+        if isinstance(term, Var):
+            sel.append(F.col(field).alias(term.name))
+    # a variable used twice in one pattern (?x ?p ?x) needs a self-equality
+    names = [t.name for t in (s, p, o) if isinstance(t, Var)]
+    if len(set(names)) != len(names):  # pragma: no cover - rare
+        raise ValueError("repeated variable within a single pattern unsupported")
+    return df.select(*sel), out_cols
+
+
+def bgp(triples: DataFrame, patterns: list[tuple], graph: str | None = None) -> DataFrame:
+    """Evaluate a basic graph pattern: list of (s, p, o) triples whose
+    terms are ``Var`` or constants. Returns one column per variable.
+
+    Example (docs/advanced-topics.md:150-168):
+        bgp(t, [
+            (Var("obs"), "rdf:type", "sosa:Observation"),
+            (Var("obs"), "sosa:hasResult", Var("result")),
+        ])
+    """
+    if graph is not None:
+        triples = triples.filter(F.col("graph") == graph)
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    for i, pattern in enumerate(patterns):
+        sl, _ = _slice(triples, pattern, i)
+        if acc is None:
+            acc = sl
+        else:
+            shared = sorted(bound & set(sl.columns))
+            if shared:
+                acc = acc.join(sl, on=shared, how="inner")
+            else:
+                acc = acc.crossJoin(sl)
+        bound |= set(sl.columns)
+    if acc is None:
+        raise ValueError("empty BGP")
+    return acc
+
+
+def optional_pattern(base: DataFrame, triples: DataFrame, pattern: tuple,
+                     graph: str | None = None) -> DataFrame:
+    """OPTIONAL { pattern } → left outer join (J3,
+    docs/components/sembench.md:176-177)."""
+    if graph is not None:
+        triples = triples.filter(F.col("graph") == graph)
+    sl, _ = _slice(triples, pattern, 0)
+    shared = sorted(set(base.columns) & set(sl.columns))
+    return base.join(sl, on=shared, how="left")
+
+
+def not_exists(base: DataFrame, triples: DataFrame, pattern: tuple,
+               graph: str | None = None) -> DataFrame:
+    """FILTER NOT EXISTS { pattern } → anti join (J4,
+    docs/components/jupyter.md:557-566)."""
+    if graph is not None:
+        triples = triples.filter(F.col("graph") == graph)
+    sl, _ = _slice(triples, pattern, 0)
+    shared = sorted(set(base.columns) & set(sl.columns))
+    return base.join(sl, on=shared, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Canned accounting / hygiene queries from the reference docs.
+
+def counts_by_graph(triples: DataFrame) -> DataFrame:
+    """Per-feed triple counts (docs/components/ldes-consumer.md:330-336):
+    SELECT ?graph (COUNT(*) as ?count) ... GROUP BY ?graph."""
+    return (
+        triples.groupBy("graph")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy("graph")
+    )
+
+
+def type_distribution(triples: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k entity types (docs/quick-reference.md:190-194)."""
+    return (
+        triples.filter(F.col("pred") == "rdf:type")
+        .groupBy(F.col("obj").alias("type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "type")
+        .limit(k)
+    )
+
+
+def entities_without_label(triples: DataFrame) -> DataFrame:
+    """Entities lacking rdfs:label (docs/components/jupyter.md:557-566):
+    subjects of any triple with no label triple — anti join."""
+    subjects = triples.select(F.col("subj").alias("entity")).distinct()
+    labeled = triples.filter(F.col("pred") == "rdfs:label").select(
+        F.col("subj").alias("entity")
+    )
+    return subjects.join(labeled, "entity", "left_anti")
+
+
+def conflicting_types(triples: DataFrame) -> DataFrame:
+    """Entities with >1 rdf:type (docs/advanced-topics.md:377-394):
+    GROUP BY + HAVING COUNT > 1."""
+    return (
+        triples.filter(F.col("pred") == "rdf:type")
+        .groupBy(F.col("subj").alias("entity"))
+        .agg(F.countDistinct("obj").alias("n_types"))
+        .filter(F.col("n_types") > 1)
+    )

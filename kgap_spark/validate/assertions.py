@@ -1,0 +1,130 @@
+"""Data-validation assertions → violation DataFrames.
+
+k-gap validates harvested data two ways: SHACL shapes applied per feed
+at ingest (reference: ``ldes-consumer/app.py:344``,
+``data/ldes-feeds-example.yml:21``) and sembench assertion workflows —
+required property, type membership, cardinality, value range
+(``docs/advanced-topics.md:104-141``; validation query shape
+``docs/components/sembench.md:163-190``). Here each assertion is a
+DataFrame expression producing a *violations table*; a partition commit
+can be gated on it being empty (SURVEY §2.9 U5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Assertion:
+    """One assertion over entities of a focus type (the YAML-config IR
+    of docs/advanced-topics.md:104-141)."""
+
+    kind: str                       # required | cardinality | range | type_in
+    path: str                       # predicate the assertion inspects
+    focus_type: str | None = None   # restrict to subjects of this rdf:type
+    min_count: int | None = None
+    max_count: int | None = None
+    min_value: float | None = None
+    max_value: float | None = None
+    values: tuple = field(default_factory=tuple)
+
+
+def _focus(triples: DataFrame, focus_type: str | None) -> DataFrame:
+    """Subjects under assertion (all subjects, or those of focus_type)."""
+    if focus_type is None:
+        return triples.select(F.col("subj").alias("entity")).distinct()
+    return (
+        triples.filter((F.col("pred") == "rdf:type") & (F.col("obj") == focus_type))
+        .select(F.col("subj").alias("entity"))
+        .distinct()
+    )
+
+
+def required_property_violations(triples: DataFrame, a: Assertion) -> DataFrame:
+    """min 1 occurrence of path (docs/advanced-topics.md:112-119) —
+    anti join focus against path slice."""
+    has = triples.filter(F.col("pred") == a.path).select(
+        F.col("subj").alias("entity")
+    )
+    return (
+        _focus(triples, a.focus_type)
+        .join(has, "entity", "left_anti")
+        .withColumn("issue", F.lit(f"missing required {a.path}"))
+    )
+
+
+def cardinality_violations(triples: DataFrame, a: Assertion) -> DataFrame:
+    """min ≤ count(path per entity) ≤ max (docs/advanced-topics.md:122-129)."""
+    counts = (
+        _focus(triples, a.focus_type)
+        .join(
+            triples.filter(F.col("pred") == a.path).select(
+                F.col("subj").alias("entity"), "obj"
+            ),
+            "entity",
+            "left",
+        )
+        .groupBy("entity")
+        .agg(F.count("obj").alias("n"))
+    )
+    cond = F.lit(False)
+    if a.min_count is not None:
+        cond = cond | (F.col("n") < a.min_count)
+    if a.max_count is not None:
+        cond = cond | (F.col("n") > a.max_count)
+    return counts.filter(cond).withColumn(
+        "issue", F.concat(F.lit(f"cardinality of {a.path} = "), F.col("n"))
+    )
+
+
+def value_range_violations(triples: DataFrame, a: Assertion) -> DataFrame:
+    """numeric object of path within [min, max]
+    (docs/advanced-topics.md:131-141, 412)."""
+    vals = triples.filter(F.col("pred") == a.path).select(
+        F.col("subj").alias("entity"),
+        # try_cast: non-numeric literals become NULL violations instead
+        # of failing the job under ANSI mode (Spark 4 default)
+        F.col("obj").try_cast("double").alias("value"),
+    )
+    cond = F.col("value").isNull()
+    if a.min_value is not None:
+        cond = cond | (F.col("value") < a.min_value)
+    if a.max_value is not None:
+        cond = cond | (F.col("value") > a.max_value)
+    return vals.filter(cond).withColumn(
+        "issue", F.concat(F.lit(f"{a.path} out of range: "), F.col("value"))
+    )
+
+
+def type_membership_violations(triples: DataFrame, a: Assertion) -> DataFrame:
+    """object of path must be one of `values`
+    (docs/advanced-topics.md:112-119) — left anti against allowed set."""
+    objs = triples.filter(F.col("pred") == a.path).select(
+        F.col("subj").alias("entity"), "obj"
+    )
+    return objs.filter(~F.col("obj").isin(list(a.values))).withColumn(
+        "issue", F.concat(F.lit(f"{a.path} value not allowed: "), F.col("obj"))
+    )
+
+
+_DISPATCH = {
+    "required": required_property_violations,
+    "cardinality": cardinality_violations,
+    "range": value_range_violations,
+    "type_in": type_membership_violations,
+}
+
+
+def validate(triples: DataFrame, assertions: list[Assertion]) -> DataFrame:
+    """All assertions → one violations table (entity, issue)."""
+    out: DataFrame | None = None
+    for a in assertions:
+        v = _DISPATCH[a.kind](triples, a).select("entity", "issue")
+        out = v if out is None else out.unionByName(v)
+    if out is None:
+        raise ValueError("no assertions")
+    return out

@@ -1,0 +1,883 @@
+"""Driver-contract workload: one entry per implemented operator from
+SURVEY.md §2 (+ the training-data-pipeline extensions), each as a
+(spark, sf_dir) → DataFrame callable with a DuckDB-equivalent ANSI-SQL
+oracle string.
+
+Numeric determinism rules (so the order-insensitive value-hash matches):
+- money sums go through per-row ``CAST(x AS DECIMAL)`` first — decimal
+  addition is exact and order-independent in both engines;
+- float cosine/jaccard values are computed in double with a fixed
+  index/sequential order and rounded (5/4 dp);
+- every LIMIT is preceded by a total ORDER BY (unique tie-break);
+- timestamps are compared/emitted under UTC (the Spark session TZ is
+  pinned in ``kgap_spark.session.get_spark``; queries re-pin it
+  defensively because the driver owns the session).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: dictionary-based mention extraction over `documents`
+# (the KG-construction core — SURVEY §7 step 2 — expressed on the
+# driver's testdata tables; the fixture-corpus pipeline runs in tests).
+
+# (alias, entity_id, lang, prior); '*' = any language; "join" is
+# deliberately ambiguous (two entities, resolved by argmax prior).
+MENTION_DICT = [
+    ("spark", "urn:ent:spark", "*", 0.9),
+    ("query", "urn:ent:query", "*", 0.8),
+    ("join", "urn:ent:join-op", "*", 0.7),
+    ("join", "urn:ent:join-road", "*", 0.4),
+    ("filter", "urn:ent:filter", "*", 0.8),
+    ("window", "urn:ent:window", "en", 0.8),
+    ("stream", "urn:ent:stream", "*", 0.75),
+    ("hash table", "urn:ent:hash-table", "*", 0.95),
+    ("merge", "urn:ent:merge", "*", 0.6),
+    ("scan", "urn:ent:scan", "*", 0.6),
+    ("vector", "urn:ent:vector", "de", 0.5),
+]
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents × broadcast alias dict → (subj, pred, obj) mention
+    triples with lang routing + prior-argmax disambiguation (SURVEY
+    §2.4 J6, §2.6 argmax window)."""
+    from kgap_spark.link.score import disambiguate
+    from kgap_spark.mentions.detect import detect_mentions
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("lang"),
+        F.col("text"),
+    )
+    alias_dict = spark.createDataFrame(
+        MENTION_DICT, "alias string, entity_id string, lang string, prior double"
+    )
+    cands = detect_mentions(docs, alias_dict)
+    linked = disambiguate(cands)
+    return (
+        linked.select(
+            F.col("url").alias("subj"),
+            F.lit("kgap:mentions").alias("pred"),
+            F.col("entity_id").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def _mention_dict_values_sql() -> str:
+    rows = ", ".join(
+        f"('{a}', '{e}', '{l}', {p})" for a, e, l, p in MENTION_DICT
+    )
+    return f"(VALUES {rows}) AS d(alias, entity_id, lang, prior)"
+
+
+ORACLE_KG_MENTIONS = f"""
+WITH docs AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS url, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT url, lang, unnest(list_distinct(list_concat(
+           toks,
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ))) AS gram
+  FROM docs
+), cand AS (
+  SELECT g.url, g.gram AS alias, d.entity_id, d.prior
+  FROM grams g JOIN {_mention_dict_values_sql()}
+    ON g.gram = d.alias AND (d.lang = '*' OR d.lang = g.lang)
+), best AS (
+  SELECT url, alias, entity_id,
+         row_number() OVER (PARTITION BY url, alias
+                            ORDER BY prior DESC, entity_id ASC) AS rn
+  FROM (SELECT DISTINCT url, alias, entity_id, prior FROM cand)
+)
+SELECT DISTINCT url AS subj, 'kgap:mentions' AS pred, entity_id AS obj
+FROM best WHERE rn = 1
+"""
+
+
+def q_kg_counts_by_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed triple/doc accounting (A4,
+    docs/components/ldes-consumer.md:330-336): named graph per source."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.concat(F.lit("urn:kgap:ldes:"), F.col("source")).alias("graph"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_KG_COUNTS = (
+    "SELECT 'urn:kgap:ldes:' || source AS graph, COUNT(*) AS n "
+    "FROM documents GROUP BY source"
+)
+
+
+def q_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-tagged filtering (P7, FILTER(LANG(?x)='en'),
+    docs/components/jupyter.md:439-440)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_en"))
+    )
+
+
+ORACLE_LANG_FILTER = (
+    "SELECT source, COUNT(*) AS n_en FROM documents WHERE lang = 'en' GROUP BY source"
+)
+
+
+# ---------------------------------------------------------------------------
+# Core relational operator patterns (SURVEY §2.2-2.8) on the TPC-H-ish
+# tables.
+
+def q_count_all(spark, sf_dir):
+    """A1: SELECT (COUNT(*)) WHERE {?s ?p ?o} (quick-reference.md:186)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_COUNT_ALL = "SELECT COUNT(*) AS n FROM lineitem"
+
+
+def q_group_count(spark, sf_dir):
+    """A3: GROUP BY + COUNT (quick-reference.md:190-194)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_GROUP_COUNT = "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+
+
+def q_count_distinct(spark, sf_dir):
+    """A2: COUNT(DISTINCT ?s) (sembench.md:242)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_COUNT_DISTINCT = (
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+)
+
+
+def q_max_ts(spark, sf_dir):
+    """A5: MAX(?timestamp) (ldes-consumer.md:338-343)."""
+    _utc(spark)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("latest"))
+    )
+
+
+ORACLE_MAX_TS = (
+    "SELECT event_type, strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest "
+    "FROM events GROUP BY event_type"
+)
+
+
+def q_having(spark, sf_dir):
+    """A6: GROUP BY + HAVING (advanced-topics.md:377-394)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 11)
+    )
+
+
+ORACLE_HAVING = (
+    "SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
+    "GROUP BY o_custkey HAVING COUNT(*) > 11"
+)
+
+
+def q_distinct(spark, sf_dir):
+    """A7: SELECT DISTINCT (quick-reference.md:191,197)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_topk(spark, sf_dir):
+    """O3: ORDER BY DESC + LIMIT top-k (jupyter.md:184)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOPK = (
+    "SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey "
+    "ORDER BY n DESC, l_partkey ASC LIMIT 10"
+)
+
+
+def q_left_join(spark, sf_dir):
+    """J3: OPTIONAL → left outer join (sembench.md:176-177)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+ORACLE_LEFT_JOIN = (
+    "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+)
+
+
+def q_anti_join(spark, sf_dir):
+    """J4: FILTER NOT EXISTS → anti join (jupyter.md:557-566)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+
+ORACLE_ANTI_JOIN = (
+    "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+def q_semi_join(spark, sf_dir):
+    """J5: semi join membership (advanced-topics.md:112-119)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_customers_with_orders")
+    )
+
+
+ORACLE_SEMI_JOIN = (
+    "SELECT COUNT(*) AS n_customers_with_orders FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+def q_bgp_chain(spark, sf_dir):
+    """J1/J2: multi-hop BGP chain — the SPARQL 4-pattern join
+    (advanced-topics.md:299-311) as region→nation→customer→orders."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        r.join(n, r["r_regionkey"] == n["n_regionkey"])
+        .join(c, n["n_nationkey"] == c["c_nationkey"])
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_BGP_CHAIN = (
+    "SELECT r_name, COUNT(*) AS n_orders FROM region "
+    "JOIN nation ON r_regionkey = n_regionkey "
+    "JOIN customer ON n_nationkey = c_nationkey "
+    "JOIN orders ON c_custkey = o_custkey GROUP BY r_name"
+)
+
+
+def q_range_filter(spark, sf_dir):
+    """P4: numeric range filter (advanced-topics.md:167)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 10))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+ORACLE_RANGE_FILTER = (
+    "SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty FROM lineitem "
+    "WHERE l_quantity >= 5 AND l_quantity <= 10"
+)
+
+
+def q_ts_filter(spark, sf_dir):
+    """P5: timestamp filter (advanced-topics.md:336)."""
+    _utc(spark)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_TS_FILTER = (
+    "SELECT event_type, COUNT(*) AS n FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY event_type"
+)
+
+
+def q_conditional(spark, sf_dir):
+    """P2/F5: BIND(IF(...)) computed projection (sembench.md:178-179)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn(
+            "bucket",
+            F.when(F.col("o_totalprice") > 200000, F.lit("high")).otherwise(
+                F.lit("low")
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_CONDITIONAL = (
+    "SELECT CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END AS bucket, "
+    "COUNT(*) AS n FROM orders GROUP BY 1"
+)
+
+
+def q_str_funcs(spark, sf_dir):
+    """F1/F2/F4: CONTAINS / STRLEN / CONCAT (faq.md:216-222,
+    sembench.md:209, advanced-topics.md:368)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("ol"))
+        .select(
+            "p_partkey",
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("-", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        )
+    )
+
+
+ORACLE_STR_FUNCS = (
+    "SELECT p_partkey, LENGTH(p_name) AS name_len, "
+    "p_brand || '-' || p_type AS brand_type FROM part WHERE contains(p_name, 'ol')"
+)
+
+
+def q_limit_early(spark, sf_dir):
+    """O5: limit-early staging before a join (advanced-topics.md:439-462).
+    Catalyst won't push limits through joins either — staged explicitly."""
+    o = _t(spark, sf_dir, "orders").orderBy("o_orderkey").limit(1000)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+ORACLE_LIMIT_EARLY = (
+    "SELECT COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty FROM "
+    "(SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000) o "
+    "JOIN lineitem ON o.o_orderkey = l_orderkey"
+)
+
+
+def q_tpch_q1(spark, sf_dir):
+    """A-series showcase: TPC-H Q1 shape. Money sums go through
+    per-row DECIMAL casts (exact, order-independent) then back to
+    rounded doubles — hash-stable across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_latest_version(spark, sf_dir):
+    """U6: versioned-member materialization — latest record per key
+    (MATERIALIZE, ldes-feeds-example.yml:16,20) via row_number window."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest"))
+    )
+
+
+ORACLE_LATEST_VERSION = """
+SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: per-user session count with 30-min gap rule
+    (lag + flag-sum; the batch analog of session windows)."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ from parquet; route via TIMESTAMP (session
+    # pinned UTC) to get fractional epoch seconds, matching DuckDB's
+    # epoch() over the same naive values.
+    secs = F.col("ts").cast("timestamp").cast("double")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag(secs).over(w)
+    new_s = F.when(prev.isNull() | ((secs - prev) > 1800.0), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id, SUM(new_s) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) > 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC) AS prev
+        FROM events)
+) GROUP BY user_id
+"""
+
+
+def q_dereference(spark, sf_dir):
+    """J7: recursive dereference — 2-hop frontier traversal over a
+    triple-ized customer→nation→region edge set
+    (advanced-topics.md:226-277)."""
+    from kgap_spark.query.traverse import recursive_dereference
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("in_region").alias("pred"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("obj"),
+    )
+    triples = c.unionByName(n)
+    start = c.select(F.col("subj").alias("node")).distinct()
+    edges = recursive_dereference(triples, start, max_depth=2, uri_only=False)
+    return edges.groupBy("depth", "pred").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+ORACLE_DEREFERENCE = """
+WITH hop1 AS (
+  SELECT DISTINCT 'cust:' || CAST(c_custkey AS VARCHAR) AS src,
+         'in_nation' AS pred,
+         'nation:' || CAST(c_nationkey AS VARCHAR) AS node
+  FROM customer
+), hop2 AS (
+  SELECT DISTINCT h.node AS src, 'in_region' AS pred,
+         'region:' || CAST(n_regionkey AS VARCHAR) AS node
+  FROM (SELECT DISTINCT node FROM hop1) h
+  JOIN nation ON h.node = 'nation:' || CAST(n_nationkey AS VARCHAR)
+)
+SELECT 1 AS depth, 'in_nation' AS pred, COUNT(*) AS n_edges FROM hop1
+UNION ALL
+SELECT 2 AS depth, 'in_region' AS pred, COUNT(*) AS n_edges FROM hop2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents` (native Catalyst; training-data ops).
+
+def q_doc_token_count(spark, sf_dir):
+    from kgap_spark.functions.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+ORACLE_DOC_TOKEN_COUNT = (
+    "SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    "t -> t <> '')) AS n_tokens FROM documents"
+)
+
+
+def q_doc_quality(spark, sf_dir):
+    from kgap_spark.functions.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+ORACLE_DOC_QUALITY = """
+SELECT doc_id,
+       ROUND(least(1.0, n / 100.0) *
+             (1.0 - least(1.0, abs(nsp / greatest(CAST(n AS DOUBLE), 1.0) - 5.0) / 10.0)), 4)
+       AS quality
+FROM (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS n,
+         length(regexp_replace(lower(text), '\\s+', '', 'g')) AS nsp
+  FROM documents)
+"""
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from kgap_spark.functions.textstats import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+ORACLE_DOC_LANG_ID = """
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de,
+    len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS en,
+    len(list_filter(toks, t -> t IN ('el','la','los','y','es'))) AS es,
+    len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS fr
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') toks
+        FROM documents)
+)
+SELECT doc_id,
+  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+       WHEN en > de AND en >= es AND en >= fr THEN 'en'
+       WHEN es > de AND es > en AND es >= fr THEN 'es'
+       WHEN fr > de AND fr > en AND fr > es THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from kgap_spark.functions.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_DOC_FINGERPRINT = (
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+    "FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (training-data ops).
+
+def q_dedup_exact(spark, sf_dir):
+    from kgap_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT fp, COUNT(*) AS n_docs, MIN(doc) AS first_doc, MAX(doc) AS last_doc
+FROM (SELECT doc_id AS doc,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from kgap_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.01)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM d WHERE len(t) >= 3
+), sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+WHERE ROUND(i / (sa.sz + sb.sz - i), 4) >= 0.01
+"""
+
+
+def q_minhash_band(spark, sf_dir):
+    from kgap_spark.functions.dedup import minhash_band_candidates
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return minhash_band_candidates(d, "doc_id", "text", n=3, bands=4)
+
+
+ORACLE_MINHASH_BAND = """
+WITH d AS (
+  SELECT doc_id AS doc,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents WHERE doc_id < 60
+), sh AS (
+  SELECT doc, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM d WHERE len(t) >= 3
+), sig AS (
+  SELECT doc, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS band_sig
+  FROM sh, range(0, 4) r(band) GROUP BY doc, band
+)
+SELECT DISTINCT s1.doc AS doc_a, s2.doc AS doc_b
+FROM sig s1 JOIN sig s2
+  ON s1.band = s2.band AND s1.band_sig = s2.band_sig AND s1.doc < s2.doc
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from kgap_spark.functions.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return simhash(d, "doc_id", "text")
+
+
+ORACLE_SIMHASH = """
+WITH tf AS (
+  SELECT doc_id AS doc, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+    FROM documents WHERE doc_id < 50)
+  GROUP BY 1, 2
+), h AS (
+  SELECT doc, tf, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tf
+), votes AS (
+  SELECT doc, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM h, range(0, 32) r(i) GROUP BY doc, i
+)
+SELECT doc, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full-text search + similarity search.
+
+def q_fts_search(spark, sf_dir):
+    """F9: Lucene FTS analog — posting table + TF-scored search
+    (quick-reference.md:215-222, template-repo-config.ttl:29-32)."""
+    from kgap_spark.index.fts import build_posting_table, fts_search
+
+    posting = build_posting_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return fts_search(posting, "join stream", k=20)
+
+
+ORACLE_FTS_SEARCH = """
+WITH posting AS (
+  SELECT doc_id AS subj, tok AS token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      t -> t <> '')) AS tok
+    FROM documents)
+  GROUP BY 1, 2
+)
+SELECT subj, SUM(tf) AS score, COUNT(DISTINCT token) AS n_terms
+FROM posting WHERE token IN ('join', 'stream')
+GROUP BY subj ORDER BY score DESC, n_terms DESC, subj ASC LIMIT 20
+"""
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 embedding — exact ANN
+    baseline, all-native double arithmetic."""
+    from kgap_spark.functions.similarity import _dot, _norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    joined = e.crossJoin(F.broadcast(q))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("qe"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+        5,
+    )
+    return (
+        joined.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_EMB_COSINE_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], qe) /
+             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              sqrt(list_dot_product(qe, qe))), 5) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (driver records a rows-only check).
+
+def q_emb_lsh_topk(spark, sf_dir):
+    """Approximate ANN: sign-random-projection buckets + in-bucket
+    cosine (the IVF/LSH scale path; verified against brute force in
+    pytest, not SQL-expressible)."""
+    from kgap_spark.functions.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_bucketed_topk(e, [float(x) for x in qvec], k=10)
+
+
+def q_minhash_lsh_ml(spark, sf_dir):
+    """Spark-ML MinHashLSH near-duplicates (JVM hash internals — no SQL
+    oracle; recall vs exact jaccard is pytest-gated)."""
+    from kgap_spark.functions.dedup import minhash_lsh_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return minhash_lsh_near_duplicates(d, "doc_id", "text", n=3, max_jaccard_dist=0.8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload → mapInPandas feature
+    extraction (decode stubbed deterministically; Spark-side machinery
+    real)."""
+    from kgap_spark.functions.multimodal import extract_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("media:"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map().alias("meta"),
+    )
+    return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Registry.
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_mentions": q_kg_mentions,
+    "kg_counts_by_graph": q_kg_counts_by_graph,
+    "lang_filter": q_lang_filter,
+    "count_all": q_count_all,
+    "group_count": q_group_count,
+    "count_distinct": q_count_distinct,
+    "max_ts": q_max_ts,
+    "having": q_having,
+    "distinct": q_distinct,
+    "topk": q_topk,
+    "left_join": q_left_join,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "bgp_chain": q_bgp_chain,
+    "range_filter": q_range_filter,
+    "ts_filter": q_ts_filter,
+    "conditional": q_conditional,
+    "str_funcs": q_str_funcs,
+    "limit_early": q_limit_early,
+    "tpch_q1": q_tpch_q1,
+    "latest_version": q_latest_version,
+    "sessionize": q_sessionize,
+    "dereference": q_dereference,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_band": q_minhash_band,
+    "simhash": q_simhash,
+    "fts_search": q_fts_search,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_lsh_topk": q_emb_lsh_topk,
+    "minhash_lsh_ml": q_minhash_lsh_ml,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "kg_mentions": ORACLE_KG_MENTIONS,
+    "kg_counts_by_graph": ORACLE_KG_COUNTS,
+    "lang_filter": ORACLE_LANG_FILTER,
+    "count_all": ORACLE_COUNT_ALL,
+    "group_count": ORACLE_GROUP_COUNT,
+    "count_distinct": ORACLE_COUNT_DISTINCT,
+    "max_ts": ORACLE_MAX_TS,
+    "having": ORACLE_HAVING,
+    "distinct": ORACLE_DISTINCT,
+    "topk": ORACLE_TOPK,
+    "left_join": ORACLE_LEFT_JOIN,
+    "anti_join": ORACLE_ANTI_JOIN,
+    "semi_join": ORACLE_SEMI_JOIN,
+    "bgp_chain": ORACLE_BGP_CHAIN,
+    "range_filter": ORACLE_RANGE_FILTER,
+    "ts_filter": ORACLE_TS_FILTER,
+    "conditional": ORACLE_CONDITIONAL,
+    "str_funcs": ORACLE_STR_FUNCS,
+    "limit_early": ORACLE_LIMIT_EARLY,
+    "tpch_q1": ORACLE_TPCH_Q1,
+    "latest_version": ORACLE_LATEST_VERSION,
+    "sessionize": ORACLE_SESSIONIZE,
+    "dereference": ORACLE_DEREFERENCE,
+    "doc_token_count": ORACLE_DOC_TOKEN_COUNT,
+    "doc_quality": ORACLE_DOC_QUALITY,
+    "doc_lang_id": ORACLE_DOC_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "minhash_band": ORACLE_MINHASH_BAND,
+    "simhash": ORACLE_SIMHASH,
+    "fts_search": ORACLE_FTS_SEARCH,
+    "emb_cosine_topk": ORACLE_EMB_COSINE_TOPK,
+    # emb_lsh_topk / minhash_lsh_ml / multimodal_features: rows-only.
+}

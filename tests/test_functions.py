@@ -1,0 +1,147 @@
+"""Training-data ops: dedup, similarity, textstats, FTS, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),      # near-dup of 0
+    (2, "The  quick brown fox jumps over the lazy dog "),    # exact dup of 0 (normalized)
+    (3, "completely different content about marine sensors"),
+    (4, "der schnelle braune fuchs und die katze ist hier"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    from kgap_spark.functions.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_docs == 2 and g.first_doc == 0 and g.last_doc == 2
+
+
+def test_ngram_jaccard(spark, docs):
+    from kgap_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                          threshold=0.3).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0   # exact dup
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_band_candidates(spark, docs):
+    from kgap_spark.functions.dedup import minhash_band_candidates
+
+    cands = {(r.doc_a, r.doc_b)
+             for r in minhash_band_candidates(docs, "doc_id", "text",
+                                              n=3, bands=4).collect()}
+    assert (0, 2) in cands          # identical shingle sets → all bands agree
+    assert (0, 4) not in cands      # disjoint shingles
+
+
+def test_minhash_lsh_ml_agrees_with_exact(spark, docs):
+    from kgap_spark.functions.dedup import minhash_lsh_near_duplicates
+
+    pairs = {(r.doc_a, r.doc_b)
+             for r in minhash_lsh_near_duplicates(docs, "doc_id", "text", n=3,
+                                                  max_jaccard_dist=0.6).collect()}
+    assert (0, 2) in pairs and (0, 1) in pairs
+
+
+def test_simhash_similarity_ordering(spark, docs):
+    from kgap_spark.functions.dedup import simhash
+
+    h = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(h[0], h[2]) == 0              # normalized-identical docs
+    assert ham(h[0], h[1]) < ham(h[0], h[3])  # near-dup closer than unrelated
+
+
+def test_textstats(spark, docs):
+    from kgap_spark.functions.textstats import with_text_stats
+
+    stats = {r.doc_id: r for r in with_text_stats(docs).collect()}
+    assert stats[0].n_tokens == 9
+    assert stats[0].lang_pred == "en"
+    assert stats[4].lang_pred == "de"
+    assert stats[0].fingerprint == stats[2].fingerprint
+    assert 0.0 <= stats[0].quality <= 1.0
+
+
+def test_fts(spark, docs):
+    from kgap_spark.index.fts import build_posting_table, fts_search
+
+    posting = build_posting_table(docs, "doc_id", "text")
+    hits = fts_search(posting, "fox dog", k=10).collect()
+    assert hits[0].subj in (0, 2) and hits[0].score == 2  # fox + dog
+    subj_scores = {r.subj: r.score for r in hits}
+    assert subj_scores[1] == 1  # fox only
+    assert 3 not in subj_scores
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    from kgap_spark.functions.similarity import cosine_topk, lsh_bucketed_topk
+
+    import math
+    vecs = [
+        (i, [math.cos(i / 10.0 + d * 0.3) for d in range(8)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = vecs[7][1]
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=5).collect()]
+    assert exact[0] == 7  # the query vector itself ranks first
+    approx = [r.vec_id for r in
+              lsh_bucketed_topk(emb, q, k=5, n_planes=4).collect()]
+    # LSH with multiprobe must recover most of the exact top-5
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_multimodal_features_deterministic(spark):
+    from kgap_spark.functions.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [("m1", "image", "image/png", b"\x89PNG fake", {}),
+         ("m2", "audio", "audio/wav", b"RIFF fake", {}),
+         ("m3", "image", "image/png", None, {})],
+        "media_id string, kind string, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert len(rows["m1"].features) == 16
+    assert rows["m1"].n_bytes == 9 and rows["m3"].n_bytes == 0
+    # determinism across repartitioning
+    rows2 = {r.media_id: r for r in
+             extract_features(media.repartition(3)).collect()}
+    assert rows["m1"].features == rows2["m1"].features
+    # image vs audio decoders differ
+    assert rows["m1"].features != rows["m2"].features
+
+
+def test_fuzzy_candidates_blocking(spark):
+    from kgap_spark.link.candidates import fuzzy_candidates
+
+    alias_dict = spark.createDataFrame(
+        [("marine sensor", "urn:e1", "en", 0.9),
+         ("coastal buoy", "urn:e2", "en", 0.8)],
+        "alias string, entity_id string, lang string, prior double",
+    )
+    surfaces = spark.createDataFrame(
+        [("marine sensr",), ("coastal buoy",), ("unrelated words",)],
+        "surface string",
+    )
+    got = fuzzy_candidates(surfaces, alias_dict, max_jaccard_dist=0.5)
+    m = {(r.surface, r.entity_id) for r in got.collect()}
+    assert ("marine sensr", "urn:e1") in m      # typo blocked to right entity
+    assert ("coastal buoy", "urn:e2") in m      # exact
+    assert ("unrelated words", "urn:e1") not in m

@@ -1,0 +1,57 @@
+"""TripleStore write semantics: append / overwrite / merge / delete
+(the Replication vs Sync modes, ldes-consumer/README.md:147-149)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgap_spark import schemas as S
+from kgap_spark.triples import TripleStore
+
+
+def _quads(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, None, None, g, None) for s, p, o, g in rows], S.TRIPLES
+    )
+
+
+def test_append_overwrite_merge_delete(spark, tmp_path):
+    store = TripleStore(spark, str(tmp_path / "t"))
+    g1, g2 = "urn:g:1", "urn:g:2"
+
+    store.append(_quads(spark, [("a", "p", "1", g1), ("b", "p", "2", g2)]))
+    assert store.read().count() == 2
+
+    # append mode adds (Replication: additions only — duplicates allowed)
+    store.append(_quads(spark, [("a", "p", "1", g1)]))
+    assert store.read().count() == 3
+
+    # overwrite_graphs replaces only the graphs present in the update
+    store.overwrite_graphs(_quads(spark, [("a", "p", "9", g1)]))
+    got = {(r.subj, r.obj, r.graph) for r in store.read().collect()}
+    assert got == {("a", "9", g1), ("b", "2", g2)}
+
+    # merge (Sync): quad-level upsert, idempotent
+    store.merge(_quads(spark, [("a", "p", "9", g1), ("c", "p", "3", g1)]))
+    store.merge(_quads(spark, [("c", "p", "3", g1)]))
+    assert store.read_graph(g1).count() == 2
+
+    # graph-scoped delete
+    store.delete_graph(g1)
+    assert store.read_graph(g1).count() == 0
+    assert store.read_graph(g2).count() == 1
+
+    # counts_by_graph over what's left
+    rows = store.counts_by_graph().collect()
+    assert [(r.graph, r.n_triples) for r in rows] == [(g2, 1)]
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    """read_graph must prune to one partition (PartitionFilters in the
+    scan, not a post-scan filter)."""
+    store = TripleStore(spark, str(tmp_path / "t2"))
+    store.append(
+        _quads(spark, [("a", "p", "1", "urn:g:1"), ("b", "p", "2", "urn:g:2")])
+    )
+    plan = store.read_graph("urn:g:1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "urn:g:1" in plan
