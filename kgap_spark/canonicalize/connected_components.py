@@ -93,6 +93,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     salt: int = DEFAULT_SALT,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node id
     (lexicographic) in the component.
@@ -100,11 +101,19 @@ def connected_components(
     Iterative min-label propagation; each round is one shuffle on
     ``node`` plus the salted aggregation. ``localCheckpoint`` truncates
     the plan so round N doesn't recompute rounds 1..N-1.
+
+    ``num_partitions`` pins the iteration partitioning: dictionary-size
+    edge sets (10⁴–10⁶ rows) drown in task-scheduling overhead at the
+    session's shuffle width — a handful of partitions makes each of the
+    O(diameter) rounds a few fat tasks instead of hundreds of empty
+    ones. Leave None to inherit the session width for web-scale graphs.
     """
     spark = edges.sparkSession
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if num_partitions:
+        sym = sym.repartition(num_partitions, "src")
     sym = sym.localCheckpoint(eager=True)
 
     labels = (
@@ -139,7 +148,11 @@ def connected_components(
 def canonical_mapping(alias_dict: DataFrame, **cc_kwargs) -> DataFrame:
     """alias_dict → (entity_id, canonical_id) for every entity in the
     dictionary (identity rows included, so downstream rewrites are a
-    single left join + coalesce)."""
+    single left join + coalesce).
+
+    Dictionary CC is a small-graph problem (entities, not pages); the
+    session's shuffle width is inherited — pass ``num_partitions`` to
+    pin it when running inside a wide session."""
     edges = duplicate_edges(alias_dict)
     comps = connected_components(edges, **cc_kwargs)
     all_ents = alias_dict.select("entity_id").distinct()

@@ -110,14 +110,25 @@ def with_extracted_text(pages: DataFrame, out_col: str = "text") -> DataFrame:
 
     Pages that already carry pre-extracted ``text`` keep it (the fixture
     guarantees it equals ``extract_text(html)``; the invariant test
-    enforces that); null ``text`` rows run the UDF. The ``when`` guard
-    keeps the Python stage off rows that don't need it — at 100 TB most
-    of the lake is already extracted and never crosses the Arrow
+    enforces that); null ``text`` rows run the UDF.
+
+    Split-and-union, NOT ``when(text.isNull(), udf(html))``: Spark pulls
+    Python UDFs out of conditional expressions into an unconditional
+    ArrowEvalPython node, which would ship EVERY page's html bytes
+    through Arrow and run the extractor on rows that don't need it. The
+    two branches scan with complementary pushed-down IsNull filters, so
+    at 100 TB only the unextracted fraction ever crosses the Python
     boundary.
     """
-    return pages.withColumn(
-        out_col,
-        F.when(F.col("text").isNotNull(), F.col("text")).otherwise(
-            extract_text_udf(F.col("html"))
-        ),
+    cols = pages.columns
+    have = pages.filter(F.col("text").isNotNull()).withColumn(out_col, F.col("text"))
+    need = pages.filter(F.col("text").isNull()).withColumn(
+        out_col, extract_text_udf(F.col("html"))
     )
+    return have.select(*cols_out(cols, out_col)).unionByName(
+        need.select(*cols_out(cols, out_col))
+    )
+
+
+def cols_out(cols: list[str], out_col: str) -> list[str]:
+    return cols if out_col in cols else [*cols, out_col]

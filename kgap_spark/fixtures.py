@@ -88,6 +88,8 @@ class FixtureConfig:
             "tiny": FixtureConfig(120, 200, 20),
             "small": FixtureConfig(10_000, 2_000, 200),
             "bench": FixtureConfig(200_000, 5_000, 200),
+            "bench1m": FixtureConfig(1_000_000, 10_000, 200),
+            "bench2m": FixtureConfig(2_000_000, 10_000, 200),
         }[scale]
 
 

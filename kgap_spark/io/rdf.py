@@ -1,0 +1,135 @@
+"""RDF file import/export (SURVEY §2.1 S5/S6).
+
+k-gap bulk-imports TTL / RDF-XML / N-Triples / TriG / JSON-LD through
+GraphDB's statements endpoint with an optional ``?context=`` graph
+(reference: ``docs/components/graphdb.md:254-267``,
+``docs/quick-reference.md:316-327``) and exports repositories/graphs
+back to RDF files plus query results to CSV/JSON/Excel
+(``docs/components/graphdb.md:272-278``,
+``docs/components/jupyter.md:580-583``).
+
+Here the line-based N-Triples / N-Quads family is implemented natively:
+``spark.read.text`` + JVM-side ``regexp_extract`` — a splittable,
+whole-stage-codegen scan that parallelizes over any corpus size (the
+right format for 100 TB bulk RDF; block formats like TTL/JSON-LD are
+not line-splittable and would need a mapInPandas parser — out of scope
+for the stub container, noted below).
+
+Term handling: IRIs lose their angle brackets, plain/typed/lang
+literals map onto (obj, obj_lang, obj_datatype) — the quad schema's
+literal columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgap_spark import schemas as S
+
+# <s> <p> <o> [<g>] .   — o = IRI | "lit" | "lit"@lang | "lit"^^<dt>
+_SUBJ = r"^\s*<([^>]*)>"
+_PRED = r"^\s*<[^>]*>\s+<([^>]*)>"
+_OBJ_IRI = r"^\s*<[^>]*>\s+<[^>]*>\s+<([^>]*)>"
+_OBJ_LIT = r'^\s*<[^>]*>\s+<[^>]*>\s+"((?:[^"\\]|\\.)*)"'
+_LIT_LANG = r'"(?:[^"\\]|\\.)*"@([a-zA-Z-]+)'
+_LIT_DT = r'"(?:[^"\\]|\\.)*"\^\^<([^>]*)>'
+_GRAPH = r'(?:>|")\s*(?:@[a-zA-Z-]+|\^\^<[^>]*>)?\s+<([^>]*)>\s*\.\s*$'
+
+
+def _unescape(col):
+    """N-Triples string unescaping for the common escapes."""
+    out = col
+    for esc, ch in ((r"\\n", "\n"), (r"\\t", "\t"), (r'\\"', '"')):
+        out = F.regexp_replace(out, esc, ch)
+    return F.regexp_replace(out, r"\\\\", r"\\")
+
+
+def read_ntriples(
+    spark: SparkSession, path: str, default_graph: str | None = None
+) -> DataFrame:
+    """N-Triples/N-Quads file(s) → quad DataFrame (TRIPLES schema).
+
+    ``default_graph`` plays the role of the import ``?context=`` param
+    (docs/quick-reference.md:322-327): quads without an explicit graph
+    term land there.
+    """
+    lines = spark.read.text(path).filter(
+        (F.trim("value") != "") & ~F.trim("value").startswith("#")
+    )
+    v = F.col("value")
+    subj = F.regexp_extract(v, _SUBJ, 1)
+    pred = F.regexp_extract(v, _PRED, 1)
+    obj_iri = F.regexp_extract(v, _OBJ_IRI, 1)
+    obj_lit = F.regexp_extract(v, _OBJ_LIT, 1)
+    graph_term = F.regexp_extract(v, _GRAPH, 1)
+    return (
+        lines.select(
+            subj.alias("subj"),
+            pred.alias("pred"),
+            F.when(obj_iri != "", obj_iri).otherwise(_unescape(obj_lit)).alias("obj"),
+            F.nullif(F.regexp_extract(v, _LIT_LANG, 1), F.lit("")).alias("obj_lang"),
+            F.nullif(F.regexp_extract(v, _LIT_DT, 1), F.lit("")).alias("obj_datatype"),
+            F.coalesce(
+                F.nullif(graph_term, F.lit("")), F.lit(default_graph)
+            ).alias("graph"),
+            F.lit(None).cast("string").alias("src_url"),
+        )
+        .filter((F.col("subj") != "") & (F.col("pred") != ""))
+    )
+
+
+def _escape(col):
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', r'\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    return F.regexp_replace(out, "\t", r"\\t")
+
+
+def ntriples_lines(triples: DataFrame, with_graph: bool = True) -> DataFrame:
+    """quad DataFrame → one N-Triples/N-Quads line per row (native
+    concat; ready for ``.write.text``)."""
+    obj_is_iri = F.col("obj").rlike("^(https?|urn):")
+    lit = F.concat(F.lit('"'), _escape(F.col("obj")), F.lit('"'))
+    lit = F.when(
+        F.col("obj_lang").isNotNull(),
+        F.concat(lit, F.lit("@"), F.col("obj_lang")),
+    ).when(
+        F.col("obj_datatype").isNotNull(),
+        F.concat(lit, F.lit("^^<"), F.col("obj_datatype"), F.lit(">")),
+    ).otherwise(lit)
+    obj_term = F.when(
+        obj_is_iri & F.col("obj_lang").isNull() & F.col("obj_datatype").isNull(),
+        F.concat(F.lit("<"), F.col("obj"), F.lit(">")),
+    ).otherwise(lit)
+    parts = [
+        F.concat(F.lit("<"), F.col("subj"), F.lit(">")),
+        F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+        obj_term,
+    ]
+    if with_graph:
+        parts.append(F.concat(F.lit("<"), F.col("graph"), F.lit(">")))
+    return triples.select(
+        F.concat_ws(" ", *parts, F.lit(".")).alias("value")
+    )
+
+
+def write_ntriples(triples: DataFrame, path: str, with_graph: bool = True) -> None:
+    """Export a graph/repository to N-Triples (S6,
+    docs/components/graphdb.md:272-278)."""
+    ntriples_lines(triples, with_graph).write.mode("overwrite").text(path)
+
+
+def export_results(df: DataFrame, path: str, fmt: str = "csv") -> None:
+    """Query-result export — the CSV/JSON edge of the jupyter surface
+    (docs/components/jupyter.md:580-583). Distributed writers, not
+    pandas: at scale the result itself can be large."""
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")

@@ -34,10 +34,10 @@ def with_ngrams(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     df = pages.withColumn("_toks", F.filter(toks, lambda t: t != F.lit("")))
-    grams = F.array_union(
-        df["_toks"],
-        F.array_union(_spans(2), _spans(3)),
-    )
+    # concat, not array_union: n-gram families are disjoint by
+    # construction (different token counts), and union's per-row hash
+    # set is pure allocation overhead at corpus scale.
+    grams = F.concat(df["_toks"], _spans(2), _spans(3))
     return (
         df.withColumn("gram", F.explode(grams))
         .drop("_toks")

@@ -1,0 +1,4 @@
+from kgap_spark.streaming.ingest import (  # noqa: F401
+    stream_pages_to_triples,
+    windowed_event_counts,
+)

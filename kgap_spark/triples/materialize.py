@@ -115,7 +115,11 @@ def build_triples(
     cands = detect_mentions(pages_t, alias_dict)
     linked = link_mentions(cands)
 
-    canon = canonical_mapping(alias_dict)
+    # The canonical mapping is dictionary-sized and referenced by TWO
+    # branches of the output union (mention rewrite + dict triples);
+    # materialize it once so a single write action doesn't run the CC
+    # iterations twice.
+    canon = canonical_mapping(alias_dict).localCheckpoint(eager=True)
     linked_canon = linked.join(
         F.broadcast(canon), "entity_id", "left"
     ).withColumn(

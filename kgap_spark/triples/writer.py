@@ -49,9 +49,13 @@ QUAD_KEY = ["subj", "pred", "obj", "graph"]
 
 
 class TripleStore:
-    def __init__(self, spark: SparkSession, path: str, files_per_graph: int = 4):
+    def __init__(
+        self, spark: SparkSession, path: str, files_per_graph: int | None = None
+    ):
         self.spark = spark
         self.path = path
+        # write-partition count; None → session default parallelism so
+        # the encode stage uses every core
         self.files_per_graph = files_per_graph
 
     # -- reads --------------------------------------------------------
@@ -75,9 +79,23 @@ class TripleStore:
     def _prep(self, df: DataFrame) -> DataFrame:
         cols = [f.name for f in S.TRIPLES.fields]
         out = df.select(*cols)
-        # co-locate subjects inside each graph partition (bucketing
-        # analog): files_per_graph output files per graph, split by subj
-        return out.repartition(self.files_per_graph, "graph", F.col("subj"))
+        # Shuffle by graph ALONE, then sort by (graph, subj) inside each
+        # task: every graph's rows land in exactly one task, so the file
+        # count equals the graph count — NOT tasks × graphs. (Hashing in
+        # subj spreads each graph over every task; with dynamic
+        # partition overwrite the job commit then moves tasks × graphs
+        # files serially in the driver — a serial cost that grows with
+        # parallelism.) The within-partition sort keeps subjects
+        # clustered for downstream subject-join locality (bucketing
+        # analog). For graphs that outgrow one task (hub feeds), pass
+        # files_per_graph > 1 to re-add a bounded subj-hash split.
+        n = max(self.spark.sparkContext.defaultParallelism * 2, 16)
+        if self.files_per_graph and self.files_per_graph > 1:
+            split = F.pmod(F.xxhash64("subj"), F.lit(self.files_per_graph))
+            return out.repartition(n, "graph", split).sortWithinPartitions(
+                "graph", "subj"
+            )
+        return out.repartition(n, "graph").sortWithinPartitions("graph", "subj")
 
     def append(self, df: DataFrame) -> None:
         """Replication mode: additions only (fast path)."""

@@ -1,0 +1,175 @@
+"""RDF IO round-trip, streaming micro-batch ingest, workflow runner."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgap_spark import schemas as S
+from kgap_spark.io.rdf import ntriples_lines, read_ntriples, write_ntriples
+from kgap_spark.triples import TripleStore
+
+
+NT = """\
+<urn:kgap:ent:1> <rdfs:label> "marine sensor"@en .
+<urn:kgap:ent:1> <rdfs:label> "mariene sensor"@nl <urn:kgap:ldes:dict> .
+<urn:kgap:ent:1> <qudt:numericValue> "23.5"^^<xsd:double> .
+# a comment line
+
+<https://site0.example.org/p/1> <kgap:mentions> <urn:kgap:ent:1> <urn:kgap:ldes:site0> .
+<urn:kgap:ent:2> <rdfs:label> "escaped \\"quote\\" and \\\\ back" .
+"""
+
+
+def test_read_ntriples_terms(spark, tmp_path):
+    p = tmp_path / "in.nt"
+    p.write_text(NT)
+    df = read_ntriples(spark, str(p), default_graph="urn:g:default")
+    rows = {(r.subj, r.pred): r for r in df.collect()}
+    assert df.count() == 5
+    lab_en = rows[("urn:kgap:ent:1", "rdfs:label")]
+    # two label rows share the key; check via filtered collect instead
+    labels = df.filter(
+        (F.col("subj") == "urn:kgap:ent:1") & (F.col("pred") == "rdfs:label")
+    ).collect()
+    by_lang = {r.obj_lang: r for r in labels}
+    assert by_lang["en"].obj == "marine sensor"
+    assert by_lang["en"].graph == "urn:g:default"
+    assert by_lang["nl"].graph == "urn:kgap:ldes:dict"
+    typed = rows[("urn:kgap:ent:1", "qudt:numericValue")]
+    assert typed.obj == "23.5" and typed.obj_datatype == "xsd:double"
+    iri_obj = rows[("https://site0.example.org/p/1", "kgap:mentions")]
+    assert iri_obj.obj == "urn:kgap:ent:1" and iri_obj.graph == "urn:kgap:ldes:site0"
+    esc = rows[("urn:kgap:ent:2", "rdfs:label")]
+    assert esc.obj == 'escaped "quote" and \\ back'
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    p = tmp_path / "in.nt"
+    p.write_text(NT)
+    df = read_ntriples(spark, str(p), default_graph="urn:g:default")
+    out = tmp_path / "out.nt"
+    write_ntriples(df, str(out))
+    back = read_ntriples(spark, str(out))
+    key = ["subj", "pred", "obj", "obj_lang", "obj_datatype", "graph"]
+    assert back.select(key).exceptAll(df.select(key)).count() == 0
+    assert df.select(key).exceptAll(back.select(key)).count() == 0
+
+
+def test_streaming_ingest_idempotent_resume(spark, tiny, tmp_path, fixture_dir):
+    """File-source stream over the fixture pages → foreachBatch merge;
+    a second availableNow run ingests nothing new (checkpoint = the
+    LDES continuation token)."""
+    from kgap_spark.metrics import precision_recall
+    from kgap_spark.streaming import stream_pages_to_triples
+
+    pages_dir = str(tmp_path / "pages_stream")
+    tiny["web_pages"].repartition(8).write.parquet(pages_dir)
+
+    store = TripleStore(spark, str(tmp_path / "triples"))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_pages_to_triples(
+        spark, pages_dir, tiny["alias_dict"], store, ckpt, trigger_once=True
+    )
+    q.awaitTermination(300)
+    n1 = store.read().count()
+    assert n1 > 0
+    # no duplicate quads despite multiple micro-batches having merged
+    # overlapping dictionary-graph triples
+    assert n1 == store.read().dropDuplicates(["subj", "pred", "obj", "graph"]).count()
+
+    # page-graph content matches golden (dict graph is merged per batch)
+    page_triples = store.read().filter(F.col("graph") != S.GRAPH_DICT)
+    golden_pages = tiny["golden_triples"].filter(F.col("graph") != S.GRAPH_DICT)
+    pr = precision_recall(page_triples, golden_pages)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+
+    # resume: nothing new to process
+    q2 = stream_pages_to_triples(
+        spark, pages_dir, tiny["alias_dict"], store, ckpt, trigger_once=True
+    )
+    q2.awaitTermination(300)
+    assert store.read().count() == n1
+
+
+def test_windowed_event_counts_streaming(spark):
+    """Watermarked windowed agg through a memory-sink streaming query."""
+    import tempfile
+
+    from kgap_spark.streaming import windowed_event_counts
+
+    events = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i:02d}:00", i % 3, "click", 1.0, "{}")
+         for i in range(30)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tempfile.mkdtemp()
+    events.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(d)
+    agg = windowed_event_counts(stream, window="10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("win_counts")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM win_counts ORDER BY window_start").collect()
+    assert len(rows) == 3 and all(r.n == 10 for r in rows)
+
+
+def test_pipeline_runner_end_to_end(spark, tiny, tmp_path):
+    """query → transform → validate → load → extract workflow."""
+    import os
+
+    from kgap_spark.pipelines import Pipeline, Step, run_pipeline
+    from kgap_spark.triples import build_triples
+    from kgap_spark.validate import Assertion
+
+    triples = build_triples(tiny["web_pages"], tiny["alias_dict"])
+    store = TripleStore(spark, str(tmp_path / "t"))
+    out_csv = str(tmp_path / "report")
+
+    pipe = Pipeline(
+        name="nightly",
+        steps=[
+            Step("query", "mentions",
+                 sql="SELECT * FROM all_triples WHERE pred = 'kgap:mentions'"),
+            Step("transform", "mention_counts", source="mentions",
+                 fn=lambda df: df.groupBy("obj").agg(
+                     F.count(F.lit(1)).alias("n"))),
+            Step("validate", "violations", source="all_triples",
+                 assertions=(Assertion("required", "rdf:type",
+                                       focus_type="kgap:WebPage"),),
+                 fail_on_violations=True),
+            Step("load", "load_mentions", source="mentions", mode="overwrite"),
+            Step("extract", "extract_counts", source="mention_counts",
+                 path=out_csv, fmt="csv"),
+        ],
+    )
+    ns = run_pipeline(spark, pipe, store=store, inputs={"all_triples": triples})
+    assert ns["violations"].count() == 0
+    assert store.read().count() == ns["mentions"].count()
+    assert any(f.endswith(".csv") for f in os.listdir(out_csv))
+
+
+def test_pipeline_validation_gate(spark, tmp_path):
+    from kgap_spark.pipelines import Pipeline, Step, ValidationError, run_pipeline
+    from kgap_spark.validate import Assertion
+
+    bad = spark.createDataFrame(
+        [("e1", "rdf:type", "sosa:Observation")],
+        "subj string, pred string, obj string",
+    )
+    pipe = Pipeline(
+        "gate",
+        [Step("validate", "v", source="t",
+              assertions=(Assertion("required", "sosa:hasResult",
+                                    focus_type="sosa:Observation"),),
+              fail_on_violations=True)],
+    )
+    with pytest.raises(ValidationError):
+        run_pipeline(spark, pipe, inputs={"t": bad})
