@@ -43,9 +43,11 @@ def main() -> int:
         "kgap-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
 
-    # warm the JVM/Python-worker path once so per-query times measure
-    # the plans, not interpreter startup
+    # warm the JVM codegen + Python-worker + broadcast paths once so
+    # per-query times measure steady-state plans, not JIT/startup
     QUERIES["count_all"](spark, sf_dir).count()
+    QUERIES["kg_mentions"](spark, "/root/testdata/sf0.001").count()
+    QUERIES["multimodal_features"](spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

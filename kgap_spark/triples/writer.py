@@ -131,6 +131,51 @@ class TripleStore:
         merged = merged.localCheckpoint(eager=True)
         self.overwrite_graphs(merged)
 
+    def delete_quads(self, quads: DataFrame) -> None:
+        """U2: DELETE DATA — remove specific quads
+        (docs/quick-reference.md:234-237). Anti-join the affected
+        graphs' content against the delete set, rewrite only those
+        partitions (Iceberg row-level delete analog)."""
+        dels = quads.select(*QUAD_KEY).distinct()
+        graphs = dels.select("graph").distinct()
+        existing = self.read().join(F.broadcast(graphs), "graph", "left_semi")
+        remaining = existing.join(dels, QUAD_KEY, "left_anti").localCheckpoint(
+            eager=True
+        )
+        kept_graphs = {r.graph for r in remaining.select("graph").distinct().collect()}
+        self.overwrite_graphs(remaining)
+        # graphs whose every quad was deleted produce no output
+        # partition under dynamic overwrite — drop them explicitly
+        for r in graphs.collect():
+            if r.graph not in kept_graphs:
+                self.delete_graph(r.graph)
+
+    def rewrite(self, match_pred: str, new_pred: str) -> None:
+        """U3: DELETE { ?s old ?o } INSERT { ?s new ?o } WHERE —
+        predicate renaming rewrite (docs/quick-reference.md:240-243),
+        as a read-transform-overwrite of the affected partitions."""
+        current = self.read()
+        affected = current.filter(F.col("pred") == match_pred)
+        graphs = affected.select("graph").distinct()
+        scoped = current.join(F.broadcast(graphs), "graph", "left_semi")
+        rewritten = scoped.withColumn(
+            "pred",
+            F.when(F.col("pred") == match_pred, F.lit(new_pred)).otherwise(
+                F.col("pred")
+            ),
+        ).localCheckpoint(eager=True)
+        self.overwrite_graphs(rewritten)
+
+    def cleanup_orphan_graphs(self, active_graphs: list[str]) -> list[str]:
+        """T7: drop graphs no longer in the source config (the analog of
+        removing feed containers for deleted feeds, app.py:242-272).
+        Returns the dropped graph names."""
+        current = [r.graph for r in self.read().select("graph").distinct().collect()]
+        dropped = [g for g in current if g not in set(active_graphs)]
+        for g in dropped:
+            self.delete_graph(g)
+        return dropped
+
     def delete_graph(self, graph: str) -> None:
         """Graph-scoped clear (reference: DELETE ?context=graph,
         docs/quick-reference.md:330-336). Partition drop = O(1) metadata

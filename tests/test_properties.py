@@ -1,0 +1,39 @@
+"""Property-based tests (hypothesis) for the pure-Python invariants:
+extraction determinism on arbitrary bytes, fixture purity."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgap_spark.extract.html_text import extract_text
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_extract_total_and_deterministic(data):
+    """extract_text never raises on arbitrary bytes and is a pure
+    function (byte-identical across calls) — the per-url invariant."""
+    a = extract_text(data)
+    b = extract_text(bytes(data))
+    assert a == b
+    assert a is None or isinstance(a, str)
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_extract_plain_text_has_no_tags(txt):
+    out = extract_text(txt.encode("utf-8"))
+    assert "<script" not in (out or "").lower()
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=50, deadline=None)
+def test_fixture_rows_pure(i):
+    """page_row is a pure function of the index — distributed and local
+    generation agree row-for-row."""
+    from kgap_spark.fixtures import FixtureConfig, page_row
+
+    cfg = FixtureConfig.for_scale("small")
+    a, b = page_row(i, cfg), page_row(i, cfg)
+    assert a == b
