@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the optimizations SURVEY §4 promises must
+actually appear in the executed plans (pushdown, pruning, broadcast,
+whole-stage codegen) — not just produce correct rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(spark):
+    return "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark, sf):
+    """P4 range filter must reach the scan (PushedFilters), and the scan
+    must prune to the referenced columns (ReadSchema)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    q = li.filter((F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 10)).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_quantity,5" in plan
+    # column pruning: full lineitem has 11 columns; scan must read 2
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_dictionary_join_is_broadcast(spark, sf):
+    """J6: the alias-dictionary candidate join must be a broadcast hash
+    join — never a shuffle of the page-side grams."""
+    from kgap_spark.workload import QUERIES
+
+    plan = _plan(QUERIES["kg_mentions"](spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mentions_plan_has_single_scan_and_codegen(spark, sf):
+    from kgap_spark.workload import QUERIES
+
+    plan = _plan(QUERIES["kg_mentions"](spark, sf))
+    # the detection path is pure JVM (no Python in the hot loop —
+    # extraction UDF only appears for null-text rows, absent in the
+    # documents table); under AQE the codegen ids only materialize in
+    # the final plan, so assert the absence of Python eval nodes
+    assert "AdaptiveSparkPlan" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_extraction_udf_only_on_null_text_branch(spark, tiny):
+    """The extract UDF must sit behind a pushed IsNull(text) filter —
+    pre-extracted rows never cross the Arrow boundary."""
+    from kgap_spark.extract import with_extracted_text
+
+    plan = _plan(with_extracted_text(tiny["web_pages"]))
+    assert "ArrowEvalPython" in plan
+    # the UDF branch scans with an IsNull pushed filter
+    assert "IsNull(text)" in plan
+    assert "IsNotNull(text)" in plan
+
+
+def test_semi_and_anti_join_operators(spark, sf):
+    from kgap_spark.workload import QUERIES
+
+    anti = _plan(QUERIES["anti_join"](spark, sf))
+    assert "LeftAnti" in anti
+    semi = _plan(QUERIES["semi_join"](spark, sf))
+    assert "LeftSemi" in semi
+
+
+def test_topk_uses_take_ordered(spark, sf):
+    """O3: orderBy+limit must compile to TakeOrderedAndProject, not a
+    global sort."""
+    from kgap_spark.workload import QUERIES
+
+    plan = _plan(QUERIES["topk"](spark, sf))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf):
+    """A3: groupBy count must do map-side partial aggregation."""
+    from kgap_spark.workload import QUERIES
+
+    plan = _plan(QUERIES["group_count"](spark, sf))
+    assert "partial_count" in plan
+
+
+def test_counts_by_graph_prunes_partitions(spark, tiny, tmp_path):
+    """A4: a graph-scoped read must show PartitionFilters on the scan
+    (partition pruning, the predicate-list analog of SURVEY §4)."""
+    from kgap_spark.triples import TripleStore, build_triples
+
+    store = TripleStore(spark, str(tmp_path / "t"))
+    store.overwrite_graphs(
+        build_triples(tiny["web_pages"], tiny["alias_dict"]).localCheckpoint(True)
+    )
+    plan = _plan(store.read_graph("urn:kgap:ldes:site001"))
+    assert "PartitionFilters" in plan and "site001" in plan
