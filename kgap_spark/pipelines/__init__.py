@@ -1,1 +1,8 @@
-from kgap_spark.pipelines.runner import Pipeline, Step, ValidationError, run_pipeline  # noqa: F401
+from kgap_spark.pipelines.runner import (  # noqa: F401
+    Pipeline,
+    Step,
+    ValidationError,
+    pipeline_from_config,
+    pipeline_from_yaml,
+    run_pipeline,
+)

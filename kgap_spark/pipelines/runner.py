@@ -55,6 +55,57 @@ class ValidationError(RuntimeError):
     pass
 
 
+def pipeline_from_config(config: dict) -> Pipeline:
+    """Build a Pipeline from a YAML/JSON-shaped dict — the sembench
+    config-file IR (docs/components/sembench.md:150-223):
+
+        name: nightly
+        steps:
+          - kind: query
+            name: mentions
+            sql: SELECT ...
+          - kind: validate
+            name: violations
+            source: mentions
+            assertions:
+              - {kind: required, path: rdf:type, focus_type: kgap:WebPage}
+            fail_on_violations: true
+          - {kind: extract, name: out, source: mentions, path: /out, fmt: csv}
+
+    ``transform`` steps need a Python callable and are registered via
+    the ``transforms`` mapping: ``{step_name: fn}`` (the analog of the
+    reference's script path, sembench.md:214-217).
+    """
+    from kgap_spark.validate import Assertion
+
+    steps = []
+    for raw in config.get("steps", []):
+        raw = dict(raw)
+        assertions = tuple(
+            Assertion(**a) if isinstance(a, dict) else a
+            for a in raw.pop("assertions", ())
+        )
+        steps.append(Step(**raw, assertions=assertions))
+    return Pipeline(name=config.get("name", "unnamed"), steps=steps)
+
+
+def pipeline_from_yaml(path: str, transforms: dict | None = None) -> Pipeline:
+    """Load a workflow from a YAML file; bind transform callables by
+    step name via ``transforms``."""
+    import yaml
+
+    with open(path) as f:
+        config = yaml.safe_load(f)
+    pipe = pipeline_from_config(config)
+    if transforms:
+        bound = [
+            Step(**{**s.__dict__, "fn": transforms.get(s.name, s.fn)})
+            for s in pipe.steps
+        ]
+        pipe = Pipeline(pipe.name, bound)
+    return pipe
+
+
 def run_pipeline(
     spark: SparkSession,
     pipeline: Pipeline,
