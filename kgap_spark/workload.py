@@ -257,15 +257,24 @@ ORACLE_LEFT_JOIN = (
 
 
 def q_anti_join(spark, sf_dir):
-    """J4: FILTER NOT EXISTS → anti join (jupyter.md:557-566)."""
+    """J4: FILTER NOT EXISTS → anti join (jupyter.md:557-566).
+
+    Orders are filtered to large totals so the anti side is non-empty at
+    the oracle scale (every sf0.01 customer has *some* order — an
+    unfiltered anti join verifies nothing)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.join(o, "c_custkey", "left_anti").select("c_custkey")
 
 
 ORACLE_ANTI_JOIN = (
     "SELECT c_custkey FROM customer WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_totalprice > 400000.0)"
 )
 
 
@@ -478,7 +487,7 @@ def q_sessionize(spark, sf_dir):
 
 
 ORACLE_SESSIONIZE = """
-SELECT user_id, SUM(new_s) AS n_sessions FROM (
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN prev IS NULL OR (epoch(ts) - epoch(prev)) > 1800.0
               THEN 1 ELSE 0 END AS new_s
@@ -611,16 +620,29 @@ ORACLE_DOC_FINGERPRINT = (
 # Deduplication (training-data ops).
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact dedup with an injected duplicate block: the synthetic
+    documents table has no byte-identical texts, so docs 0–24 are
+    re-tagged (doc_id+10000) and unioned in — the operator must find
+    exactly those 25 groups (mirrored in the oracle SQL)."""
     from kgap_spark.functions.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(d.unionByName(dup), "doc_id", "text")
 
 
 ORACLE_DEDUP_EXACT = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 25
+)
 SELECT fp, COUNT(*) AS n_docs, MIN(doc) AS first_doc, MAX(doc) AS last_doc
 FROM (SELECT doc_id AS doc,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-      FROM documents)
+      FROM docs)
 GROUP BY fp HAVING COUNT(*) > 1
 """
 
@@ -702,7 +724,7 @@ WITH tf AS (
   SELECT doc, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
   FROM h, range(0, 32) r(i) GROUP BY doc, i
 )
-SELECT doc, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+SELECT doc, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc
 """
 
@@ -727,7 +749,7 @@ WITH posting AS (
     FROM documents)
   GROUP BY 1, 2
 )
-SELECT subj, SUM(tf) AS score, COUNT(DISTINCT token) AS n_terms
+SELECT subj, CAST(SUM(tf) AS BIGINT) AS score, COUNT(DISTINCT token) AS n_terms
 FROM posting WHERE token IN ('join', 'stream')
 GROUP BY subj ORDER BY score DESC, n_terms DESC, subj ASC LIMIT 20
 """
@@ -780,17 +802,36 @@ def q_emb_lsh_topk(spark, sf_dir):
 
 def q_minhash_lsh_ml(spark, sf_dir):
     """Spark-ML MinHashLSH near-duplicates (JVM hash internals — no SQL
-    oracle; recall vs exact jaccard is pytest-gated)."""
+    oracle; recall vs exact jaccard is pytest-gated).
+
+    The synthetic docs share no shingles at dist ≤ 0.8, so docs 0–9 are
+    unioned back with one appended token (doc_id+10000): each copy is a
+    true near-dup of its source and the join must surface those pairs —
+    a non-empty, deterministic rows-only signal."""
     from kgap_spark.functions.dedup import minhash_lsh_near_duplicates
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    return minhash_lsh_near_duplicates(d, "doc_id", "text", n=3, max_jaccard_dist=0.8)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    )
+    near = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    return minhash_lsh_near_duplicates(
+        d.unionByName(near), "doc_id", "text", n=3, max_jaccard_dist=0.8
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas feature
     extraction (decode stubbed deterministically; Spark-side machinery
-    real)."""
+    real).
+
+    The feature vector is projected to an integer-CSV canonical form so
+    the driver can hash it (arrays of doubles are unhashable in the
+    canonicalizer): the stub feature i is sha256(payload)[i]/255.0, so
+    round(x*255) recovers the exact digest byte — and DuckDB's sha256()
+    expresses the same bytes, giving this query a full value oracle."""
     from kgap_spark.functions.multimodal import extract_features
 
     media = _t(spark, sf_dir, "documents").select(
@@ -800,7 +841,31 @@ def q_multimodal_features(spark, sf_dir):
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.create_map().alias("meta"),
     )
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.round(x * F.lit(255.0)).cast("int").cast("string"),
+            ),
+        ).alias("features_csv"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT 'media:' || CAST(doc_id AS VARCHAR) AS media_id,
+       'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       array_to_string(
+         list_transform(range(0, 16),
+                        i -> CAST(('0x' || substr(sha256(text), i*2+1, 2))::INT AS VARCHAR)),
+         ',') AS features_csv
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -879,5 +944,6 @@ ORACLES: dict[str, str] = {
     "simhash": ORACLE_SIMHASH,
     "fts_search": ORACLE_FTS_SEARCH,
     "emb_cosine_topk": ORACLE_EMB_COSINE_TOPK,
-    # emb_lsh_topk / minhash_lsh_ml / multimodal_features: rows-only.
+    "multimodal_features": ORACLE_MULTIMODAL,
+    # emb_lsh_topk / minhash_lsh_ml: rows-only (JVM hash internals).
 }
