@@ -68,22 +68,39 @@ def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+MAX_SHINGLE_DF = 1000  # default document-frequency cap for the self-join
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle (pairs only materialize where docs actually share one),
-    then |A∩B| via count and |A∪B| via per-doc sizes. The shingle join
-    is the shuffle; hot shingles behave like hub keys → AQE skew-split
-    applies. For true 100 TB runs, gate this behind minhash banding
-    (below) to cap the candidate set first."""
+    then |A∩B| via count and |A∪B| via per-doc sizes.
+
+    **Scale guard — document-frequency cap:** a boilerplate shingle
+    shared by 10⁶ docs would alone create ~10¹² pairs in the self-join.
+    Shingles with df > ``max_shingle_df`` are dropped *before* the join
+    (the same hub-key cap as ``connected_components.MAX_ALIAS_GROUP``),
+    bounding pair production at df² × |hot shingles|. Jaccard is then
+    computed over the *filtered* shingle space (sizes from the filtered
+    index too), so hot-boilerplate shingles don't dilute the score —
+    genuinely near-duplicate docs keep their high jaccard. Pass
+    ``max_shingle_df=None`` to disable (small fixtures only)."""
     sh = _with_shingles(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(df_counts.filter(F.col("_df") <= max_shingle_df), "shingle")
+            .select("doc", "shingle")
+        )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")

@@ -78,6 +78,80 @@ def signature_col(vec_col, planes: list[list[float]]):
     return sig
 
 
+def query_signature(query_vec: list[float], n_planes: int = 6,
+                    seed: int = 42) -> int:
+    """Driver-side signature of a query vector (same planes as
+    ``signature_col`` — pure function of (dim, n_planes, seed))."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    s = 0
+    for b, plane in enumerate(planes):
+        if sum(float(x) * y for x, y in zip(query_vec, plane)) >= 0:
+            s += 2 ** b
+    return s
+
+
+def probe_signatures(qsig: int, n_planes: int,
+                     multiprobe_hamming: int = 1) -> list[int]:
+    """Bucket ids within ``multiprobe_hamming`` bits of the query's."""
+    probe = [qsig]
+    if multiprobe_hamming >= 1:
+        probe += [qsig ^ (1 << b) for b in range(n_planes)]
+    if multiprobe_hamming >= 2:
+        probe += [
+            qsig ^ (1 << a) ^ (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
+    return probe
+
+
+def build_signature_table(
+    embeddings: DataFrame,
+    out_path: str,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the ANN index: the embeddings table with its
+    sign-random-projection bucket id, written **partitioned by `_sig`**.
+
+    This is the scale path (IVF-style): the signature is computed ONCE
+    at build time, and every query after that reads only the probed
+    bucket directories — Spark's partition pruning turns the
+    `_sig IN (...)` filter into a directory listing, so a query touches
+    ~(1+n_planes)/2^n_planes of the corpus instead of scanning it.
+    Mirrors the posting-table pattern of ``index/fts.py``."""
+    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = _hyperplanes(dim, n_planes, seed)
+    (
+        embeddings.withColumn("_sig", signature_col(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("_sig")
+        .parquet(out_path)
+    )
+
+
+def lsh_topk_from_signature_table(
+    spark,
+    table_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k against a materialized signature table:
+    partition pruning on `_sig` (plan-asserted in tests) means only the
+    probed buckets are read from storage."""
+    qsig = query_signature([float(x) for x in query_vec], n_planes, seed)
+    probe = probe_signatures(qsig, n_planes, multiprobe_hamming)
+    cands = spark.read.parquet(table_path).filter(F.col("_sig").isin(probe))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -87,25 +161,18 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: search only vectors whose sign-random-
-    projection bucket is within ``multiprobe_hamming`` bits of the
-    query's bucket. At corpus scale the table is written partitioned by
-    the (precomputable) signature, so a query scans ~(1+planes) buckets
-    out of 2^planes — the IVF-style pruning path."""
+    """Approximate cosine top-k with the signature computed inline: only
+    vectors whose sign-random-projection bucket is within
+    ``multiprobe_hamming`` bits of the query's are scored.
+
+    NOTE: this variant scans the whole table once to compute `_sig` —
+    it is the ad-hoc/one-shot path. For repeated queries at corpus
+    scale use ``build_signature_table`` + ``lsh_topk_from_signature_
+    table``, which prunes partitions instead of scanning."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes)
-
-    def sig_of(vec: list[float]) -> int:
-        s = 0
-        for b, plane in enumerate(planes):
-            if sum(x * y for x, y in zip(vec, plane)) >= 0:
-                s += 2 ** b
-        return s
-
-    qsig = sig_of([float(x) for x in query_vec])
-    probe = [qsig]
-    if multiprobe_hamming >= 1:
-        probe += [qsig ^ (1 << b) for b in range(n_planes)]
+    qsig = query_signature([float(x) for x in query_vec], n_planes)
+    probe = probe_signatures(qsig, n_planes, multiprobe_hamming)
 
     with_sig = embeddings.withColumn("_sig", signature_col(F.col(vec_col), planes))
     cands = with_sig.filter(F.col("_sig").isin(probe))

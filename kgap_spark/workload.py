@@ -648,10 +648,15 @@ GROUP BY fp HAVING COUNT(*) > 1
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs with the document-frequency cap ACTIVE (df ≤ 10):
+    the scale guard itself is oracle-verified, not just the happy
+    path."""
     from kgap_spark.functions.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.01)
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=10
+    )
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -659,11 +664,15 @@ WITH d AS (
   SELECT doc_id AS doc,
          list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
   FROM documents WHERE doc_id < 40
-), sh AS (
+), sh0 AS (
   SELECT doc, unnest(list_distinct(
            list_transform(range(1, len(t) - 1),
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
   FROM d WHERE len(t) >= 3
+), keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 10
+), sh AS (
+  SELECT sh0.doc, sh0.shingle FROM sh0 JOIN keep USING (shingle)
 ), sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
@@ -790,14 +799,27 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 # Non-SQL-expressible ops (driver records a rows-only check).
 
 def q_emb_lsh_topk(spark, sf_dir):
-    """Approximate ANN: sign-random-projection buckets + in-bucket
-    cosine (the IVF/LSH scale path; verified against brute force in
-    pytest, not SQL-expressible)."""
-    from kgap_spark.functions.similarity import lsh_bucketed_topk
+    """Approximate ANN, production path: a materialized signature table
+    partitioned by `_sig` (built once per sf_dir, cached), then a
+    partition-pruned bucket probe + in-bucket cosine (verified against
+    brute force in pytest, not SQL-expressible)."""
+    import hashlib as _hl
+    import os
+
+    from kgap_spark.functions.similarity import (
+        build_signature_table,
+        lsh_topk_from_signature_table,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_bucketed_topk(e, [float(x) for x in qvec], k=10)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0)
+            .select("embedding").first()[0]]
+    sig_dir = os.path.join(
+        "/tmp/kgap_sig", _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
+        build_signature_table(e, sig_dir, n_planes=6)
+    return lsh_topk_from_signature_table(spark, sig_dir, qvec, k=10, n_planes=6)
 
 
 def q_minhash_lsh_ml(spark, sf_dir):

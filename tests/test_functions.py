@@ -39,6 +39,33 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
+    """Scale guard: a boilerplate shingle shared by every doc must not
+    produce quadratic pairs; true near-dups keep their high jaccard."""
+    from kgap_spark.functions.dedup import ngram_jaccard_pairs
+
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"unique text number {i} alpha beta {boiler}")
+            for i in range(30)]
+    # one genuine near-dup pair sharing real content
+    rows += [(100, "marine sensor deployment in the north sea basin " + boiler),
+             (101, "marine sensor deployment in the north sea harbour " + boiler)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap at 5: every boilerplate shingle (df=32) is dropped pre-join
+    capped = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                 threshold=0.25, max_shingle_df=5).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in capped}
+    assert (100, 101) in pairs and pairs[(100, 101)] > 0.4
+    # the 30 boilerplate-only docs share nothing after the cap: no pair blowup
+    assert all(a >= 100 for (a, b) in pairs)
+
+    # uncapped, the hot shingles materialize hundreds of candidate pairs
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                   threshold=0.01, max_shingle_df=None).count()
+    assert uncapped > 100
+
+
 def test_minhash_band_candidates(spark, docs):
     from kgap_spark.functions.dedup import minhash_band_candidates
 

@@ -101,3 +101,35 @@ def test_counts_by_graph_prunes_partitions(spark, tiny, tmp_path):
     )
     plan = _plan(store.read_graph("urn:kgap:ldes:site001"))
     assert "PartitionFilters" in plan and "site001" in plan
+
+
+def test_ann_signature_table_prunes_partitions(spark, tmp_path):
+    """ANN scale path: a query against the materialized signature table
+    must prune on `_sig` (PartitionFilters), reading only the probed
+    buckets — never a full scan."""
+    import math
+
+    from kgap_spark.functions.similarity import (
+        build_signature_table,
+        lsh_topk_from_signature_table,
+        probe_signatures,
+        query_signature,
+    )
+
+    vecs = [
+        (i, [math.cos(i / 10.0 + d * 0.3) for d in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "sig")
+    build_signature_table(emb, path, n_planes=4)
+
+    q = vecs[7][1]
+    res = lsh_topk_from_signature_table(spark, path, q, k=5, n_planes=4)
+    plan = _plan(res)
+    assert "PartitionFilters" in plan and "_sig" in plan.split("PartitionFilters")[1][:200]
+    # pruning is real: candidate scan reads strictly fewer buckets than exist
+    n_buckets = len(spark.read.parquet(path).select("_sig").distinct().collect())
+    probe = probe_signatures(query_signature(q, 4), 4, 1)
+    assert len(set(probe)) < 2 ** 4 or n_buckets < 2 ** 4
+    # and the probed result still recovers the exact top hit
+    assert res.collect()[0].vec_id == 7
