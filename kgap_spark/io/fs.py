@@ -1,0 +1,55 @@
+"""Hadoop FileSystem helpers for store/lineage metadata operations.
+
+``TripleStore`` and ``LineageLog`` paths may live on any scheme Hadoop
+supports (file://, hdfs://, s3a://, gs://, abfs://) — a real 100 TB
+deployment is on an object store, where ``os.path``/``shutil`` silently
+report "missing" and break merge/resume semantics (data loss: merge()
+would skip existing rows). Every existence check, directory listing,
+and partition delete routes through the JVM FileSystem API instead, so
+the same code runs on local disk in tests and object stores in
+production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _jfs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for the scheme of ``path``."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _jfs(spark, path)
+    return bool(fs.exists(p))
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of a directory ([] if it doesn't exist)."""
+    fs, p = _jfs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete a file or directory tree; True if something was removed.
+    On object stores this is the partition-drop primitive (O(keys) but
+    metadata-only — no data movement)."""
+    fs, p = _jfs(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
+def join(base: str, *parts: str) -> str:
+    """URI-safe path join (os.path.join mangles scheme-qualified paths
+    on some platforms; Hadoop paths are always '/'-separated)."""
+    out = base.rstrip("/")
+    for part in parts:
+        out += "/" + part.strip("/")
+    return out

@@ -40,10 +40,10 @@ class LineageLog:
         self.path = path
 
     def read(self) -> DataFrame:
-        import os
+        from kgap_spark.io import fs
 
-        if not os.path.isdir(self.path) or not any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
+        if not any(
+            f.endswith(".parquet") for f in fs.list_names(self.spark, self.path)
         ):
             return self.spark.createDataFrame([], S.LINEAGE)
         return self.spark.read.parquet(self.path)

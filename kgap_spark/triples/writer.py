@@ -38,12 +38,11 @@ subject-joins downstream read co-located files (bucketing analog).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgap_spark import schemas as S
+from kgap_spark.io import fs
 
 QUAD_KEY = ["subj", "pred", "obj", "graph"]
 
@@ -60,8 +59,10 @@ class TripleStore:
 
     # -- reads --------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            e.startswith("graph=") for e in os.listdir(self.path)
+        # Hadoop FS, not os.path: the store may live on s3a://hdfs://…
+        # where a false "missing" would make merge() drop existing rows.
+        return any(
+            e.startswith("graph=") for e in fs.list_names(self.spark, self.path)
         )
 
     def read(self) -> DataFrame:
@@ -79,23 +80,32 @@ class TripleStore:
     def _prep(self, df: DataFrame) -> DataFrame:
         cols = [f.name for f in S.TRIPLES.fields]
         out = df.select(*cols)
-        # Shuffle by graph ALONE, then sort by (graph, subj) inside each
-        # task: every graph's rows land in exactly one task, so the file
-        # count equals the graph count — NOT tasks × graphs. (Hashing in
-        # subj spreads each graph over every task; with dynamic
-        # partition overwrite the job commit then moves tasks × graphs
-        # files serially in the driver — a serial cost that grows with
-        # parallelism.) The within-partition sort keeps subjects
-        # clustered for downstream subject-join locality (bucketing
-        # analog). For graphs that outgrow one task (hub feeds), pass
-        # files_per_graph > 1 to re-add a bounded subj-hash split.
         n = max(self.spark.sparkContext.defaultParallelism * 2, 16)
         if self.files_per_graph and self.files_per_graph > 1:
+            # explicit override: bounded subj-hash split per graph
             split = F.pmod(F.xxhash64("subj"), F.lit(self.files_per_graph))
             return out.repartition(n, "graph", split).sortWithinPartitions(
                 "graph", "subj"
             )
-        return out.repartition(n, "graph").sortWithinPartitions("graph", "subj")
+        # Default: RANGE partition by (graph, subj). Three properties a
+        # plain hash-by-graph can't combine:
+        #   1. balanced tasks — ranges are cut from a sampled row-count
+        #      distribution, so task sizes are even regardless of how
+        #      skewed the per-graph row counts are;
+        #   2. no hub-graph straggler — a graph bigger than one task is
+        #      automatically split across consecutive subject ranges
+        #      (web feeds are Zipfian across sites; hash-by-graph pins
+        #      each graph to ONE task and the biggest feed serializes
+        #      the stage);
+        #   3. bounded file count — each task holds a CONTIGUOUS
+        #      (graph, subj) range, so total files ≈ n_graphs + n_tasks,
+        #      never tasks × graphs (which would make the dynamic
+        #      partition-overwrite commit serial in the driver).
+        # The within-task sort keeps subjects clustered for downstream
+        # subject-join locality (bucketing analog).
+        return out.repartitionByRange(n, "graph", "subj").sortWithinPartitions(
+            "graph", "subj"
+        )
 
     def append(self, df: DataFrame) -> None:
         """Replication mode: additions only (fast path)."""
@@ -179,12 +189,10 @@ class TripleStore:
     def delete_graph(self, graph: str) -> None:
         """Graph-scoped clear (reference: DELETE ?context=graph,
         docs/quick-reference.md:330-336). Partition drop = O(1) metadata
-        in Iceberg; here: remove the partition directory."""
-        import shutil
-
-        part_dir = os.path.join(self.path, f"graph={_escape_partition(graph)}")
-        if os.path.isdir(part_dir):
-            shutil.rmtree(part_dir)
+        in Iceberg; here: remove the partition directory via the Hadoop
+        FS API (works on file://, hdfs://, s3a://…)."""
+        part_dir = fs.join(self.path, f"graph={_escape_partition(graph)}")
+        fs.delete(self.spark, part_dir)
 
     # -- accounting (docs/components/ldes-consumer.md:330-336) ---------
     def counts_by_graph(self) -> DataFrame:

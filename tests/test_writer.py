@@ -55,3 +55,32 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     )
     plan = store.read_graph("urn:g:1")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "urn:g:1" in plan
+
+
+def test_store_ops_work_with_uri_scheme(spark, tiny, tmp_path):
+    """Metadata ops route through the Hadoop FS API: the same store code
+    must work when the path carries an explicit scheme (file:// here;
+    s3a://hdfs:// in production — os.path would silently fail)."""
+    from kgap_spark.triples import TripleStore, build_triples
+
+    store = TripleStore(spark, f"file://{tmp_path}/t")
+    assert store.exists() is False
+    triples = build_triples(tiny["web_pages"], tiny["alias_dict"]).localCheckpoint(True)
+    store.overwrite_graphs(triples)
+    assert store.exists() is True
+    graphs = [r.graph for r in store.read().select("graph").distinct().collect()]
+    g = sorted(graphs)[0]
+    store.delete_graph(g)
+    remaining = {r.graph for r in store.read().select("graph").distinct().collect()}
+    assert g not in remaining and len(remaining) == len(graphs) - 1
+
+
+def test_write_layout_is_range_partitioned(spark, tiny):
+    """The write shuffle must be RangePartitioning on (graph, subj):
+    balanced tasks + hub-graph splitting + bounded file count."""
+    from kgap_spark.triples import TripleStore, build_triples
+
+    store = TripleStore(spark, "/tmp/unused-layout-probe")
+    prepped = store._prep(build_triples(tiny["web_pages"], tiny["alias_dict"]))
+    plan = prepped._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(graph" in plan.lower().replace(" ", "").replace("#", "")[:100000] or "RangePartitioning" in plan
