@@ -21,11 +21,12 @@ HEADLINE = [
     "left_join",
     "latest_version",
     "sessionize",
-    "fts_search",
+    "fts_search_indexed",
     "minhash_band",
     "simhash",
     "ngram_jaccard",
     "emb_cosine_topk",
+    "emb_lsh_topk",
     "doc_lang_id",
     "dedup_exact",
     "multimodal_features",

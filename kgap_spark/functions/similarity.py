@@ -152,6 +152,66 @@ def lsh_topk_from_signature_table(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold — the
+    embedding member of the dedup family (exact / minhash / simhash /
+    jaccard / cosine).
+
+    Never all-pairs: each vector gets its sign-random-projection bucket
+    id; side A is exploded to its multiprobe bucket set (1 + n_planes
+    rows at hamming 1) and joined to side B on the bucket — candidate
+    pairs scale with bucket collisions, not |docs|². Exact cosine then
+    filters the candidates (rounded to 6 dp for cross-engine
+    stability). Recall follows the LSH guarantee: cos θ ≥ τ ⇒ per-plane
+    disagreement probability θ/π; multiprobe covers 1-bit misses."""
+    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        signature_col(F.col(vec_col), planes).alias("_sig"),
+    )
+    probes = [F.col("_sig")]
+    if multiprobe_hamming >= 1:
+        probes += [
+            F.col("_sig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ]
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.explode(F.array(*probes)).alias("_probe"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("_sig").alias("_probe"),
+    )
+    cands = (
+        a.join(b, ["_probe"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(
+        _dot(F.col("vec_a"), F.col("vec_b"))
+        / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
+        6,
+    )
+    return (
+        cands.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -38,11 +38,17 @@ _GRAPH = r'(?:>|")\s*(?:@[a-zA-Z-]+|\^\^<[^>]*>)?\s+<([^>]*)>\s*\.\s*$'
 
 
 def _unescape(col):
-    """N-Triples string unescaping for the common escapes."""
-    out = col
-    for esc, ch in ((r"\\n", "\n"), (r"\\t", "\t"), (r'\\"', '"')):
+    """N-Triples string unescaping, single pass: sequential passes
+    mis-decode a literal backslash followed by n/t/" (the input
+    backslash-backslash-n, meaning backslash+n, would become
+    backslash+newline). A sentinel swap keeps each escape decoded
+    exactly once, all JVM-side."""
+    nul = chr(0)  # control chars cannot appear raw in N-Triples
+    out = F.regexp_replace(col, r"\\\\", nul)
+    for esc, ch in ((r"\\n", "\n"), (r"\\t", "\t"),
+                    (r"\\r", "\r"), (r'\\"', '"')):
         out = F.regexp_replace(out, esc, ch)
-    return F.regexp_replace(out, r"\\\\", r"\\")
+    return F.regexp_replace(out, nul, r"\\")
 
 
 def read_ntriples(
@@ -121,9 +127,15 @@ def write_ntriples(triples: DataFrame, path: str, with_graph: bool = True) -> No
 
 
 def export_results(df: DataFrame, path: str, fmt: str = "csv") -> None:
-    """Query-result export — the CSV/JSON edge of the jupyter surface
-    (docs/components/jupyter.md:580-583). Distributed writers, not
-    pandas: at scale the result itself can be large."""
+    """Query-result export — the CSV/JSON/Excel edge of the jupyter
+    surface (docs/components/jupyter.md:580-583). csv/json/parquet use
+    distributed writers (at scale the result itself can be large);
+    xlsx is a driver-edge single file with a row guard."""
+    if fmt == "xlsx":
+        from kgap_spark.io.excel import export_xlsx
+
+        export_xlsx(df, path)
+        return
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", "true").csv(path)

@@ -104,6 +104,15 @@ def not_exists(base: DataFrame, triples: DataFrame, pattern: tuple,
     return base.join(sl, on=shared, how="left_anti")
 
 
+def ask(triples: DataFrame, patterns: list[tuple],
+        graph: str | None = None) -> bool:
+    """SPARQL ASK { patterns } → boolean
+    (docs/components/jupyter.md:594-600): does the BGP have at least
+    one solution? ``limit(1)`` caps the scan — Spark stops at the first
+    matching row, so this never materializes the full solution set."""
+    return bgp(triples, patterns, graph).limit(1).count() > 0
+
+
 # ---------------------------------------------------------------------------
 # Canned accounting / hygiene queries from the reference docs.
 

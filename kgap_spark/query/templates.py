@@ -16,7 +16,10 @@ from string import Template
 
 from pyspark.sql import DataFrame, SparkSession
 
-_IDENT = re.compile(r"^[A-Za-z0-9_.:/\- ']*$")
+# no quote characters: a value like "x' OR ..." must not break out of a
+# string literal. Table names get the stricter identifier class below.
+_VALUE = re.compile(r"^[A-Za-z0-9_.:/\- ]*$")
+_TABLE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
 
 # Built-in templates mirroring the reference's canned queries
 # (docs/quick-reference.md:186-222, docs/components/ldes-consumer.md:330-343).
@@ -58,10 +61,13 @@ class QueryTemplates:
     def generate_sql(self, name: str, **vars: object) -> str:
         """The ``generate_sparql`` analog (kgap_tools.py:17-19):
         substitute ``${var}`` placeholders. Values are validated against
-        a conservative character class — template substitution is not a
-        SQL-injection surface."""
+        a conservative quote-free character class, and ``table`` (which
+        substitutes unquoted into the FROM clause) against a strict
+        identifier regex — template substitution is not a SQL-injection
+        surface."""
         for k, v in vars.items():
-            if not _IDENT.match(str(v)):
+            pattern = _TABLE if k == "table" else _VALUE
+            if not pattern.match(str(v)):
                 raise ValueError(f"unsafe template value for {k!r}: {v!r}")
         return Template(self.templates[name]).substitute(
             {k: str(v) for k, v in vars.items()}

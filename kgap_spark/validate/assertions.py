@@ -23,7 +23,7 @@ class Assertion:
     """One assertion over entities of a focus type (the YAML-config IR
     of docs/advanced-topics.md:104-141)."""
 
-    kind: str                       # required | cardinality | range | type_in
+    kind: str                       # required | cardinality | range | type_in | datatype
     path: str                       # predicate the assertion inspects
     focus_type: str | None = None   # restrict to subjects of this rdf:type
     min_count: int | None = None
@@ -33,12 +33,20 @@ class Assertion:
     values: tuple = field(default_factory=tuple)
 
 
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
 def _focus(triples: DataFrame, focus_type: str | None) -> DataFrame:
-    """Subjects under assertion (all subjects, or those of focus_type)."""
+    """Subjects under assertion (all subjects, or those of focus_type;
+    rdf:type matches both the compact and the full-IRI spelling so
+    SHACL targetClass works against parsed Turtle)."""
     if focus_type is None:
         return triples.select(F.col("subj").alias("entity")).distinct()
     return (
-        triples.filter((F.col("pred") == "rdf:type") & (F.col("obj") == focus_type))
+        triples.filter(
+            F.col("pred").isin("rdf:type", _RDF_TYPE_IRI)
+            & (F.col("obj") == focus_type)
+        )
         .select(F.col("subj").alias("entity"))
         .distinct()
     )
@@ -111,11 +119,34 @@ def type_membership_violations(triples: DataFrame, a: Assertion) -> DataFrame:
     )
 
 
+def datatype_violations(triples: DataFrame, a: Assertion) -> DataFrame:
+    """object literals of path must carry the expected datatype
+    (SHACL sh:datatype). A plain literal (no datatype, no lang) counts
+    as xsd:string per RDF 1.1."""
+    expected = a.values[0] if a.values else None
+    actual = F.coalesce(
+        F.col("obj_datatype"),
+        F.when(F.col("obj_lang").isNull(),
+               F.lit("http://www.w3.org/2001/XMLSchema#string")),
+    )
+    objs = triples.filter(F.col("pred") == a.path).select(
+        F.col("subj").alias("entity"), actual.alias("dt")
+    )
+    return objs.filter(
+        F.col("dt").isNull() | (F.col("dt") != expected)
+    ).withColumn(
+        "issue",
+        F.concat(F.lit(f"{a.path} datatype != {expected}: "),
+                 F.coalesce(F.col("dt"), F.lit("lang-tagged"))),
+    )
+
+
 _DISPATCH = {
     "required": required_property_violations,
     "cardinality": cardinality_violations,
     "range": value_range_violations,
     "type_in": type_membership_violations,
+    "datatype": datatype_violations,
 }
 
 

@@ -555,6 +555,44 @@ ORACLE_DOC_TOKEN_COUNT = (
 )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish subword-proxy token count (word/number units + isolated
+    punctuation units), fully native."""
+    from kgap_spark.functions.textstats import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe"))
+
+
+ORACLE_BPE_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''))
+       + len(list_filter(regexp_split_to_array(text, '[a-zA-Z0-9\\s]+'),
+                         t -> t <> '')) AS n_bpe
+FROM documents
+"""
+
+
+def q_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plan: (media_id, frame_idx) rows for a
+    downstream decoder — native explode, no decode."""
+    from kgap_spark.functions.multimodal import frame_sample_plan
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("media:"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("video").alias("kind"),
+    )
+    return frame_sample_plan(media, every_n=5)
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT 'media:' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(i AS INT) AS frame_idx
+FROM documents, range(0, 5) r(i)
+"""
+
+
 def q_doc_quality(spark, sf_dir):
     from kgap_spark.functions.textstats import quality_score
 
@@ -764,6 +802,82 @@ GROUP BY subj ORDER BY score DESC, n_terms DESC, subj ASC LIMIT 20
 """
 
 
+def q_fts_search_indexed(spark, sf_dir):
+    """F9 production path: the posting table MATERIALIZED partitioned by
+    token bucket (built once per sf_dir, cached); the search prunes to
+    its query tokens' buckets instead of rebuilding the index. Same
+    result as `fts_search`, so the same oracle verifies it."""
+    import hashlib as _hl
+    import os
+
+    from kgap_spark.index.fts import (
+        build_posting_table,
+        fts_search_indexed,
+        write_posting_table,
+    )
+
+    idx_dir = os.path.join(
+        "/tmp/kgap_fts", _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        posting = build_posting_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+        write_posting_table(posting, idx_dir)
+    return fts_search_indexed(spark, idx_dir, "join stream", k=20)
+
+
+SHACL_DOC_SHAPE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+
+ex:DocShape a sh:NodeShape ;
+    sh:targetClass ex:Doc ;
+    sh:property [ sh:path ex:title ; sh:minCount 1 ] ;
+    sh:property [ sh:path ex:lang ; sh:in ( "en" "de" ) ] .
+"""
+
+
+def q_shacl_validate(spark, sf_dir):
+    """U5: SHACL shape file → distributed validation. The documents
+    table is triple-ized (rdf:type + ex:lang), then validated against a
+    shape requiring ex:title (absent → every doc violates) and
+    restricting ex:lang to {en, de} — both violation families have an
+    exact SQL oracle."""
+    from kgap_spark.validate.shacl import validate_with_shape
+
+    d = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    nulls = [
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit("urn:g").alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+    ]
+    types = d.select(
+        subj.alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("http://example.org/Doc").alias("obj"),
+        *nulls,
+    )
+    langs = d.select(
+        subj.alias("subj"),
+        F.lit("http://example.org/lang").alias("pred"),
+        F.col("lang").alias("obj"),
+        *nulls,
+    )
+    return validate_with_shape(types.unionByName(langs), SHACL_DOC_SHAPE)
+
+
+ORACLE_SHACL_VALIDATE = """
+WITH e AS (SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS entity, lang
+           FROM documents)
+SELECT entity, 'missing required http://example.org/title' AS issue FROM e
+UNION ALL
+SELECT entity,
+       'http://example.org/lang value not allowed: ' || lang AS issue
+FROM e WHERE lang NOT IN ('en', 'de')
+"""
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k vs the vec_id=0 embedding — exact ANN
     baseline, all-native double arithmetic."""
@@ -820,6 +934,39 @@ def q_emb_lsh_topk(spark, sf_dir):
     if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
         build_signature_table(e, sig_dir, n_planes=6)
     return lsh_topk_from_signature_table(spark, sig_dir, qvec, k=10, n_planes=6)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH bucket join (never
+    all-pairs). The synthetic embeddings have no near-dups (max cross
+    cosine ≈ 0.51), so vec_id<50 is unioned back verbatim as
+    vec_id+10000: qualifying pairs are exactly the 50 identical copies
+    (cosine 1.0), which land in the same bucket by construction — the
+    bucketed result equals the exact all-pairs oracle."""
+    from kgap_spark.functions.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50).select(
+        "vec_id", "embedding"
+    )
+    dup = e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    return embedding_near_dup_pairs(e.unionByName(dup), threshold=0.9)
+
+
+ORACLE_EMB_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.embedding, b.embedding)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(b.embedding, b.embedding))), 6)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9
+"""
 
 
 def q_minhash_lsh_ml(spark, sf_dir):
@@ -918,6 +1065,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "dereference": q_dereference,
     "doc_token_count": q_doc_token_count,
+    "bpe_token_count": q_bpe_token_count,
+    "frame_sample_plan": q_frame_sample_plan,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -926,7 +1075,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_band": q_minhash_band,
     "simhash": q_simhash,
     "fts_search": q_fts_search,
+    "fts_search_indexed": q_fts_search_indexed,
+    "shacl_validate": q_shacl_validate,
     "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_near_dup": q_emb_near_dup,
     "emb_lsh_topk": q_emb_lsh_topk,
     "minhash_lsh_ml": q_minhash_lsh_ml,
     "multimodal_features": q_multimodal_features,
@@ -957,6 +1109,8 @@ ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "dereference": ORACLE_DEREFERENCE,
     "doc_token_count": ORACLE_DOC_TOKEN_COUNT,
+    "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
+    "frame_sample_plan": ORACLE_FRAME_SAMPLE,
     "doc_quality": ORACLE_DOC_QUALITY,
     "doc_lang_id": ORACLE_DOC_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
@@ -965,7 +1119,10 @@ ORACLES: dict[str, str] = {
     "minhash_band": ORACLE_MINHASH_BAND,
     "simhash": ORACLE_SIMHASH,
     "fts_search": ORACLE_FTS_SEARCH,
+    "fts_search_indexed": ORACLE_FTS_SEARCH,
+    "shacl_validate": ORACLE_SHACL_VALIDATE,
     "emb_cosine_topk": ORACLE_EMB_COSINE_TOPK,
+    "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "multimodal_features": ORACLE_MULTIMODAL,
     # emb_lsh_topk / minhash_lsh_ml: rows-only (JVM hash internals).
 }

@@ -63,3 +63,43 @@ def test_canonical_mapping_matches_fixture_rule(spark, tiny):
         for r in canonical_mapping(tiny["alias_dict"]).collect()
     }
     assert got == expected
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star must produce the same components as
+    min-label propagation on a mixed graph (clusters + bridges)."""
+    from kgap_spark.canonicalize.connected_components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("g", "h"),
+         ("h", "a")],  # {a,b,c,f,g,h} and {d,e}
+        "src string, dst string",
+    )
+    lp = {r.node: r.component for r in
+          connected_components(edges, num_partitions=2).collect()}
+    star = {r.node: r.component for r in
+            connected_components_star(edges, num_partitions=2).collect()}
+    assert star == lp
+    assert star["h"] == "a" and star["e"] == "d"
+
+
+def test_star_cc_deep_chain(spark):
+    """A 64-node path (diameter 63): the O(log² n) star algorithm must
+    resolve it — this is the case label propagation needs ~diameter
+    rounds for."""
+    from kgap_spark.canonicalize.connected_components import (
+        connected_components_star,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    comps = {r.node: r.component for r in
+             connected_components_star(edges, num_partitions=2).collect()}
+    assert len(comps) == n
+    assert set(comps.values()) == {"n000"}

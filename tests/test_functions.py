@@ -172,3 +172,25 @@ def test_fuzzy_candidates_blocking(spark):
     assert ("marine sensr", "urn:e1") in m      # typo blocked to right entity
     assert ("coastal buoy", "urn:e2") in m      # exact
     assert ("unrelated words", "urn:e1") not in m
+
+
+def test_embedding_near_dup_pairs_recall(spark):
+    """LSH-bucketed cosine near-dup pairs: perturbed copies (cos ≈ .999)
+    must be found via multiprobe; unrelated vectors must not pair."""
+    import math
+
+    from kgap_spark.functions.similarity import embedding_near_dup_pairs
+
+    rows = []
+    for i in range(40):
+        v = [math.cos(i * 1.7 + d * 0.61) for d in range(16)]
+        rows.append((i, v))
+        if i < 8:  # near-dup twin: tiny perturbation, not identical
+            rows.append((100 + i, [x + 0.003 * ((d % 3) - 1)
+                                   for d, x in enumerate(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.995, n_planes=4).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(i, 100 + i) for i in range(8)}
+    assert expected & found == expected          # full recall on twins
+    assert all(r.cosine >= 0.995 for r in pairs)  # no false positives

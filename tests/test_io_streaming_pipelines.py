@@ -173,3 +173,40 @@ def test_pipeline_validation_gate(spark, tmp_path):
     )
     with pytest.raises(ValidationError):
         run_pipeline(spark, pipe, inputs={"t": bad})
+
+
+def test_ntriples_backslash_escape_roundtrip(spark, tmp_path):
+    """A literal backslash followed by n must round-trip (single-pass
+    unescape; the sequential version decoded '\\\\n' → backslash+newline)."""
+    from kgap_spark.io import read_ntriples, write_ntriples
+
+    tricky = "a\\nb"          # literal backslash + 'n' inside the value
+    also = 'q"uote\ttab\nnl'  # the full escape family
+    df = spark.createDataFrame(
+        [("urn:s", "urn:p", tricky, None, None, "urn:g", None),
+         ("urn:s", "urn:p2", also, None, None, "urn:g", None)],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    )
+    out = str(tmp_path / "nt")
+    write_ntriples(df, out)
+    back = {r.pred: r.obj for r in read_ntriples(spark, out).collect()}
+    assert back["urn:p"] == tricky
+    assert back["urn:p2"] == also
+
+
+def test_template_injection_rejected(spark):
+    """Quoted values and non-identifier table names must be rejected."""
+    import pytest as _pytest
+
+    from kgap_spark.query.templates import QueryTemplates
+
+    qt = QueryTemplates(spark)
+    with _pytest.raises(ValueError):
+        qt.generate_sql("labels_containing", table="t", search_term="x' OR 1=1 --", k=5)
+    with _pytest.raises(ValueError):
+        qt.generate_sql("count_all", table="t WHERE 1=1")
+    # plain values still pass
+    sql = qt.generate_sql("labels_containing", table="triples",
+                          search_term="marine sensor", k=5)
+    assert "marine sensor" in sql

@@ -133,3 +133,27 @@ def test_ann_signature_table_prunes_partitions(spark, tmp_path):
     assert len(set(probe)) < 2 ** 4 or n_buckets < 2 ** 4
     # and the probed result still recovers the exact top hit
     assert res.collect()[0].vec_id == 7
+
+
+def test_fts_indexed_prunes_token_buckets(spark, tmp_path):
+    """The materialized posting table must prune to the query tokens'
+    buckets (PartitionFilters on _bucket) — never a full index scan."""
+    from kgap_spark.index.fts import (
+        build_posting_table,
+        fts_search_indexed,
+        write_posting_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark joins streams"), (1, "ducks join ponds"),
+         (2, "spark streams fast"), (3, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "fts")
+    write_posting_table(build_posting_table(docs, "doc_id", "text"), path)
+    res = fts_search_indexed(spark, path, "spark streams", k=10)
+    plan = _plan(res)
+    assert "PartitionFilters" in plan
+    assert "_bucket" in plan.split("PartitionFilters")[1][:200]
+    top = res.collect()
+    assert top[0].subj in (0, 2) and top[0].score == 2

@@ -122,3 +122,28 @@ def test_recursive_dereference_depths(spark, tiny):
     assert d1.count() > 0 and d2.count() > 0
     # depth-2 edges start from entities reached at depth 1 (urn: nodes)
     assert d2.filter(~F.col("src").startswith("urn:")).count() == 0
+
+
+def test_assemble_documents_nested(spark):
+    """Nested-dict assembly (advanced-topics.md:257-277): 2-hop edges
+    fold into {pred: [leaf | nested-doc]} JSON, bottom-up."""
+    import json
+
+    from kgap_spark.query.traverse import assemble_documents, recursive_dereference
+
+    triples = spark.createDataFrame(
+        [
+            ("urn:a", "knows", "urn:b", None, None, "g", None),
+            ("urn:a", "name", "Alice", None, None, "g", None),
+            ("urn:b", "name", "Bob", None, None, "g", None),
+            ("urn:b", "likes", "cake", None, None, "g", None),
+            ("urn:b", "likes", "tea", None, None, "g", None),
+        ],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    )
+    start = spark.createDataFrame([("urn:a",)], "node string")
+    edges = recursive_dereference(triples, start, max_depth=2)
+    docs = {r.node: json.loads(r.doc) for r in assemble_documents(edges).collect()}
+    assert docs["urn:a"]["name"] == ["Alice"]
+    assert docs["urn:a"]["knows"] == [{"likes": ["cake", "tea"], "name": ["Bob"]}]

@@ -1,0 +1,232 @@
+"""Turtle/TriG ingestion (S5), SHACL shape validation (U5), ASK, Excel
+export — the round-2 parity closures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+EX = "http://example.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+TTL = """
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:alice a ex:Person ;
+    ex:name "Alice"@en ;
+    ex:age "42"^^xsd:integer ;
+    ex:knows ex:bob , ex:carol .
+ex:bob a ex:Person ;
+    ex:name "Bob"@en .
+ex:carol a ex:Person .
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pure parser (no Spark)
+
+def test_parse_turtle_core():
+    from kgap_spark.io.turtle import RDF_TYPE, parse_turtle
+
+    quads = parse_turtle(TTL, default_graph="urn:g")
+    assert (f"{EX}alice", RDF_TYPE, f"{EX}Person", None, None, "urn:g") in quads
+    assert (f"{EX}alice", f"{EX}name", "Alice", "en", None, "urn:g") in quads
+    assert (f"{EX}alice", f"{EX}age", "42", None, f"{XSD}integer", "urn:g") in quads
+    knows = [q[2] for q in quads if q[1] == f"{EX}knows"]
+    assert sorted(knows) == [f"{EX}bob", f"{EX}carol"]
+
+
+def test_parse_trig_graph_blocks():
+    from kgap_spark.io.turtle import parse_turtle
+
+    trig = """
+    PREFIX ex: <http://example.org/>
+    GRAPH ex:g1 { ex:a ex:p ex:b . }
+    ex:g2 { ex:c ex:p 5 . }
+    ex:d ex:p "default" .
+    """
+    quads = parse_turtle(trig, default_graph="urn:dg")
+    graphs = {q[5] for q in quads}
+    assert graphs == {f"{EX}g1", f"{EX}g2", "urn:dg"}
+    g2 = [q for q in quads if q[5] == f"{EX}g2"][0]
+    assert g2[2] == "5" and g2[4] == f"{XSD}integer"
+
+
+def test_parse_turtle_collections_and_bnodes():
+    from kgap_spark.io.turtle import RDF_FIRST, RDF_NIL, RDF_REST, parse_turtle
+
+    quads = parse_turtle("@prefix ex: <http://example.org/> . "
+                         "ex:s ex:items ( ex:x ex:y ) . "
+                         "[ ex:anon true ] .")
+    firsts = [q[2] for q in quads if q[1] == RDF_FIRST]
+    assert firsts == [f"{EX}x", f"{EX}y"]
+    rests = [q[2] for q in quads if q[1] == RDF_REST]
+    assert rests[-1] == RDF_NIL
+    anon = [q for q in quads if q[1] == f"{EX}anon"]
+    assert len(anon) == 1 and anon[0][0].startswith("_:")
+
+
+def test_parse_turtle_escapes_and_long_literals():
+    from kgap_spark.io.turtle import parse_turtle
+
+    quads = parse_turtle(
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:s ex:p "tab\\there \\"q\\" \\u00e9" ;\n'
+        '     ex:q """multi\nline""" .'
+    )
+    vals = {q[1]: q[2] for q in quads}
+    assert vals[f"{EX}p"] == 'tab\there "q" é'
+    assert vals[f"{EX}q"] == "multi\nline"
+
+
+def test_parse_reference_config_ttl():
+    """The reference's real repo-config TTL must parse (bnodes, prefixed
+    names, nested property lists)."""
+    from kgap_spark.io.turtle import parse_turtle
+
+    text = open("/root/reference/graphdb/kgap/template-repo-config.ttl").read()
+    quads = parse_turtle(text, default_graph="urn:cfg")
+    assert len(quads) > 20
+    assert any("repositoryID" in q[1] for q in quads)
+
+
+def test_parse_turtle_errors():
+    from kgap_spark.io.turtle import TurtleParseError, parse_turtle
+
+    with pytest.raises(TurtleParseError):
+        parse_turtle("ex:s ex:p ex:o .")  # undeclared prefix
+    with pytest.raises(TurtleParseError):
+        parse_turtle('<a> <b> "unterminated .')
+
+
+# ---------------------------------------------------------------------------
+# Distributed reader round-trip
+
+def test_read_turtle_roundtrip(spark, tmp_path):
+    """TTL file → quads → N-Quads text → re-read: same triple set."""
+    from kgap_spark.io import read_ntriples, write_ntriples
+    from kgap_spark.io.turtle import read_turtle
+
+    p = tmp_path / "data.ttl"
+    p.write_text(TTL)
+    quads = read_turtle(spark, str(p), default_graph="urn:g")
+    rows = quads.collect()
+    assert len(rows) == 8
+    assert {r.graph for r in rows} == {"urn:g"}
+    alice_name = [r for r in rows if r.pred == f"{EX}name" and "alice" in r.subj]
+    assert alice_name[0].obj == "Alice" and alice_name[0].obj_lang == "en"
+
+    out = tmp_path / "out_nq"
+    write_ntriples(quads, str(out))
+    back = read_ntriples(spark, str(out))
+    assert back.count() == 8
+    orig = {(r.subj, r.pred, r.obj) for r in rows}
+    rt = {(r.subj, r.pred, r.obj) for r in back.collect()}
+    assert rt == orig
+
+
+def test_read_turtle_many_files_parallel(spark, tmp_path):
+    """One row per file; bnode labels are file-unique (no cross-file
+    collisions after merge)."""
+    from kgap_spark.io.turtle import read_turtle
+
+    for i in range(4):
+        (tmp_path / f"f{i}.ttl").write_text(
+            f'@prefix ex: <http://example.org/> .\n'
+            f'[ ex:idx {i} ] .\n'
+        )
+    quads = read_turtle(spark, str(tmp_path), default_graph="urn:g")
+    rows = quads.collect()
+    assert len(rows) == 4
+    assert len({r.subj for r in rows}) == 4  # distinct bnodes across files
+
+
+# ---------------------------------------------------------------------------
+# SHACL shape → assertions → distributed validation
+
+SHAPE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:PersonShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path ex:name ; sh:minCount 1 ] ;
+    sh:property [ sh:path ex:age ; sh:datatype xsd:integer ;
+                  sh:minInclusive 0 ; sh:maxInclusive 120 ] ;
+    sh:property [ sh:path ex:status ; sh:in ( "active" "inactive" ) ] ;
+    sh:property [ sh:path ex:knows ; sh:maxCount 1 ] .
+"""
+
+
+def test_shape_to_assertions():
+    from kgap_spark.validate.shacl import shape_to_assertions
+
+    asserts = {(a.kind, a.path) for a in shape_to_assertions(SHAPE)}
+    assert ("required", f"{EX}name") in asserts
+    assert ("datatype", f"{EX}age") in asserts
+    assert ("range", f"{EX}age") in asserts
+    assert ("type_in", f"{EX}status") in asserts
+    assert ("cardinality", f"{EX}knows") in asserts
+    by_path = {a.path: a for a in
+               __import__("kgap_spark.validate.shacl", fromlist=["x"])
+               .shape_to_assertions(SHAPE) if a.kind == "type_in"}
+    assert by_path[f"{EX}status"].values == ("active", "inactive")
+
+
+def test_validate_with_shape(spark):
+    """Distributed validation of parsed Turtle against the shape:
+    carol misses ex:name (required) and alice has 2 ex:knows (max 1)."""
+    from kgap_spark.io.turtle import parse_turtle
+    from kgap_spark.validate.shacl import validate_with_shape
+
+    quads = parse_turtle(TTL, default_graph="urn:g")
+    triples = spark.createDataFrame(
+        [(s, p, o, lang, dt, g, None) for s, p, o, lang, dt, g in quads],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    )
+    violations = validate_with_shape(triples, SHAPE).collect()
+    issues = {(v.entity, v.issue.split(" ")[0]) for v in violations}
+    entities = {v.entity for v in violations}
+    assert f"{EX}carol" in entities        # missing required name
+    assert f"{EX}alice" in entities        # knows-cardinality 2 > 1
+    assert f"{EX}bob" not in {v.entity for v in violations
+                              if "missing" in v.issue}
+    assert issues  # non-empty
+
+
+# ---------------------------------------------------------------------------
+# ASK + Excel export
+
+def test_ask(spark):
+    from kgap_spark.query.patterns import Var, ask
+
+    triples = spark.createDataFrame(
+        [("s1", "rdf:type", "Person", None, None, "g", None)],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    )
+    assert ask(triples, [(Var("s"), "rdf:type", "Person")]) is True
+    assert ask(triples, [(Var("s"), "rdf:type", "Robot")]) is False
+
+
+def test_export_xlsx(spark, tmp_path):
+    """xlsx export writes a valid zip with the sheet XML and all values."""
+    import zipfile
+
+    from kgap_spark.io import export_results
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5, True), ("b <&> c", 2, 2.5, False)],
+        "name string, n long, x double, flag boolean",
+    )
+    path = str(tmp_path / "out.xlsx")
+    export_results(df, path, fmt="xlsx")
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert "xl/worksheets/sheet1.xml" in names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "b &lt;&amp;&gt; c" in sheet  # XML-escaped
+    assert sheet.count("<row>") == 3     # header + 2 rows
