@@ -1,1 +1,6 @@
-from kgap_spark.io.rdf import read_ntriples, write_ntriples, export_results  # noqa: F401
+from kgap_spark.io.rdf import (  # noqa: F401
+    export_results,
+    read_ntriples,
+    read_rdf,
+    write_ntriples,
+)

@@ -85,6 +85,40 @@ def read_ntriples(
     )
 
 
+def read_rdf(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "ntriples",
+    default_graph: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Format-dispatching bulk import — the analog of GraphDB's
+    statements endpoint content-type switch
+    (docs/components/graphdb.md:254-267). All formats produce the same
+    quad schema; ``default_graph`` is the ``?context=`` param.
+
+    ntriples/nquads are line-splittable (the 100 TB path); turtle/trig,
+    jsonld, and rdfxml are block formats parsed per FILE in
+    mapInPandas (jsonld supports ``lines=True`` for splittable NDJSON).
+    """
+    fmt = fmt.lower().replace("-", "").replace("/", "")
+    if fmt in ("ntriples", "nquads", "nt", "nq"):
+        return read_ntriples(spark, path, default_graph)
+    if fmt in ("turtle", "ttl", "trig"):
+        from kgap_spark.io.turtle import read_turtle
+
+        return read_turtle(spark, path, default_graph)
+    if fmt in ("jsonld", "ldjson", "json"):
+        from kgap_spark.io.jsonld import read_jsonld
+
+        return read_jsonld(spark, path, default_graph, **kwargs)
+    if fmt in ("rdfxml", "xml"):
+        from kgap_spark.io.rdfxml import read_rdfxml
+
+        return read_rdfxml(spark, path, default_graph)
+    raise ValueError(f"unsupported RDF format: {fmt}")
+
+
 def _escape(col):
     out = F.regexp_replace(col, r"\\", r"\\\\")
     out = F.regexp_replace(out, '"', r'\\"')

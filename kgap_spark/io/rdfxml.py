@@ -1,0 +1,174 @@
+"""RDF/XML ingestion (SURVEY §2.1 S5 — GraphDB import format
+``application/rdf+xml``, reference ``docs/components/graphdb.md:
+254-267``).
+
+Pure-stdlib (xml.etree) parser for the common RDF/XML 1.1 subset:
+
+- ``rdf:Description`` and typed node elements (element name → rdf:type);
+- ``rdf:about`` / ``rdf:ID`` / ``rdf:nodeID`` subjects, blank nodes for
+  anonymous descriptions;
+- property elements with ``rdf:resource``, ``rdf:nodeID``, nested node
+  elements, text literals;
+- ``rdf:datatype``, inherited ``xml:lang``;
+- ``rdf:parseType="Resource"`` (inline blank node);
+- property *attributes* on node elements (literal shorthand).
+
+Not covered (rare in practice, documented): ``rdf:parseType="Literal"/
+"Collection"``, ``rdf:li``/containers, reification attributes.
+
+Block format like Turtle — one file per row, parsed in mapInPandas.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgap_spark import schemas as S
+from kgap_spark.io.turtle import RDF_NS, RDF_TYPE
+
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+_ABOUT = f"{{{RDF_NS}}}about"
+_ID = f"{{{RDF_NS}}}ID"
+_NODEID = f"{{{RDF_NS}}}nodeID"
+_RESOURCE = f"{{{RDF_NS}}}resource"
+_DATATYPE = f"{{{RDF_NS}}}datatype"
+_PARSETYPE = f"{{{RDF_NS}}}parseType"
+_DESCRIPTION = f"{{{RDF_NS}}}Description"
+_RDF_ROOT = f"{{{RDF_NS}}}RDF"
+
+
+class RdfXmlError(ValueError):
+    pass
+
+
+def _iri_of(tag: str) -> str:
+    """'{ns}local' → ns+local."""
+    if not tag.startswith("{"):
+        return tag
+    ns, _, local = tag[1:].partition("}")
+    return ns + local
+
+
+class _Parser:
+    def __init__(self, default_graph: str | None, bnode_prefix: str):
+        self.graph = default_graph
+        self.bnode_prefix = bnode_prefix
+        self.bn = 0
+        self.quads: list[tuple] = []
+
+    def new_bnode(self) -> str:
+        self.bn += 1
+        return f"_:{self.bnode_prefix}{self.bn}"
+
+    def emit(self, s, p, o, lang=None, dt=None):
+        self.quads.append((s, p, o, lang, dt, self.graph))
+
+    def node(self, el: ET.Element, lang: str | None) -> str:
+        lang = el.get(_XML_LANG, lang)
+        if el.get(_ABOUT) is not None:
+            sid = el.get(_ABOUT)
+        elif el.get(_ID) is not None:
+            sid = "#" + el.get(_ID)
+        elif el.get(_NODEID) is not None:
+            sid = f"_:{self.bnode_prefix}N{el.get(_NODEID)}"
+        else:
+            sid = self.new_bnode()
+
+        if el.tag != _DESCRIPTION:  # typed node element
+            self.emit(sid, RDF_TYPE, _iri_of(el.tag))
+
+        # property attributes (literal shorthand)
+        for attr, val in el.attrib.items():
+            if attr.startswith(f"{{{RDF_NS}}}") or attr == _XML_LANG:
+                continue
+            if attr.startswith("{"):
+                self.emit(sid, _iri_of(attr), val, lang)
+
+        for prop in el:
+            self.property(sid, prop, lang)
+        return sid
+
+    def property(self, sid: str, prop: ET.Element, lang: str | None):
+        pred = _iri_of(prop.tag)
+        lang = prop.get(_XML_LANG, lang)
+        if prop.get(_RESOURCE) is not None:
+            self.emit(sid, pred, prop.get(_RESOURCE))
+            return
+        if prop.get(_NODEID) is not None:
+            self.emit(sid, pred, f"_:{self.bnode_prefix}N{prop.get(_NODEID)}")
+            return
+        if prop.get(_PARSETYPE) == "Resource":
+            inner = self.new_bnode()
+            self.emit(sid, pred, inner)
+            for sub in prop:
+                self.property(inner, sub, lang)
+            return
+        if prop.get(_PARSETYPE) is not None:
+            raise RdfXmlError(
+                f"unsupported rdf:parseType={prop.get(_PARSETYPE)!r}"
+            )
+        children = list(prop)
+        if children:  # nested node element
+            child = self.node(children[0], lang)
+            self.emit(sid, pred, child)
+            return
+        dt = prop.get(_DATATYPE)
+        text = prop.text or ""
+        self.emit(sid, pred, text, None if dt else lang, dt)
+
+
+def parse_rdfxml(
+    text: str,
+    default_graph: str | None = None,
+    bnode_prefix: str = "x",
+) -> list[tuple]:
+    """RDF/XML document → [(subj, pred, obj, obj_lang, obj_datatype,
+    graph)]."""
+    root = ET.fromstring(text)
+    p = _Parser(default_graph, bnode_prefix)
+    if root.tag == _RDF_ROOT:
+        for el in root:
+            p.node(el, root.get(_XML_LANG))
+    else:  # a single node element as document root
+        p.node(root, None)
+    return p.quads
+
+
+def read_rdfxml(
+    spark: SparkSession, path: str, default_graph: str | None = None
+) -> DataFrame:
+    """RDF/XML file(s) → quad DataFrame (TRIPLES schema); one file per
+    row (block format), parsed per Arrow batch in mapInPandas."""
+    import pandas as pd
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.col("value"), F.input_file_name().alias("src")
+    )
+    out_schema = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for text, src in zip(pdf["value"], pdf["src"]):
+                pfx = hashlib.md5(src.encode()).hexdigest()[:8] + "-"
+                for s, p, o, lang, dt, g in parse_rdfxml(
+                    text, default_graph, bnode_prefix=pfx
+                ):
+                    rows.append((s, p, o, lang, dt, g, src))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "subj", "pred", "obj", "obj_lang",
+                    "obj_datatype", "graph", "src_url",
+                ],
+            )
+
+    df = files.mapInPandas(run, schema=out_schema)
+    return df.select([f.name for f in S.TRIPLES.fields])

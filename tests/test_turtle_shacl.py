@@ -230,3 +230,106 @@ def test_export_xlsx(spark, tmp_path):
         sheet = z.read("xl/worksheets/sheet1.xml").decode()
     assert "b &lt;&amp;&gt; c" in sheet  # XML-escaped
     assert sheet.count("<row>") == 3     # header + 2 rows
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD / RDF-XML (S5 completion)
+
+JSONLD = """
+{
+  "@context": {"ex": "http://example.org/",
+               "name": "http://example.org/name",
+               "knows": {"@id": "http://example.org/knows", "@type": "@id"}},
+  "@graph": [
+    {"@id": "ex:alice", "@type": "ex:Person",
+     "name": {"@value": "Alice", "@language": "en"},
+     "ex:age": 42, "knows": "ex:bob"},
+    {"@id": "ex:bob", "name": "Bob"}
+  ]
+}
+"""
+
+RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/">
+  <ex:Person rdf:about="http://example.org/alice">
+    <ex:name xml:lang="en">Alice</ex:name>
+    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</ex:age>
+    <ex:knows rdf:resource="http://example.org/bob"/>
+  </ex:Person>
+</rdf:RDF>
+"""
+
+
+def test_parse_jsonld_core():
+    from kgap_spark.io.jsonld import parse_jsonld
+    from kgap_spark.io.turtle import RDF_TYPE
+
+    quads = parse_jsonld(JSONLD, default_graph="urn:g")
+    assert (f"{EX}alice", RDF_TYPE, f"{EX}Person", None, None, "urn:g") in quads
+    assert (f"{EX}alice", f"{EX}name", "Alice", "en", None, "urn:g") in quads
+    assert (f"{EX}alice", f"{EX}age", "42", None, f"{XSD}integer", "urn:g") in quads
+    assert (f"{EX}alice", f"{EX}knows", f"{EX}bob", None, None, "urn:g") in quads
+
+
+def test_parse_jsonld_rejects_remote_context():
+    import pytest as _pytest
+
+    from kgap_spark.io.jsonld import JsonLdError, parse_jsonld
+
+    with _pytest.raises(JsonLdError):
+        parse_jsonld('{"@context": "https://schema.org", "@id": "x"}')
+
+
+def test_parse_rdfxml_core():
+    from kgap_spark.io.rdfxml import parse_rdfxml
+    from kgap_spark.io.turtle import RDF_TYPE
+
+    quads = parse_rdfxml(RDFXML, default_graph="urn:g")
+    assert (f"{EX}alice", RDF_TYPE, f"{EX}Person", None, None, "urn:g") in quads
+    assert (f"{EX}alice", f"{EX}name", "Alice", "en", None, "urn:g") in quads
+    assert (f"{EX}alice", f"{EX}age", "42", None, f"{XSD}integer", "urn:g") in quads
+
+
+def test_read_rdf_dispatch_all_formats(spark, tmp_path):
+    """The four formats land in the SAME quad schema via read_rdf; the
+    alice/name/knows triples agree across serializations."""
+    from kgap_spark.io import read_rdf
+
+    (tmp_path / "d.ttl").write_text(TTL)
+    (tmp_path / "d.jsonld").write_text(JSONLD)
+    (tmp_path / "d.rdf").write_text(RDFXML)
+    (tmp_path / "d.nq").write_text(
+        f'<{EX}alice> <{EX}name> "Alice"@en <urn:g> .\n'
+        f'<{EX}alice> <{EX}knows> <{EX}bob> <urn:g> .\n'
+    )
+    frames = {
+        "turtle": read_rdf(spark, str(tmp_path / "d.ttl"), "turtle", "urn:g"),
+        "jsonld": read_rdf(spark, str(tmp_path / "d.jsonld"), "jsonld", "urn:g"),
+        "rdfxml": read_rdf(spark, str(tmp_path / "d.rdf"), "rdfxml", "urn:g"),
+        "ntriples": read_rdf(spark, str(tmp_path / "d.nq"), "nquads", "urn:g"),
+    }
+    key = {(f"{EX}alice", f"{EX}name", "Alice"),
+           (f"{EX}alice", f"{EX}knows", f"{EX}bob")}
+    for fmt, df in frames.items():
+        assert df.columns == frames["turtle"].columns, fmt
+        got = {(r.subj, r.pred, r.obj) for r in df.collect()}
+        assert key <= got, fmt
+
+
+def test_read_jsonld_ndjson_lines(spark, tmp_path):
+    """NDJSON mode: one node object per line, line-splittable, shared
+    context."""
+    from kgap_spark.io.jsonld import read_jsonld
+
+    ctx = {"name": "http://example.org/name"}
+    p = tmp_path / "docs.ndjson"
+    p.write_text(
+        '{"@id": "http://example.org/a", "name": "A"}\n'
+        '{"@id": "http://example.org/b", "name": "B"}\n'
+    )
+    rows = read_jsonld(spark, str(p), "urn:g", lines=True, context=ctx).collect()
+    assert {(r.subj, r.obj) for r in rows} == {
+        (f"{EX}a", "A"), (f"{EX}b", "B")
+    }
+    assert all(r.pred == f"{EX}name" for r in rows)
