@@ -1,4 +1,5 @@
 from kgap_spark.streaming.ingest import (  # noqa: F401
+    stateful_first_seen,
     stream_pages_to_triples,
     windowed_event_counts,
 )

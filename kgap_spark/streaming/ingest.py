@@ -68,6 +68,63 @@ def stream_pages_to_triples(
     return writer.start()
 
 
+def stateful_first_seen(
+    stream: DataFrame,
+    key_col: str = "fp",
+    payload_col: str = "url",
+):
+    """Custom stateful operator: emit each key the FIRST time it is seen
+    across all micro-batches, suppress every later occurrence —
+    streaming content-dedup at row granularity
+    (``applyInPandasWithState``; the per-key state store holds one
+    counter per fingerprint, checkpointed with the query).
+
+    This is the streaming complement to the batch dedup family: a
+    crawler feed re-presenting known pages (LDES re-harvest,
+    ldes-consumer.md:584-592) produces no duplicate downstream work.
+    State size = |distinct keys| × ~few bytes, sharded by the state
+    store across executors. Returns (key, first_payload, n_occurrences)
+    rows — n_occurrences counts this batch's arrivals at emit time."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("first_payload", StringType()),
+            StructField("n_occurrences", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def fn(key, pdfs, state):
+        n = 0
+        first = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if first is None and len(pdf):
+                first = str(pdf[payload_col].iloc[0])
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            return iter(())  # key already emitted in an earlier batch
+        state.update((n,))
+        return iter(
+            [pd.DataFrame([{"key": key[0], "first_payload": first,
+                            "n_occurrences": n}])]
+        )
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "5 minutes",

@@ -210,3 +210,39 @@ def test_template_injection_rejected(spark):
     sql = qt.generate_sql("labels_containing", table="triples",
                           search_term="marine sensor", k=5)
     assert "marine sensor" in sql
+
+
+def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a key re-presented in a later micro-batch
+    must be suppressed (state survives across batches via the
+    checkpointed state store)."""
+    from kgap_spark.streaming import stateful_first_seen
+
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    b1 = spark.createDataFrame(
+        [("fpA", "u1"), ("fpB", "u2"), ("fpA", "u1b")], "fp string, url string"
+    )
+    b2 = spark.createDataFrame(
+        [("fpA", "u1-again"), ("fpC", "u3")], "fp string, url string"
+    )
+    d = str(tmp_path / "in")
+    b1.coalesce(1).write.mode("append").parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("fp string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stateful_first_seen(stream, key_col="fp", payload_col="url")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("first_seen")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM first_seen").collect()
+    keys = [r.key for r in rows]
+    assert sorted(keys) == ["fpA", "fpB", "fpC"]   # each exactly once
+    assert len(keys) == len(set(keys))

@@ -157,3 +157,33 @@ def test_fts_indexed_prunes_token_buckets(spark, tmp_path):
     assert "_bucket" in plan.split("PartitionFilters")[1][:200]
     top = res.collect()
     assert top[0].subj in (0, 2) and top[0].score == 2
+
+
+def test_bucketed_table_bgp_join_is_shuffle_free(spark, tiny, tmp_path):
+    """A subject-star BGP over the subj-bucketed table must sort-merge
+    join WITHOUT a shuffle exchange on either side (bucket co-location
+    replaces the per-query subj shuffle)."""
+    from kgap_spark.query.patterns import Var, bgp
+    from kgap_spark.triples import TripleStore, build_triples
+
+    store = TripleStore(spark, str(tmp_path / "t"))
+    store.overwrite_graphs(
+        build_triples(tiny["web_pages"], tiny["alias_dict"]).localCheckpoint(True)
+    )
+    store.write_bucketed_table("triples_bucketed", n_buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("triples_bucketed")
+        q = bgp(t, [(Var("s"), "kgap:mentions", Var("o1")),
+                    (Var("s"), "kgap:extractedFrom", Var("o2"))])
+        assert q.count() > 0
+        plan = _plan(q)
+        assert "SortMergeJoin" in plan
+        # the decisive assertion: no exchange feeds the join
+        import re as _re
+        n_exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchanges == 0, f"expected bucket-co-located join, plan:\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS triples_bucketed")
