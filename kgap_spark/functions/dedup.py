@@ -95,20 +95,36 @@ def ngram_jaccard_pairs(
     genuinely near-duplicate docs keep their high jaccard. Pass
     ``max_shingle_df=None`` to disable (small fixtures only)."""
     sh = _with_shingles(docs, id_col, text_col, n)
+    # Posting-list formulation: ONE groupBy(shingle) replaces the
+    # exploded self-join (which shuffles the full shingle table twice
+    # and materializes df² rows per shingle in the join). The df-cap
+    # bounds every posting list, so the in-task pair expansion is
+    # ≤ cap²/2 per shingle — and pair counts aggregate map-side before
+    # the (doc_a, doc_b) shuffle.
+    posting = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc")).alias("_docs"),
+        F.count(F.lit(1)).alias("_df"),
+    )
     if max_shingle_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sh = (
-            sh.join(df_counts.filter(F.col("_df") <= max_shingle_df), "shingle")
-            .select("doc", "shingle")
+        posting = posting.filter(F.col("_df") <= max_shingle_df)
+    sizes = (
+        posting.select(F.explode("_docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pair_array = F.flatten(
+        F.transform(
+            "_docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("_docs"), i + 2, F.size(F.col("_docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-
-    a = sh.alias("a")
-    b = sh.alias("b")
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        posting.select(F.explode(pair_array).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
@@ -152,16 +168,24 @@ def minhash_band_candidates(
               .cast("binary")).alias("h"),
     )
     sig = banded.groupBy("doc", "band").agg(F.min("h").alias("band_sig"))
-    s1 = sig.alias("s1")
-    s2 = sig.alias("s2")
-    return (
-        s1.join(
-            s2,
-            (F.col("s1.band") == F.col("s2.band"))
-            & (F.col("s1.band_sig") == F.col("s2.band_sig"))
-            & (F.col("s1.doc") < F.col("s2.doc")),
+    # posting-list pair generation (see ngram_jaccard_pairs): one
+    # groupBy on the bucket key instead of a self-join — candidates
+    # expand in-task from each bucket's (bounded) doc list
+    bucket = sig.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list("doc")).alias("_docs")
+    )
+    pair_array = F.flatten(
+        F.transform(
+            "_docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("_docs"), i + 2, F.size(F.col("_docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("s1.doc").alias("doc_a"), F.col("s2.doc").alias("doc_b"))
+    )
+    return (
+        bucket.select(F.explode(pair_array).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

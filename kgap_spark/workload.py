@@ -936,6 +936,110 @@ def q_emb_lsh_topk(spark, sf_dir):
     return lsh_topk_from_signature_table(spark, sig_dir, qvec, k=10, n_planes=6)
 
 
+def _doc_triples(spark, sf_dir):
+    """documents → a small triple graph for the canned hygiene queries:
+    rdf:type = source for every doc, a second rdf:type ex:Short for
+    short docs (conflict vector), rdfs:label only for 'en' docs."""
+    d = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    nulls = [
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit("urn:g").alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+    ]
+    t1 = d.select(subj.alias("subj"), F.lit("rdf:type").alias("pred"),
+                  F.col("source").alias("obj"), *nulls)
+    t2 = d.filter(F.col("n_chars") < 200).select(
+        subj.alias("subj"), F.lit("rdf:type").alias("pred"),
+        F.lit("ex:Short").alias("obj"), *nulls)
+    t3 = d.filter(F.col("lang") == "en").select(
+        subj.alias("subj"), F.lit("rdfs:label").alias("pred"),
+        F.col("text").substr(1, 20).alias("obj"), *nulls)
+    return t1.unionByName(t2).unionByName(t3)
+
+
+def q_type_distribution(spark, sf_dir):
+    """Canned hygiene query: top-k entity types
+    (docs/quick-reference.md:190-194)."""
+    from kgap_spark.query.patterns import type_distribution
+
+    return type_distribution(_doc_triples(spark, sf_dir), k=10)
+
+
+ORACLE_TYPE_DISTRIBUTION = """
+WITH t AS (
+  SELECT source AS type FROM documents
+  UNION ALL
+  SELECT 'ex:Short' AS type FROM documents WHERE n_chars < 200
+)
+SELECT type, COUNT(*) AS n FROM t
+GROUP BY type ORDER BY n DESC, type LIMIT 10
+"""
+
+
+def q_entities_without_label(spark, sf_dir):
+    """Canned hygiene query: subjects lacking rdfs:label
+    (docs/components/jupyter.md:557-566) — anti join."""
+    from kgap_spark.query.patterns import entities_without_label
+
+    return entities_without_label(_doc_triples(spark, sf_dir))
+
+
+ORACLE_ENTITIES_WITHOUT_LABEL = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS entity
+FROM documents WHERE lang <> 'en'
+"""
+
+
+def q_conflicting_types(spark, sf_dir):
+    """Canned hygiene query: entities with >1 rdf:type
+    (docs/advanced-topics.md:377-394)."""
+    from kgap_spark.query.patterns import conflicting_types
+
+    return conflicting_types(_doc_triples(spark, sf_dir))
+
+
+ORACLE_CONFLICTING_TYPES = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS entity,
+       CAST(2 AS BIGINT) AS n_types
+FROM documents WHERE n_chars < 200
+"""
+
+
+def q_windowed_event_counts(spark, sf_dir):
+    """T6 batch twin: the watermarked windowed rollup evaluated over the
+    static events table (same code path as the streaming query —
+    window+groupBy compiles identically in both runtimes)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+ORACLE_WINDOWED_COUNTS = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+         + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH bucket join (never
     all-pairs). The synthetic embeddings have no near-dups (max cross
@@ -1077,6 +1181,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_search": q_fts_search,
     "fts_search_indexed": q_fts_search_indexed,
     "shacl_validate": q_shacl_validate,
+    "type_distribution": q_type_distribution,
+    "entities_without_label": q_entities_without_label,
+    "conflicting_types": q_conflicting_types,
+    "windowed_event_counts": q_windowed_event_counts,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
     "emb_lsh_topk": q_emb_lsh_topk,
@@ -1121,6 +1229,10 @@ ORACLES: dict[str, str] = {
     "fts_search": ORACLE_FTS_SEARCH,
     "fts_search_indexed": ORACLE_FTS_SEARCH,
     "shacl_validate": ORACLE_SHACL_VALIDATE,
+    "type_distribution": ORACLE_TYPE_DISTRIBUTION,
+    "entities_without_label": ORACLE_ENTITIES_WITHOUT_LABEL,
+    "conflicting_types": ORACLE_CONFLICTING_TYPES,
+    "windowed_event_counts": ORACLE_WINDOWED_COUNTS,
     "emb_cosine_topk": ORACLE_EMB_COSINE_TOPK,
     "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "multimodal_features": ORACLE_MULTIMODAL,
