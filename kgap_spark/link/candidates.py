@@ -58,7 +58,10 @@ def fuzzy_candidates(
         .filter(F.size("shingles") > 0)
     )
     right = (
-        alias_dict.select("alias", "entity_id", "prior")
+        alias_dict.select(
+            "alias", "entity_id", "prior",
+            F.col("lang").alias("alias_lang"),
+        )
         .withColumn("shingles", _shingle_col("alias"))
         .filter(F.size("shingles") > 0)
     )
@@ -83,5 +86,6 @@ def fuzzy_candidates(
         F.col("datasetB.alias").alias("alias"),
         F.col("datasetB.entity_id").alias("entity_id"),
         F.col("datasetB.prior").alias("prior"),
+        F.col("datasetB.alias_lang").alias("alias_lang"),
         F.col("jaccard_dist"),
     )

@@ -1,1 +1,5 @@
-from kgap_spark.mentions.detect import detect_mentions, with_ngrams  # noqa: F401
+from kgap_spark.mentions.detect import (  # noqa: F401
+    detect_mentions,
+    detect_mentions_fuzzy,
+    with_ngrams,
+)

@@ -80,3 +80,53 @@ def detect_mentions(
         joined.groupBy("url", "lang", "alias", "entity_id", "prior")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def detect_mentions_fuzzy(
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    text_col: str = "text",
+    max_jaccard_dist: float = 0.35,
+    min_gram_len: int = 4,
+) -> DataFrame:
+    """Exact + fuzzy candidate union (opt-in; the exact path alone is
+    the golden-parity default).
+
+    Grams that exactly match no alias are MinHash/LSH-blocked against
+    the dictionary (``link.candidates.fuzzy_candidates``) to recover
+    typo'd/inflected surface forms. Scale shape: the fuzzy join's left
+    side is the *distinct unmatched gram vocabulary* (anti-joined
+    against aliases, length-filtered) — vocabulary-sized, NOT
+    corpus-sized; matches then re-join the gram stream to count tf.
+    Fuzzy candidates carry ``prior × (1 − jaccard_dist)`` so an exact
+    match always outranks a fuzzy one for the same entity."""
+    from kgap_spark.link.candidates import fuzzy_candidates
+
+    exact = detect_mentions(pages, alias_dict, text_col)
+    grams = with_ngrams(pages.select("url", "lang", text_col), text_col)
+
+    aliases = alias_dict.select("alias").distinct()
+    unmatched = (
+        grams.select("gram")
+        .distinct()
+        .join(F.broadcast(aliases), grams["gram"] == aliases["alias"], "left_anti")
+        .filter(F.length("gram") >= min_gram_len)
+        .select(F.col("gram").alias("surface"))
+    )
+    fz = fuzzy_candidates(
+        unmatched, alias_dict, max_jaccard_dist=max_jaccard_dist
+    ).filter(F.col("jaccard_dist") > 0)  # exact dups already covered
+
+    fuzzy = (
+        grams.join(fz, grams["gram"] == fz["surface"], "inner")
+        .filter(
+            (F.col("alias_lang") == F.col("lang"))
+            | (F.col("alias_lang") == F.lit("*"))
+        )
+        .groupBy(
+            "url", "lang", "alias", "entity_id",
+            (F.col("prior") * (F.lit(1.0) - F.col("jaccard_dist"))).alias("prior"),
+        )
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return exact.unionByName(fuzzy)

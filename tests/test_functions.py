@@ -194,3 +194,29 @@ def test_embedding_near_dup_pairs_recall(spark):
     expected = {(i, 100 + i) for i in range(8)}
     assert expected & found == expected          # full recall on twins
     assert all(r.cosine >= 0.995 for r in pairs)  # no false positives
+
+
+def test_detect_mentions_fuzzy_end_to_end(spark):
+    """A typo'd surface form must link to the right entity via the
+    fuzzy LSH path, with prior discounted below an exact match; clean
+    pages are unaffected."""
+    from kgap_spark.link.score import link_mentions
+    from kgap_spark.mentions.detect import detect_mentions_fuzzy
+
+    alias_dict = spark.createDataFrame(
+        [("marine sensor", "urn:e1", "en", 0.9),
+         ("coastal buoy", "urn:e2", "en", 0.8)],
+        "alias string, entity_id string, lang string, prior double",
+    )
+    pages = spark.createDataFrame(
+        [("u1", "en", "the marine sensr recorded data"),     # typo
+         ("u2", "en", "a coastal buoy drifted")],            # exact
+        "url string, lang string, text string",
+    )
+    cands = detect_mentions_fuzzy(pages, alias_dict, max_jaccard_dist=0.5)
+    linked = {(r.url, r.entity_id): r.prior
+              for r in link_mentions(cands).collect()}
+    assert ("u1", "urn:e1") in linked        # typo recovered
+    assert ("u2", "urn:e2") in linked        # exact path intact
+    assert linked[("u1", "urn:e1")] < 0.9    # discounted prior
+    assert linked[("u2", "urn:e2")] == 0.8   # exact prior undiscounted
