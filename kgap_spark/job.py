@@ -1,21 +1,29 @@
-"""spark-submit entry point for the KG-construction pipeline.
+"""spark-submit entry point: pipeline run + store operations CLI.
 
 The north rule requires the pipeline to "run via spark-submit
 --py-files on a multi-executor cluster"; this module is that entry:
 
     spark-submit --py-files kgap_spark.zip -m kgap_spark.job \\
-        --pages s3://lake/web_pages \\
+        [run] --pages s3://lake/web_pages \\
         --alias-dict s3://lake/alias_dict \\
         --store s3://lake/triples \\
         --lineage s3://lake/lineage \\
         [--run-id R] [--shuffle-partitions N]
 
-(locally: ``python -m kgap_spark.job --pages ... --alias-dict ...``).
+(locally: ``python -m kgap_spark.job ...``). One ``run`` invocation =
+one resumable run: graphs already 'ok' in lineage are skipped, failures
+are isolated per graph and retried next run (the reference's
+scheduled-rerun model, sembench/kgap/main.py:7-13 + ldes-consumer
+/state semantics).
 
-One invocation = one resumable run: graphs already 'ok' in lineage are
-skipped, failures are isolated per graph and retried next run
-(the reference's scheduled-rerun model, sembench/kgap/main.py:7-13 +
-ldes-consumer /state semantics).
+The other subcommands mirror the reference's repository-ops surface
+(docs/quick-reference.md:316-336, docs/components/graphdb.md:254-278):
+
+    import   — bulk RDF load (ntriples/nquads/turtle/jsonld/rdfxml),
+               optional ``--graph`` context, append or merge mode
+    export   — store/graph → N-Quads text or csv/json/parquet/xlsx
+    validate — SHACL shape file → violations (exit 1 if any)
+    clear    — drop one graph (or --all)
 """
 
 from __future__ import annotations
@@ -25,27 +33,38 @@ import json
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
-    ap = argparse.ArgumentParser(prog="kgap_spark.job", description=__doc__)
+def _session(args):
+    from kgap_spark.session import get_spark
+
+    return get_spark(
+        "kgap-job",
+        master=getattr(args, "master", None),
+        shuffle_partitions=getattr(args, "shuffle_partitions", None),
+    )
+
+
+def _common(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--master", default=None,
+                    help="override master (default: spark-submit provides it)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def _run(rest: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="kgap_spark.job run")
     ap.add_argument("--pages", required=True, help="web_pages parquet/table path")
     ap.add_argument("--alias-dict", required=True, help="alias_dict parquet path")
     ap.add_argument("--store", required=True, help="triples store path")
     ap.add_argument("--lineage", required=True, help="lineage log path")
     ap.add_argument("--run-id", default=None)
-    ap.add_argument("--master", default=None,
-                    help="override master (default: spark-submit provides it)")
-    ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-dict-graph", action="store_true",
                     help="skip the dictionary graph (labels/sameAs)")
-    args = ap.parse_args(argv)
+    _common(ap)
+    args = ap.parse_args(rest)
 
     from kgap_spark.lineage import LineageLog, run_pipeline_resumable
-    from kgap_spark.session import get_spark
     from kgap_spark.triples import TripleStore
 
-    spark = get_spark(
-        "kgap-job", master=args.master, shuffle_partitions=args.shuffle_partitions
-    )
+    spark = _session(args)
     pages = spark.read.parquet(args.pages)
     alias = spark.read.parquet(args.alias_dict)
     store = TripleStore(spark, args.store)
@@ -64,6 +83,122 @@ def main(argv: list[str] | None = None) -> int:
         "wall_ms": result["wall_ms"],
     }))
     return 1 if result["graphs_failed"] else 0
+
+
+def _import(rest: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="kgap_spark.job import")
+    ap.add_argument("--path", required=True, help="RDF file(s)/dir to import")
+    ap.add_argument("--format", default="ntriples",
+                    choices=["ntriples", "nquads", "turtle", "trig",
+                             "jsonld", "rdfxml"])
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--graph", default=None,
+                    help="default graph for quads without one (?context=)")
+    ap.add_argument("--mode", default="append", choices=["append", "merge"])
+    _common(ap)
+    args = ap.parse_args(rest)
+
+    from kgap_spark.io import read_rdf
+    from kgap_spark.triples import TripleStore
+
+    spark = _session(args)
+    quads = read_rdf(spark, args.path, args.format, args.graph)
+    store = TripleStore(spark, args.store)
+    if args.mode == "merge":
+        store.merge(quads)
+    else:
+        store.append(quads)
+    print(json.dumps({"imported": store.read().count(), "mode": args.mode}))
+    return 0
+
+
+def _export(rest: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="kgap_spark.job export")
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--format", default="nquads",
+                    choices=["nquads", "csv", "json", "parquet", "xlsx"])
+    ap.add_argument("--graph", default=None, help="export one graph only")
+    _common(ap)
+    args = ap.parse_args(rest)
+
+    from kgap_spark.io import export_results, write_ntriples
+    from kgap_spark.triples import TripleStore
+
+    spark = _session(args)
+    store = TripleStore(spark, args.store)
+    df = store.read_graph(args.graph) if args.graph else store.read()
+    if args.format == "nquads":
+        write_ntriples(df, args.out)
+    else:
+        export_results(df, args.out, fmt=args.format)
+    print(json.dumps({"exported": df.count(), "format": args.format}))
+    return 0
+
+
+def _validate(rest: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="kgap_spark.job validate")
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--shape", required=True, help="SHACL shape .ttl file")
+    ap.add_argument("--graph", default=None)
+    _common(ap)
+    args = ap.parse_args(rest)
+
+    from kgap_spark.triples import TripleStore
+    from kgap_spark.validate.shacl import validate_with_shape
+
+    spark = _session(args)
+    store = TripleStore(spark, args.store)
+    df = store.read_graph(args.graph) if args.graph else store.read()
+    with open(args.shape) as f:
+        shape = f.read()
+    violations = validate_with_shape(df, shape)
+    n = violations.count()
+    sample = [r.asDict() for r in violations.limit(10).collect()]
+    print(json.dumps({"violations": n, "sample": sample}))
+    return 1 if n else 0
+
+
+def _clear(rest: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="kgap_spark.job clear")
+    ap.add_argument("--store", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--graph", default=None)
+    g.add_argument("--all", action="store_true")
+    _common(ap)
+    args = ap.parse_args(rest)
+
+    from kgap_spark.triples import TripleStore
+
+    spark = _session(args)
+    store = TripleStore(spark, args.store)
+    if args.all:
+        graphs = [r.graph for r in store.read().select("graph").distinct().collect()]
+        for g_ in graphs:
+            store.delete_graph(g_)
+        print(json.dumps({"cleared": graphs}))
+    else:
+        store.delete_graph(args.graph)
+        print(json.dumps({"cleared": [args.graph]}))
+    return 0
+
+
+_COMMANDS = {
+    "run": _run,
+    "import": _import,
+    "export": _export,
+    "validate": _validate,
+    "clear": _clear,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and not argv[0].startswith("-") and argv[0] in _COMMANDS:
+        cmd, rest = argv[0], argv[1:]
+    else:
+        cmd, rest = "run", argv  # backward-compatible default
+    return _COMMANDS[cmd](rest)
 
 
 if __name__ == "__main__":

@@ -70,3 +70,44 @@ steps:
     ns = run_pipeline(spark, pipe, inputs={"all_triples": triples})
     assert ns["violations"].count() == 0
     assert ns["counts"].count() > 0
+
+
+def test_job_cli_import_validate_export_clear(tmp_path):
+    """The repository-ops subcommands end-to-end in one subprocess-free
+    flow: import TTL → validate against a shape → export N-Quads →
+    clear."""
+    import json
+
+    from kgap_spark.job import main
+
+    ttl = tmp_path / "in.ttl"
+    ttl.write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:a a ex:Person ; ex:name \"A\" .\n"
+        "ex:b a ex:Person .\n"
+    )
+    shape = tmp_path / "shape.ttl"
+    shape.write_text(
+        "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:S a sh:NodeShape ; sh:targetClass ex:Person ;\n"
+        "  sh:property [ sh:path ex:name ; sh:minCount 1 ] .\n"
+    )
+    store = str(tmp_path / "store")
+    base = ["--master", "local[2]", "--shuffle-partitions", "2"]
+
+    rc = main(["import", "--path", str(ttl), "--format", "turtle",
+               "--store", store, "--graph", "urn:g", *base])
+    assert rc == 0
+
+    # ex:b has no name → 1 violation → exit code 1
+    rc = main(["validate", "--store", store, "--shape", str(shape), *base])
+    assert rc == 1
+
+    out = str(tmp_path / "out_nq")
+    rc = main(["export", "--store", store, "--out", out,
+               "--format", "nquads", *base])
+    assert rc == 0
+
+    rc = main(["clear", "--store", store, "--all", *base])
+    assert rc == 0

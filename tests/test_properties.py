@@ -37,3 +37,34 @@ def test_fixture_rows_pure(i):
     cfg = FixtureConfig.for_scale("small")
     a, b = page_row(i, cfg), page_row(i, cfg)
     assert a == b
+
+
+def _nt_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r"))
+
+
+_lit = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=60
+)
+_iri_part = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1,
+                    max_size=12)
+
+
+@given(st.lists(st.tuples(_iri_part, _iri_part, _lit), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_turtle_parser_agrees_with_ntriples_grammar(rows):
+    """N-Triples text is valid Turtle: the pure-Python Turtle parser
+    must decode arbitrary escaped literals exactly (same triples the
+    writer encoded)."""
+    from kgap_spark.io.turtle import parse_turtle
+
+    lines = []
+    expected = set()
+    for s, p, o in rows:
+        subj, pred = f"urn:s:{s}", f"urn:p:{p}"
+        lines.append(f'<{subj}> <{pred}> "{_nt_escape(o)}" .')
+        expected.add((subj, pred, o))
+    quads = parse_turtle("\n".join(lines), default_graph="urn:g")
+    got = {(q[0], q[1], q[2]) for q in quads}
+    assert got == expected
