@@ -884,15 +884,19 @@ def q_emb_cosine_topk(spark, sf_dir):
     from kgap_spark.functions.similarity import _dot, _norm
 
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    joined = e.crossJoin(F.broadcast(q))
+    # inline the query vector as a literal array (driver-side fetch):
+    # no join node at all — the scan + TakeOrderedAndProject is the
+    # whole plan (float→double widening is exact, values unchanged)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0)
+            .select("embedding").first()[0]]
+    qe = F.array(*[F.lit(x) for x in qvec])
     cos = F.round(
-        _dot(F.col("embedding"), F.col("qe"))
-        / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+        _dot(F.col("embedding"), qe)
+        / (_norm(F.col("embedding")) * _norm(qe)),
         5,
     )
     return (
-        joined.select("vec_id", cos.alias("cosine"))
+        e.select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
