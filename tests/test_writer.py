@@ -84,3 +84,41 @@ def test_write_layout_is_range_partitioned(spark, tiny):
     prepped = store._prep(build_triples(tiny["web_pages"], tiny["alias_dict"]))
     plan = prepped._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(graph" in plan.lower().replace(" ", "").replace("#", "")[:100000] or "RangePartitioning" in plan
+
+
+def test_write_layout_splits_hub_graph_bounds_files(spark, tmp_path):
+    """Zipfian feeds: one hub graph 100x bigger than the rest. The range
+    layout must (a) split the hub across multiple files (no one-task
+    straggler) and (b) keep total file count ~ graphs + tasks, never
+    tasks x graphs."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from kgap_spark.triples import TripleStore
+
+    hub = spark.range(0, 100_000).select(
+        F.concat(F.lit("urn:s:"), F.col("id")).alias("subj"),
+        F.lit("p").alias("pred"), F.lit("o").alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit("urn:hub").alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    small = spark.range(0, 1000).select(
+        F.concat(F.lit("urn:t:"), F.col("id")).alias("subj"),
+        F.lit("p").alias("pred"), F.lit("o").alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.concat(F.lit("urn:g"), (F.col("id") % 20)).alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    store = TripleStore(spark, str(tmp_path / "t"))
+    store.overwrite_graphs(hub.unionByName(small))
+
+    hub_files = glob.glob(str(tmp_path / "t" / "graph=urn%3Ahub" / "*.parquet"))
+    all_files = glob.glob(str(tmp_path / "t" / "graph=*" / "*.parquet"))
+    n_tasks = max(spark.sparkContext.defaultParallelism * 2, 16)
+    assert len(hub_files) > 1                       # hub is split
+    assert len(all_files) <= 21 + n_tasks           # bounded, not tasks*graphs
+    assert store.read().count() == 101_000
