@@ -22,6 +22,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _cache_key(sf_dir: str, table: str) -> str:
+    """Content-aware key for the build-once index caches in /tmp: the
+    source parquet's (path, mtime, size) — a regenerated testdata dir
+    invalidates the cache instead of serving a stale index."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        raw = f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        raw = path
+    return hashlib.md5(raw.encode()).hexdigest()[:16]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -807,7 +823,6 @@ def q_fts_search_indexed(spark, sf_dir):
     token bucket (built once per sf_dir, cached); the search prunes to
     its query tokens' buckets instead of rebuilding the index. Same
     result as `fts_search`, so the same oracle verifies it."""
-    import hashlib as _hl
     import os
 
     from kgap_spark.index.fts import (
@@ -817,7 +832,7 @@ def q_fts_search_indexed(spark, sf_dir):
     )
 
     idx_dir = os.path.join(
-        "/tmp/kgap_fts", _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        "/tmp/kgap_fts", _cache_key(sf_dir, "documents")
     )
     if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
         posting = build_posting_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -921,7 +936,6 @@ def q_emb_lsh_topk(spark, sf_dir):
     partitioned by `_sig` (built once per sf_dir, cached), then a
     partition-pruned bucket probe + in-bucket cosine (verified against
     brute force in pytest, not SQL-expressible)."""
-    import hashlib as _hl
     import os
 
     from kgap_spark.functions.similarity import (
@@ -933,7 +947,7 @@ def q_emb_lsh_topk(spark, sf_dir):
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0)
             .select("embedding").first()[0]]
     sig_dir = os.path.join(
-        "/tmp/kgap_sig", _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        "/tmp/kgap_sig", _cache_key(sf_dir, "embeddings")
     )
     if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
         build_signature_table(e, sig_dir, n_planes=6)
