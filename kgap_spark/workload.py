@@ -483,6 +483,31 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
 """
 
 
+def q_sessionize_native(spark, sf_dir):
+    """Sessionization via Spark's NATIVE session windows
+    (``F.session_window``, gap-merging inside the agg operator — the
+    same operator runs under Structured Streaming with watermark-based
+    state eviction). Same 30-min gap rule and oracle as the lag-based
+    twin: two independent implementations, one oracle.
+
+    Gap semantics note: ``session_window`` keeps events together when
+    the delta is strictly LESS than the gap; the lag twin when the
+    delta is ≤ 1800 s. The gap is therefore 1800 s + 1 µs (one tick at
+    timestamp resolution), making both formulations identical on all
+    inputs."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sessions = e.groupBy(
+        "user_id", F.session_window("ts", "1800 seconds 1 microseconds")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: per-user session count with 30-min gap rule
     (lag + flag-sum; the batch analog of session windows)."""
@@ -1185,6 +1210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "latest_version": q_latest_version,
     "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
     "dereference": q_dereference,
     "doc_token_count": q_doc_token_count,
     "bpe_token_count": q_bpe_token_count,
@@ -1233,6 +1259,7 @@ ORACLES: dict[str, str] = {
     "tpch_q1": ORACLE_TPCH_Q1,
     "latest_version": ORACLE_LATEST_VERSION,
     "sessionize": ORACLE_SESSIONIZE,
+    "sessionize_native": ORACLE_SESSIONIZE,
     "dereference": ORACLE_DEREFERENCE,
     "doc_token_count": ORACLE_DOC_TOKEN_COUNT,
     "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
