@@ -483,6 +483,65 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
 """
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (region→nation→customer→orders→
+    lineitem→supplier with the c_nationkey = s_nationkey co-location
+    constraint) + decimal revenue agg — the heaviest multiway-join
+    pattern in the workload. Catalyst broadcast-plans the dimension
+    chain (region/nation/supplier are dim-sized); the fact-fact join
+    shuffles once on orderkey."""
+    _utc(spark)
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    rev = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    )
+    joined = (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(rev.cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 def q_sessionize_native(spark, sf_dir):
     """Sessionization via Spark's NATIVE session windows
     (``F.session_window``, gap-merging inside the agg operator — the
@@ -1208,6 +1267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "str_funcs": q_str_funcs,
     "limit_early": q_limit_early,
     "tpch_q1": q_tpch_q1,
+    "tpch_q5": q_tpch_q5,
     "latest_version": q_latest_version,
     "sessionize": q_sessionize,
     "sessionize_native": q_sessionize_native,
@@ -1257,6 +1317,7 @@ ORACLES: dict[str, str] = {
     "str_funcs": ORACLE_STR_FUNCS,
     "limit_early": ORACLE_LIMIT_EARLY,
     "tpch_q1": ORACLE_TPCH_Q1,
+    "tpch_q5": ORACLE_TPCH_Q5,
     "latest_version": ORACLE_LATEST_VERSION,
     "sessionize": ORACLE_SESSIONIZE,
     "sessionize_native": ORACLE_SESSIONIZE,
