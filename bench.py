@@ -17,6 +17,7 @@ import time
 HEADLINE = [
     "kg_mentions",
     "tpch_q1",
+    "tpch_q5",
     "bgp_chain",
     "left_join",
     "latest_version",
