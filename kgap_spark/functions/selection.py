@@ -1,0 +1,80 @@
+"""Training-data selection ops: per-group top-k, deterministic splits,
+distribution stats.
+
+The curation stage between dedup and training: keep the best K docs
+per domain, carve reproducible train/val/test splits, and monitor the
+length distribution per language. All native Catalyst — and all
+content-deterministic, so reruns and backfills produce byte-identical
+selections (the property that matters for dataset versioning at
+100 TB: a split must never depend on partitioning, row order, or RNG
+state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Keep the top-k rows per group under a total order (pass a
+    unique tie-break column last — determinism rule). Window
+    row_number: one shuffle on the group key; with k ≪ group size the
+    rank filter prunes before anything downstream."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+) -> DataFrame:
+    """Deterministic dataset split by CONTENT hash: bucket =
+    md5-prefix(key) mod 100, assigned to named ranges. Stable across
+    runs, partitionings, and engines (the md5-prefix integer is the
+    same recipe the SQL oracle uses) — reruns never shuffle documents
+    between train and test."""
+    total = sum(w for _, w in splits)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    expr = None
+    lo = 0
+    for name, w in splits:
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group exact quantiles (linear interpolation — matches SQL
+    percentile_cont/quantile_cont). Exact, not approx: distribution
+    drift monitoring wants reproducible numbers; at true corpus scale
+    swap in ``percentile_approx`` with a documented error bound."""
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(q)), 4).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(*aggs)

@@ -757,6 +757,79 @@ ORACLE_DOC_FINGERPRINT = (
 # ---------------------------------------------------------------------------
 # Deduplication (training-data ops).
 
+def q_quality_topk_per_source(spark, sf_dir):
+    """Curation: top-3 docs per source by quality (desc) with doc_id
+    tie-break — the keep-best-K-per-domain selection op."""
+    from kgap_spark.functions.selection import topk_per_group
+    from kgap_spark.functions.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return topk_per_group(
+        d, "source", [F.desc("quality"), F.asc("doc_id")], k=3
+    )
+
+
+ORACLE_QUALITY_TOPK = """
+WITH q AS (
+  SELECT doc_id, source,
+         ROUND(least(1.0, n / 100.0) *
+               (1.0 - least(1.0, abs(nsp / greatest(CAST(n AS DOUBLE), 1.0) - 5.0) / 10.0)), 4)
+           AS quality
+  FROM (
+    SELECT doc_id, source,
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS n,
+           length(regexp_replace(lower(text), '\\s+', '', 'g')) AS nsp
+    FROM documents)
+), ranked AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM q
+)
+SELECT doc_id, source, quality FROM ranked WHERE rk <= 3
+"""
+
+
+def q_doc_split(spark, sf_dir):
+    """Curation: deterministic train/val/test assignment by content
+    hash — stable across runs, partitionings, and engines."""
+    from kgap_spark.functions.selection import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hash_split(d, "text").select("doc_id", "split")
+
+
+ORACLE_DOC_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+      FROM documents)
+"""
+
+
+def q_doc_len_quantiles(spark, sf_dir):
+    """Curation: per-language length-distribution quantiles (exact,
+    interpolated — drift monitoring)."""
+    from kgap_spark.functions.selection import length_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return length_quantiles(d, "lang", "n_chars")
+
+
+ORACLE_DOC_LEN_QUANTILES = """
+SELECT lang,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup with an injected duplicate block: the synthetic
     documents table has no byte-identical texts, so docs 0–24 are
@@ -1278,6 +1351,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "quality_topk_per_source": q_quality_topk_per_source,
+    "doc_split": q_doc_split,
+    "doc_len_quantiles": q_doc_len_quantiles,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_band": q_minhash_band,
@@ -1328,6 +1404,9 @@ ORACLES: dict[str, str] = {
     "doc_quality": ORACLE_DOC_QUALITY,
     "doc_lang_id": ORACLE_DOC_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "quality_topk_per_source": ORACLE_QUALITY_TOPK,
+    "doc_split": ORACLE_DOC_SPLIT,
+    "doc_len_quantiles": ORACLE_DOC_LEN_QUANTILES,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_band": ORACLE_MINHASH_BAND,

@@ -220,3 +220,37 @@ def test_detect_mentions_fuzzy_end_to_end(spark):
     assert ("u2", "urn:e2") in linked        # exact path intact
     assert linked[("u1", "urn:e1")] < 0.9    # discounted prior
     assert linked[("u2", "urn:e2")] == 0.8   # exact prior undiscounted
+
+
+def test_hash_split_deterministic_and_weighted(spark):
+    """Split assignment is a pure function of content (repartition-
+    invariant) and respects the weight ranges."""
+    from kgap_spark.functions.selection import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with content") for i in range(500)],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.split for r in hash_split(docs, "text").collect()}
+    b = {r.doc_id: r.split
+         for r in hash_split(docs.repartition(7), "text").collect()}
+    assert a == b                                   # partition-invariant
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_topk_per_group(spark):
+    from kgap_spark.functions.selection import topk_per_group
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", i, i * 1.0) for i in range(10)] + [("b", 99, 5.0)],
+        "g string, id long, score double",
+    )
+    top = topk_per_group(df, "g", [F.desc("score"), F.asc("id")], k=2).collect()
+    by_g = {}
+    for r in top:
+        by_g.setdefault(r.g, []).append(r.id)
+    assert sorted(by_g["a"]) == [8, 9] and by_g["b"] == [99]
