@@ -61,6 +61,36 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def pack_documents(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int = 512,
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing (the pretraining data
+    layout): within each group, documents are laid out in a
+    deterministic order and the token stream is cut into
+    ``budget``-token sequences; each doc is assigned the sequence its
+    FIRST token falls in (docs may straddle a boundary and continue
+    into the next sequence — standard concat-then-chunk semantics).
+
+    One window cumsum per group — groups (e.g. source/domain) bound the
+    window partition, so no global sort: the packing parallelizes
+    across groups. Adds (start_offset, seq_id)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).alias(
+        "start_offset"
+    )
+    return df.withColumn("start_offset", start).withColumn(
+        "seq_id", F.floor(F.col("start_offset") / F.lit(budget)).cast("long")
+    )
+
+
 def length_quantiles(
     df: DataFrame,
     group_col: str,

@@ -830,6 +830,36 @@ FROM documents GROUP BY lang
 """
 
 
+def q_doc_pack(spark, sf_dir):
+    """Curation: concat-then-chunk sequence packing per source with a
+    512-token budget — (doc, start_offset, seq_id) assignment."""
+    from kgap_spark.functions.selection import pack_documents
+    from kgap_spark.functions.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(d, "source", "doc_id", "n_tokens", budget=512)
+
+
+ORACLE_DOC_PACK = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens AS BIGINT) AS start_offset,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens) / 512) AS BIGINT) AS seq_id
+FROM t
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup with an injected duplicate block: the synthetic
     documents table has no byte-identical texts, so docs 0–24 are
@@ -1354,6 +1384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_topk_per_source": q_quality_topk_per_source,
     "doc_split": q_doc_split,
     "doc_len_quantiles": q_doc_len_quantiles,
+    "doc_pack": q_doc_pack,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_band": q_minhash_band,
@@ -1407,6 +1438,7 @@ ORACLES: dict[str, str] = {
     "quality_topk_per_source": ORACLE_QUALITY_TOPK,
     "doc_split": ORACLE_DOC_SPLIT,
     "doc_len_quantiles": ORACLE_DOC_LEN_QUANTILES,
+    "doc_pack": ORACLE_DOC_PACK,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_band": ORACLE_MINHASH_BAND,
