@@ -61,6 +61,33 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def weighted_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-source sampling to a target mixture: keep a
+    row iff its content-hash bucket (md5-prefix mod 10000) falls under
+    its source's fraction. The LLM-data mixing op (e.g. wiki ×2.0 caps
+    at 1.0, crawl ×0.3): reproducible across runs/engines — no RNG —
+    and a document's fate never depends on partitioning or row order.
+    Pure filter: predicate-pushdown friendly, no shuffle."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(10000),
+    )
+    frac = None
+    for src, f in fractions.items():
+        cond = F.col(source_col) == src
+        frac = F.when(cond, f) if frac is None else frac.when(cond, f)
+    frac = (frac.otherwise(default_fraction) if frac is not None
+            else F.lit(default_fraction))
+    return df.filter(bucket < frac * 10000)
+
+
 def pack_documents(
     df: DataFrame,
     group_col: str,

@@ -10,11 +10,13 @@ Pure-stdlib (xml.etree) parser for the common RDF/XML 1.1 subset:
 - property elements with ``rdf:resource``, ``rdf:nodeID``, nested node
   elements, text literals;
 - ``rdf:datatype``, inherited ``xml:lang``;
-- ``rdf:parseType="Resource"`` (inline blank node);
+- ``rdf:parseType="Resource"`` (inline blank node) and
+  ``rdf:parseType="Collection"`` (rdf:first/rest chain);
 - property *attributes* on node elements (literal shorthand).
 
-Not covered (rare in practice, documented): ``rdf:parseType="Literal"/
-"Collection"``, ``rdf:li``/containers, reification attributes.
+Not covered (rare in practice, documented):
+``rdf:parseType="Literal"``, ``rdf:li``/containers, reification
+attributes.
 
 Block format like Turtle — one file per row, parsed in mapInPandas.
 """
@@ -106,6 +108,20 @@ class _Parser:
             self.emit(sid, pred, inner)
             for sub in prop:
                 self.property(inner, sub, lang)
+            return
+        if prop.get(_PARSETYPE) == "Collection":
+            # node-element sequence → rdf:first/rdf:rest chain
+            items = [self.node(child, lang) for child in prop]
+            if not items:
+                self.emit(sid, pred, f"{RDF_NS}nil")
+                return
+            cells = [self.new_bnode() for _ in items]
+            self.emit(sid, pred, cells[0])
+            for cell, item in zip(cells, items):
+                self.emit(cell, f"{RDF_NS}first", item)
+            for a, b in zip(cells, cells[1:]):
+                self.emit(a, f"{RDF_NS}rest", b)
+            self.emit(cells[-1], f"{RDF_NS}rest", f"{RDF_NS}nil")
             return
         if prop.get(_PARSETYPE) is not None:
             raise RdfXmlError(

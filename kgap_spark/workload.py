@@ -830,6 +830,30 @@ FROM documents GROUP BY lang
 """
 
 
+def q_doc_mix(spark, sf_dir):
+    """Curation: deterministic weighted source mixing — src0 kept
+    fully, src1 at 50%, src2 at 10%, everything else at 25%."""
+    from kgap_spark.functions.selection import weighted_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mixed = weighted_mix(
+        d, "source", "text",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_fraction=0.25,
+    )
+    return mixed.select("doc_id", "source")
+
+
+ORACLE_DOC_MIX = """
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT % 10000 AS b
+      FROM documents)
+WHERE b < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                       WHEN 'src2' THEN 0.1 ELSE 0.25 END) * 10000
+"""
+
+
 def q_doc_pack(spark, sf_dir):
     """Curation: concat-then-chunk sequence packing per source with a
     512-token budget — (doc, start_offset, seq_id) assignment."""
@@ -1385,6 +1409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split": q_doc_split,
     "doc_len_quantiles": q_doc_len_quantiles,
     "doc_pack": q_doc_pack,
+    "doc_mix": q_doc_mix,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_band": q_minhash_band,
@@ -1439,6 +1464,7 @@ ORACLES: dict[str, str] = {
     "doc_split": ORACLE_DOC_SPLIT,
     "doc_len_quantiles": ORACLE_DOC_LEN_QUANTILES,
     "doc_pack": ORACLE_DOC_PACK,
+    "doc_mix": ORACLE_DOC_MIX,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_band": ORACLE_MINHASH_BAND,

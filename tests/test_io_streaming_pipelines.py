@@ -246,3 +246,53 @@ def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
     keys = [r.key for r in rows]
     assert sorted(keys) == ["fpA", "fpB", "fpC"]   # each exactly once
     assert len(keys) == len(set(keys))
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """The session_window operator runs under Structured Streaming
+    (watermark + append mode) and yields the same per-user session
+    counts as the batch evaluation of the same expression."""
+    rows = []
+    for u in range(3):
+        # two sessions per user: events at t, t+10min, then t+2h
+        for mins in (0, 10, 120):
+            rows.append((u * 1000 + mins,
+                         f"2024-01-01 {u + (mins // 60):02d}:{mins % 60:02d}:00",
+                         u, "click", 1.0))
+    # sentinel far in the future: advances the watermark past every
+    # session end so all sessions are closed and emitted
+    rows.append((9999, "2024-01-01 23:00:00", 99, "click", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+              "value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "ev")
+    events.write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    ).parquet(d)
+    sessions = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory").queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {r.user_id: r.n for r in spark.sql(
+        "SELECT user_id, COUNT(*) AS n FROM sess "
+        "WHERE user_id < 99 GROUP BY user_id"
+    ).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}   # both sessions emitted per user
+    batch = (
+        events.filter(F.col("user_id") < 99)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count().groupBy("user_id").count().collect()
+    )
+    assert all(r["count"] == 2 for r in batch)  # streaming == batch

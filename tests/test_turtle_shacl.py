@@ -333,3 +333,23 @@ def test_read_jsonld_ndjson_lines(spark, tmp_path):
         (f"{EX}a", "A"), (f"{EX}b", "B")
     }
     assert all(r.pred == f"{EX}name" for r in rows)
+
+
+def test_parse_rdfxml_collection():
+    from kgap_spark.io.rdfxml import parse_rdfxml
+    from kgap_spark.io.turtle import RDF_FIRST, RDF_NIL, RDF_REST
+
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/">
+  <rdf:Description rdf:about="http://example.org/s">
+    <ex:items rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://example.org/x"/>
+      <rdf:Description rdf:about="http://example.org/y"/>
+    </ex:items>
+  </rdf:Description>
+</rdf:RDF>"""
+    quads = parse_rdfxml(doc, default_graph="urn:g")
+    firsts = [q[2] for q in quads if q[1] == RDF_FIRST]
+    assert firsts == [f"{EX}x", f"{EX}y"]
+    assert [q[2] for q in quads if q[1] == RDF_REST][-1] == RDF_NIL
