@@ -226,16 +226,25 @@ def connected_components_star(
     return child.union(roots).distinct()
 
 
-def canonical_mapping(alias_dict: DataFrame, **cc_kwargs) -> DataFrame:
+def canonical_mapping(
+    alias_dict: DataFrame, algorithm: str = "label", **cc_kwargs
+) -> DataFrame:
     """alias_dict → (entity_id, canonical_id) for every entity in the
     dictionary (identity rows included, so downstream rewrites are a
     single left join + coalesce).
 
     Dictionary CC is a small-graph problem (entities, not pages); the
     session's shuffle width is inherited — pass ``num_partitions`` to
-    pin it when running inside a wide session."""
+    pin it when running inside a wide session.
+
+    ``algorithm``: 'label' (min-label propagation — fewest shuffles for
+    the shallow near-clique clusters alias sharing produces) or 'star'
+    (large-star/small-star — O(log² n) rounds, for dictionaries whose
+    sameAs chains run deep)."""
     edges = duplicate_edges(alias_dict)
-    comps = connected_components(edges, **cc_kwargs)
+    cc = {"label": connected_components,
+          "star": connected_components_star}[algorithm]
+    comps = cc(edges, **cc_kwargs)
     all_ents = alias_dict.select("entity_id").distinct()
     return all_ents.join(
         comps, all_ents["entity_id"] == comps["node"], "left"

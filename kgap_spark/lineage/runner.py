@@ -69,6 +69,7 @@ class LineageLog:
                     r["run_id"],
                     r.get("rows_in"),
                     r.get("triples_out"),
+                    r.get("mentions_out"),
                     r["status"],
                     r.get("wall_ms"),
                 )
@@ -120,6 +121,7 @@ def run_pipeline_resumable(
 
     metrics_rows: list[dict] = []
     n_triples_by_graph: dict[str, int] = {}
+    n_mentions_by_graph: dict[str, int] = {}
 
     if pending_graphs:
         triples = build_triples(pending_pages.drop("graph"), alias_dict)
@@ -133,23 +135,31 @@ def run_pipeline_resumable(
         triples = triples.join(F.broadcast(keep_df), "graph", "left_semi")
 
         triples = triples.localCheckpoint(eager=True)  # compute once: counts + write
-        n_triples_by_graph = {
-            r.graph: r.n
-            for r in triples.groupBy("graph").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        counts = (
+            triples.groupBy("graph")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("pred") == S.PRED_MENTIONS).cast("long")).alias("nm"),
+            )
+            .collect()
+        )
+        n_triples_by_graph = {r.graph: r.n for r in counts}
+        n_mentions_by_graph = {r.graph: r.nm for r in counts}
         store.overwrite_graphs(triples)
 
     wall_ms = int((time.monotonic() - t0) * 1000)
     for g in pending_graphs:
         metrics_rows.append(
             dict(graph=g, run_id=run_id, rows_in=rows_in.get(g, 0),
-                 triples_out=n_triples_by_graph.get(g, 0), status="ok",
+                 triples_out=n_triples_by_graph.get(g, 0),
+                 mentions_out=n_mentions_by_graph.get(g, 0), status="ok",
                  wall_ms=wall_ms)
         )
     if include_dict_graph and pending_graphs:
         metrics_rows.append(
             dict(graph=S.GRAPH_DICT, run_id=run_id, rows_in=0,
                  triples_out=n_triples_by_graph.get(S.GRAPH_DICT, 0),
+                 mentions_out=n_mentions_by_graph.get(S.GRAPH_DICT, 0),
                  status="ok", wall_ms=wall_ms)
         )
     for g in sorted(fail_graphs or ()):

@@ -67,6 +67,9 @@ LINEAGE = T.StructType(
         T.StructField("run_id", T.StringType(), False),
         T.StructField("rows_in", T.LongType(), True),
         T.StructField("triples_out", T.LongType(), True),
+        # per-stage metric: mention-edge triples (kgap:mentions) — the
+        # linking stage's yield, derived from the committed output
+        T.StructField("mentions_out", T.LongType(), True),
         T.StructField("status", T.StringType(), False),
         T.StructField("wall_ms", T.LongType(), True),
     ]

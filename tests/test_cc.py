@@ -103,3 +103,16 @@ def test_star_cc_deep_chain(spark):
              connected_components_star(edges, num_partitions=2).collect()}
     assert len(comps) == n
     assert set(comps.values()) == {"n000"}
+
+
+def test_canonical_mapping_star_algorithm_agrees(spark, tiny):
+    """canonical_mapping(algorithm='star') must produce the same
+    entity→canonical map as the default label propagation."""
+    from kgap_spark.canonicalize.connected_components import canonical_mapping
+
+    lab = {r.entity_id: r.canonical_id for r in
+           canonical_mapping(tiny["alias_dict"], num_partitions=2).collect()}
+    star = {r.entity_id: r.canonical_id for r in
+            canonical_mapping(tiny["alias_dict"], algorithm="star",
+                              num_partitions=2).collect()}
+    assert lab == star
