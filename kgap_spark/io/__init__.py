@@ -3,4 +3,5 @@ from kgap_spark.io.rdf import (  # noqa: F401
     read_ntriples,
     read_rdf,
     write_ntriples,
+    write_turtle,
 )

@@ -160,6 +160,91 @@ def write_ntriples(triples: DataFrame, path: str, with_graph: bool = True) -> No
     ntriples_lines(triples, with_graph).write.mode("overwrite").text(path)
 
 
+DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+_PN_LOCAL_OK = r"^[A-Za-z0-9_\-.]*$"
+
+
+def _compress_iri(col, prefixes: dict[str, str]):
+    """IRI column → prefixed name where a prefix matches and the local
+    part is pname-safe; <iri> otherwise. Pure Catalyst when/startswith
+    chain (prefix maps are small by construction)."""
+    out = F.concat(F.lit("<"), col, F.lit(">"))
+    for name, iri in prefixes.items():
+        local = F.substring(col, len(iri) + 1, 1 << 20)
+        out = F.when(
+            col.startswith(iri) & local.rlike(_PN_LOCAL_OK),
+            F.concat(F.lit(name + ":"), local),
+        ).otherwise(out)
+    return out
+
+
+def turtle_lines(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
+    """quad DataFrame → one prefix-compressed Turtle statement per row
+    (no preamble — ``write_turtle`` adds it per output file)."""
+    obj_is_iri = F.col("obj").rlike("^(https?|urn):")
+    obj_is_bnode = F.col("obj").startswith("_:")
+    lit = F.concat(F.lit('"'), _escape(F.col("obj")), F.lit('"'))
+    lit = F.when(
+        F.col("obj_lang").isNotNull(),
+        F.concat(lit, F.lit("@"), F.col("obj_lang")),
+    ).when(
+        F.col("obj_datatype").isNotNull(),
+        F.concat(lit, F.lit("^^"),
+                 _compress_iri(F.col("obj_datatype"), prefixes)),
+    ).otherwise(lit)
+    obj_term = F.when(obj_is_bnode, F.col("obj")).when(
+        obj_is_iri & F.col("obj_lang").isNull() & F.col("obj_datatype").isNull(),
+        _compress_iri(F.col("obj"), prefixes),
+    ).otherwise(lit)
+    subj_term = F.when(
+        F.col("subj").startswith("_:"), F.col("subj")
+    ).otherwise(_compress_iri(F.col("subj"), prefixes))
+    return triples.select(
+        F.concat_ws(
+            " ",
+            subj_term,
+            _compress_iri(F.col("pred"), prefixes),
+            obj_term,
+            F.lit("."),
+        ).alias("value")
+    )
+
+
+def write_turtle(
+    triples: DataFrame, path: str, prefixes: dict[str, str] | None = None
+) -> None:
+    """Export to Turtle (S6, docs/components/graphdb.md:272-278):
+    prefix-compressed statements, with the @prefix preamble emitted at
+    the top of EVERY part file — each part is standalone-valid Turtle,
+    and concatenation stays valid because Turtle allows prefix
+    re-declaration. Fully distributed (mapInPandas per partition)."""
+    import pandas as pd
+
+    prefixes = dict(DEFAULT_PREFIXES, **(prefixes or {}))
+    preamble = [f"@prefix {k}: <{v}> ." for k, v in prefixes.items()]
+    lines = turtle_lines(triples, prefixes)
+
+    def add_preamble(batches):
+        first = True
+        for pdf in batches:
+            if first and len(pdf):
+                pdf = pd.concat(
+                    [pd.DataFrame({"value": preamble}), pdf],
+                    ignore_index=True,
+                )
+                first = False
+            yield pdf
+
+    lines.mapInPandas(add_preamble, schema="value string").write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def export_results(df: DataFrame, path: str, fmt: str = "csv") -> None:
     """Query-result export — the CSV/JSON/Excel edge of the jupyter
     surface (docs/components/jupyter.md:580-583). csv/json/parquet use

@@ -117,7 +117,8 @@ def _export(rest: list[str]) -> int:
     ap.add_argument("--store", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--format", default="nquads",
-                    choices=["nquads", "csv", "json", "parquet", "xlsx"])
+                    choices=["nquads", "turtle", "csv", "json", "parquet",
+                             "xlsx"])
     ap.add_argument("--graph", default=None, help="export one graph only")
     _common(ap)
     args = ap.parse_args(rest)
@@ -130,6 +131,10 @@ def _export(rest: list[str]) -> int:
     df = store.read_graph(args.graph) if args.graph else store.read()
     if args.format == "nquads":
         write_ntriples(df, args.out)
+    elif args.format == "turtle":
+        from kgap_spark.io import write_turtle
+
+        write_turtle(df, args.out)
     else:
         export_results(df, args.out, fmt=args.format)
     print(json.dumps({"exported": df.count(), "format": args.format}))

@@ -113,6 +113,44 @@ def ask(triples: DataFrame, patterns: list[tuple],
     return bgp(triples, patterns, graph).limit(1).count() > 0
 
 
+def describe(triples: DataFrame, uri: str, hops: int = 1) -> DataFrame:
+    """SPARQL DESCRIBE <uri>: every triple where the resource is
+    subject or object, optionally following blank-node/object closure
+    ``hops`` deep (the concise-bounded-description analog). Pure
+    filtered scans + the frontier join of ``traverse`` for hops > 1."""
+    direct = triples.filter(
+        (F.col("subj") == uri) | (F.col("obj") == uri)
+    )
+    if hops <= 1:
+        return direct
+    from kgap_spark.query.traverse import recursive_dereference
+
+    start = direct.filter(F.col("subj") == uri).select("obj")
+    edges = recursive_dereference(triples, start, max_depth=hops - 1)
+    expanded = edges.select(
+        F.col("src").alias("subj"), "pred", F.col("node").alias("obj")
+    )
+    return (
+        direct.select("subj", "pred", "obj")
+        .unionByName(expanded)
+        .distinct()
+    )
+
+
+def graph_diff(triples: DataFrame, graph_a: str, graph_b: str) -> DataFrame:
+    """Triple-level diff between two named graphs (feed-version
+    comparison: what changed between LDES harvests). Returns
+    (subj, pred, obj, change) with change ∈ {added, removed} —
+    added = in B not A, removed = in A not B. Two partition-pruned
+    scans + two anti joins."""
+    key = ["subj", "pred", "obj"]
+    a = triples.filter(F.col("graph") == graph_a).select(*key)
+    b = triples.filter(F.col("graph") == graph_b).select(*key)
+    added = b.join(a, key, "left_anti").withColumn("change", F.lit("added"))
+    removed = a.join(b, key, "left_anti").withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
 # ---------------------------------------------------------------------------
 # Canned accounting / hygiene queries from the reference docs.
 

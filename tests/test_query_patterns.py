@@ -147,3 +147,35 @@ def test_assemble_documents_nested(spark):
     docs = {r.node: json.loads(r.doc) for r in assemble_documents(edges).collect()}
     assert docs["urn:a"]["name"] == ["Alice"]
     assert docs["urn:a"]["knows"] == [{"likes": ["cake", "tea"], "name": ["Bob"]}]
+
+
+def test_describe_and_graph_diff(spark):
+    from kgap_spark.query.patterns import describe, graph_diff
+
+    triples = spark.createDataFrame(
+        [
+            ("urn:a", "p", "urn:b", None, None, "g1", None),
+            ("urn:a", "q", "lit", None, None, "g1", None),
+            ("urn:b", "r", "urn:c", None, None, "g1", None),
+            ("urn:x", "p", "urn:a", None, None, "g1", None),
+            # g2 = next harvest: one triple dropped, one added
+            ("urn:a", "p", "urn:b", None, None, "g2", None),
+            ("urn:a", "q", "lit2", None, None, "g2", None),
+        ],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    )
+    d1 = describe(triples, "urn:a")
+    assert d1.count() == 5  # 4 as subject across graphs + 1 incoming
+    got = {(r.subj, r.pred, r.obj) for r in d1.collect()}
+    assert ("urn:x", "p", "urn:a") in got
+    d2 = describe(triples, "urn:a", hops=2)
+    assert ("urn:b", "r", "urn:c") in {(r.subj, r.pred, r.obj)
+                                       for r in d2.collect()}
+
+    diff = {(r.change, r.subj, r.pred, r.obj)
+            for r in graph_diff(triples, "g1", "g2").collect()}
+    assert ("added", "urn:a", "q", "lit2") in diff
+    assert ("removed", "urn:a", "q", "lit") in diff
+    assert ("removed", "urn:b", "r", "urn:c") in diff
+    assert not any(c == "added" and o == "urn:b" for c, s, p, o in diff)

@@ -353,3 +353,38 @@ def test_parse_rdfxml_collection():
     firsts = [q[2] for q in quads if q[1] == RDF_FIRST]
     assert firsts == [f"{EX}x", f"{EX}y"]
     assert [q[2] for q in quads if q[1] == RDF_REST][-1] == RDF_NIL
+
+
+def test_write_turtle_roundtrip(spark, tmp_path):
+    """Prefix-compressed Turtle export → re-parse with the Turtle
+    reader: identical triple set; every part file carries the
+    preamble (standalone-valid)."""
+    import glob
+
+    from kgap_spark.io import write_turtle
+    from kgap_spark.io.turtle import read_turtle
+
+    df = spark.createDataFrame(
+        [
+            (f"{EX}a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             f"{EX}T", None, None, "g", None),
+            (f"{EX}a", f"{EX}n", "lit with \"quotes\"", "en", None, "g", None),
+            (f"{EX}b", f"{EX}age", "42", None, f"{XSD}integer", "g", None),
+        ],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    ).repartition(2)
+    out = str(tmp_path / "ttl")
+    write_turtle(df, out, prefixes={"ex": EX})
+    parts = [p for p in glob.glob(out + "/part-*") if not p.endswith(".crc")]
+    for p in parts:
+        txt = open(p).read()
+        if txt.strip():
+            assert txt.startswith("@prefix")
+            assert "ex:" in txt or "xsd:" in txt or "rdf:" in txt
+    back = read_turtle(spark, out, default_graph="g")
+    got = {(r.subj, r.pred, r.obj, r.obj_lang, r.obj_datatype)
+           for r in back.collect()}
+    want = {(r.subj, r.pred, r.obj, r.obj_lang, r.obj_datatype)
+            for r in df.collect()}
+    assert got == want
