@@ -188,6 +188,7 @@ def read_jsonld(
     default_graph: str | None = None,
     lines: bool = False,
     context: dict | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """JSON-LD file(s) → quad DataFrame (TRIPLES schema).
 
@@ -208,6 +209,9 @@ def read_jsonld(
         "obj_datatype string, graph string, src_url string"
     )
 
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+
     def run(batches):
         for pdf in batches:
             rows = []
@@ -216,9 +220,15 @@ def read_jsonld(
                     hashlib.md5(f"{src}:{text[:64]}:{i}".encode()).hexdigest()[:8]
                     + "-"
                 )
-                for s, p, o, lang, dt, g in parse_jsonld(
-                    text, default_graph, bnode_prefix=pfx, context=context
-                ):
+                try:
+                    quads = parse_jsonld(
+                        text, default_graph, bnode_prefix=pfx, context=context
+                    )
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for s, p, o, lang, dt, g in quads:
                     rows.append((s, p, o, lang, dt, g, src))
             yield pd.DataFrame(
                 rows,

@@ -23,13 +23,10 @@ Block format like Turtle — one file per row, parsed in mapInPandas.
 
 from __future__ import annotations
 
-import hashlib
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from kgap_spark import schemas as S
 from kgap_spark.io.turtle import RDF_NS, RDF_TYPE
 
 _XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
@@ -155,36 +152,16 @@ def parse_rdfxml(
 
 
 def read_rdfxml(
-    spark: SparkSession, path: str, default_graph: str | None = None
+    spark: SparkSession,
+    path: str,
+    default_graph: str | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """RDF/XML file(s) → quad DataFrame (TRIPLES schema); one file per
-    row (block format), parsed per Arrow batch in mapInPandas."""
-    import pandas as pd
+    row (block format), parsed per Arrow batch in mapInPandas.
+    ``on_error='skip'`` drops malformed files and continues."""
+    from kgap_spark.io.turtle import _read_block_format
 
-    files = spark.read.text(path, wholetext=True).select(
-        F.col("value"), F.input_file_name().alias("src")
+    return _read_block_format(
+        spark, path, parse_rdfxml, default_graph, on_error
     )
-    out_schema = (
-        "subj string, pred string, obj string, obj_lang string, "
-        "obj_datatype string, graph string, src_url string"
-    )
-
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            for text, src in zip(pdf["value"], pdf["src"]):
-                pfx = hashlib.md5(src.encode()).hexdigest()[:8] + "-"
-                for s, p, o, lang, dt, g in parse_rdfxml(
-                    text, default_graph, bnode_prefix=pfx
-                ):
-                    rows.append((s, p, o, lang, dt, g, src))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "subj", "pred", "obj", "obj_lang",
-                    "obj_datatype", "graph", "src_url",
-                ],
-            )
-
-    df = files.mapInPandas(run, schema=out_schema)
-    return df.select([f.name for f in S.TRIPLES.fields])

@@ -493,14 +493,40 @@ def parse_turtle(
 # Distributed reader
 
 def read_turtle(
-    spark: SparkSession, path: str, default_graph: str | None = None
+    spark: SparkSession,
+    path: str,
+    default_graph: str | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Turtle/TriG file(s) → quad DataFrame (same TRIPLES schema as
     ``read_ntriples``). One file per row (wholetext — the format is not
     line-splittable), parsed per Arrow batch in ``mapInPandas``;
     parallelism follows the file count. ``default_graph`` plays the
-    import ``?context=`` role (docs/quick-reference.md:322-327)."""
+    import ``?context=`` role (docs/quick-reference.md:322-327).
+
+    ``on_error='skip'`` isolates malformed files (dropped, job
+    continues) — the reference's ``FAILURE_IS_FATAL=false``
+    skip-and-continue at file granularity; 'fail' (default) surfaces
+    the first parse error."""
+    return _read_block_format(
+        spark, path, parse_turtle, default_graph, on_error
+    )
+
+
+def _read_block_format(
+    spark: SparkSession,
+    path: str,
+    parse_fn,
+    default_graph: str | None,
+    on_error: str = "fail",
+) -> DataFrame:
+    """Shared wholetext → mapInPandas reader for the block RDF formats
+    (Turtle/TriG, JSON-LD, RDF/XML): one file per row, file-unique
+    bnode namespaces, optional per-file error isolation."""
     import pandas as pd
+
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
 
     files = spark.read.text(path, wholetext=True).select(
         F.col("value"), F.input_file_name().alias("src")
@@ -517,9 +543,13 @@ def read_turtle(
             for text, src in zip(pdf["value"], pdf["src"]):
                 # file-unique bnode namespace: cross-file merges can't collide
                 pfx = hashlib.md5(src.encode()).hexdigest()[:8] + "-"
-                for s, p, o, lang, dt, g in parse_turtle(
-                    text, default_graph, bnode_prefix=pfx
-                ):
+                try:
+                    quads = parse_fn(text, default_graph, bnode_prefix=pfx)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for s, p, o, lang, dt, g in quads:
                     rows.append((s, p, o, lang, dt, g, src))
             yield pd.DataFrame(
                 rows,

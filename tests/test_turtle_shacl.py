@@ -388,3 +388,44 @@ def test_write_turtle_roundtrip(spark, tmp_path):
     want = {(r.subj, r.pred, r.obj, r.obj_lang, r.obj_datatype)
             for r in df.collect()}
     assert got == want
+
+
+def test_read_rdf_skip_malformed_files(spark, tmp_path):
+    """on_error='skip': one bad file among good ones is isolated (the
+    FAILURE_IS_FATAL=false analog at file granularity); 'fail' raises."""
+    from kgap_spark.io.turtle import read_turtle
+
+    (tmp_path / "good.ttl").write_text(
+        "@prefix ex: <http://example.org/> . ex:a ex:p ex:b ."
+    )
+    (tmp_path / "bad.ttl").write_text("this is :::: not turtle ;;; at all")
+    ok = read_turtle(spark, str(tmp_path), "urn:g", on_error="skip").collect()
+    assert len(ok) == 1 and ok[0].subj == f"{EX}a"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_turtle(spark, str(tmp_path), "urn:g", on_error="fail").collect()
+
+
+def test_parsers_total_on_garbage():
+    """Fuzz: parsers never hang or raise uncontrolled errors on
+    arbitrary text — any failure is an explicit parse error."""
+    import json
+
+    from kgap_spark.io.jsonld import JsonLdError, parse_jsonld
+    from kgap_spark.io.turtle import TurtleParseError, parse_turtle
+
+    garbage = [
+        "", "###", "<unclosed", '"dangling', "@prefix", "_:b", "( ( (",
+        "{ nested { blocks", "ex:a", "123.456.789", "\\u00", "a a a .",
+        "PREFIX : <x> :s :p :o", "<a> <b> 'mix\" .",
+    ]
+    for g in garbage:
+        try:
+            parse_turtle(g)
+        except TurtleParseError:
+            pass
+        try:
+            parse_jsonld(g)
+        except (JsonLdError, json.JSONDecodeError, AttributeError, TypeError):
+            pass
