@@ -12,11 +12,12 @@ Pure-stdlib (xml.etree) parser for the common RDF/XML 1.1 subset:
 - ``rdf:datatype``, inherited ``xml:lang``;
 - ``rdf:parseType="Resource"`` (inline blank node) and
   ``rdf:parseType="Collection"`` (rdf:first/rest chain);
-- property *attributes* on node elements (literal shorthand).
+- property *attributes* on node elements (literal shorthand);
+- ``rdf:li`` membership shorthand (→ rdf:_1, rdf:_2, … per container
+  node, so rdf:Seq/Bag/Alt round-trip).
 
 Not covered (rare in practice, documented):
-``rdf:parseType="Literal"``, ``rdf:li``/containers, reification
-attributes.
+``rdf:parseType="Literal"``, reification attributes.
 
 Block format like Turtle — one file per row, parsed in mapInPandas.
 """
@@ -38,6 +39,7 @@ _DATATYPE = f"{{{RDF_NS}}}datatype"
 _PARSETYPE = f"{{{RDF_NS}}}parseType"
 _DESCRIPTION = f"{{{RDF_NS}}}Description"
 _RDF_ROOT = f"{{{RDF_NS}}}RDF"
+_LI = f"{{{RDF_NS}}}li"
 
 
 class RdfXmlError(ValueError):
@@ -87,12 +89,25 @@ class _Parser:
             if attr.startswith("{"):
                 self.emit(sid, _iri_of(attr), val, lang)
 
+        li_counter = [0]  # rdf:li → rdf:_1, rdf:_2, … per node element
         for prop in el:
-            self.property(sid, prop, lang)
+            self.property(sid, prop, lang, li_counter)
         return sid
 
-    def property(self, sid: str, prop: ET.Element, lang: str | None):
-        pred = _iri_of(prop.tag)
+    def property(
+        self,
+        sid: str,
+        prop: ET.Element,
+        lang: str | None,
+        li_counter: list[int] | None = None,
+    ):
+        if prop.tag == _LI:
+            if li_counter is None:
+                li_counter = [0]
+            li_counter[0] += 1
+            pred = f"{RDF_NS}_{li_counter[0]}"
+        else:
+            pred = _iri_of(prop.tag)
         lang = prop.get(_XML_LANG, lang)
         if prop.get(_RESOURCE) is not None:
             self.emit(sid, pred, prop.get(_RESOURCE))

@@ -429,3 +429,22 @@ def test_parsers_total_on_garbage():
             parse_jsonld(g)
         except (JsonLdError, json.JSONDecodeError, AttributeError, TypeError):
             pass
+
+
+def test_parse_rdfxml_li_containers():
+    from kgap_spark.io.rdfxml import parse_rdfxml
+    from kgap_spark.io.turtle import RDF_NS
+
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/">
+  <rdf:Seq rdf:about="http://example.org/seq">
+    <rdf:li>first</rdf:li>
+    <rdf:li rdf:resource="http://example.org/x"/>
+  </rdf:Seq>
+</rdf:RDF>"""
+    quads = parse_rdfxml(doc, default_graph="urn:g")
+    preds = {q[1]: q[2] for q in quads}
+    assert preds[f"{RDF_NS}_1"] == "first"
+    assert preds[f"{RDF_NS}_2"] == f"{EX}x"
+    assert preds[f"{RDF_NS}type"] == f"{RDF_NS}Seq"
