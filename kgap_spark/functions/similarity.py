@@ -42,12 +42,13 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force cosine top-k. Returns (id, cosine) with a total
-    deterministic order (cosine desc, id asc). Rounded to 6 dp so the
-    value is stable across double-summation environments."""
+    deterministic order (cosine desc, id asc). Rounded to 5 dp so the
+    value is stable across double-summation environments (6 dp sits on
+    rounding knife edges between engines' last-ulp differences)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     emb = F.col(vec_col)
-    cos = F.round(_dot(emb, q) / (_norm(emb) * F.lit(qn)), 6)
+    cos = F.round(_dot(emb, q) / (_norm(emb) * F.lit(qn)), 5)
     return (
         embeddings.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col).asc())

@@ -1302,6 +1302,48 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9
 """
 
 
+def _emb_lsh_oracle() -> str:
+    """Full SQL oracle for the LSH-bucketed ANN path: the deterministic
+    sha-derived hyperplanes are inlined as list literals, so DuckDB
+    reproduces the signature, the multiprobe bucket set, and the
+    in-bucket cosine top-k exactly. Sign-boundary safety: the smallest
+    |dot(vector, plane)| in the testdata is ~8e-05 — orders of
+    magnitude above float accumulation error, so bucket membership
+    cannot flip between engines."""
+    from kgap_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6)
+
+    def sig_expr(vec: str) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"{[round(v, 17) for v in planes[b]]}) >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(6)
+        )
+        return f"({bits})"
+
+    probe = " OR ".join(
+        ["s.sig = qs.s"] + [f"s.sig = xor(qs.s, {1 << b})" for b in range(6)]
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sigs AS (SELECT vec_id, embedding, {sig_expr('embedding')} AS sig
+         FROM embeddings),
+qs AS (SELECT {sig_expr('qe')} AS s FROM q)
+SELECT s.vec_id,
+       ROUND(list_dot_product(s.embedding, q.qe)
+             / (sqrt(list_dot_product(s.embedding, s.embedding))
+                * sqrt(list_dot_product(q.qe, q.qe))), 5) AS cosine
+FROM sigs s, qs, q
+WHERE {probe}
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+ORACLE_EMB_LSH = _emb_lsh_oracle()
+
+
 def q_minhash_lsh_ml(spark, sf_dir):
     """Spark-ML MinHashLSH near-duplicates (JVM hash internals — no SQL
     oracle; recall vs exact jaccard is pytest-gated).
@@ -1478,6 +1520,7 @@ ORACLES: dict[str, str] = {
     "windowed_event_counts": ORACLE_WINDOWED_COUNTS,
     "emb_cosine_topk": ORACLE_EMB_COSINE_TOPK,
     "emb_near_dup": ORACLE_EMB_NEAR_DUP,
+    "emb_lsh_topk": ORACLE_EMB_LSH,
     "multimodal_features": ORACLE_MULTIMODAL,
     # emb_lsh_topk / minhash_lsh_ml: rows-only (JVM hash internals).
 }
