@@ -29,7 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query (rows-only ops omitted:
-    emb_lsh_topk, minhash_lsh_ml, multimodal_features — approximate /
-    ML-internal / mapInPandas ops, pytest-gated instead)."""
+    """DuckDB-equivalent ANSI SQL per query. Only ``minhash_lsh_ml``
+    is rows-only (Spark-ML's MinHashLSH hash coefficients are JVM
+    internals; its recall vs exact jaccard is pytest-gated)."""
     return dict(ORACLES)

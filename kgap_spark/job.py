@@ -95,6 +95,9 @@ def _import(rest: list[str]) -> int:
     ap.add_argument("--graph", default=None,
                     help="default graph for quads without one (?context=)")
     ap.add_argument("--mode", default="append", choices=["append", "merge"])
+    ap.add_argument("--lines", action="store_true",
+                    help="jsonld only: newline-delimited node objects "
+                         "(line-splittable bulk mode)")
     _common(ap)
     args = ap.parse_args(rest)
 
@@ -102,7 +105,8 @@ def _import(rest: list[str]) -> int:
     from kgap_spark.triples import TripleStore
 
     spark = _session(args)
-    quads = read_rdf(spark, args.path, args.format, args.graph)
+    kwargs = {"lines": True} if args.lines else {}
+    quads = read_rdf(spark, args.path, args.format, args.graph, **kwargs)
     store = TripleStore(spark, args.store)
     if args.mode == "merge":
         store.merge(quads)

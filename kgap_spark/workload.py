@@ -1522,5 +1522,5 @@ ORACLES: dict[str, str] = {
     "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "emb_lsh_topk": ORACLE_EMB_LSH,
     "multimodal_features": ORACLE_MULTIMODAL,
-    # emb_lsh_topk / minhash_lsh_ml: rows-only (JVM hash internals).
+    # minhash_lsh_ml: rows-only (Spark-ML JVM hash internals).
 }
