@@ -113,6 +113,43 @@ def ask(triples: DataFrame, patterns: list[tuple],
     return bgp(triples, patterns, graph).limit(1).count() > 0
 
 
+def construct(
+    triples: DataFrame,
+    where: list[tuple],
+    template: list[tuple],
+    graph: str | None = None,
+    out_graph: str | None = None,
+) -> DataFrame:
+    """SPARQL CONSTRUCT { template } WHERE { BGP }: evaluate the basic
+    graph pattern, then instantiate each template triple per solution —
+    the generic graph-to-graph rewriting verb (U4; the KG pipeline's
+    ``build_triples`` is the specialized fast path). Template terms are
+    ``Var`` (bound from the solution) or constants. Output rows carry
+    the TRIPLES schema so they feed straight into ``TripleStore``."""
+    sols = bgp(triples, where, graph)
+
+    def term(t):
+        return F.col(t.name) if isinstance(t, Var) else F.lit(t)
+
+    outs = []
+    for s, p, o in template:
+        outs.append(
+            sols.select(
+                term(s).cast("string").alias("subj"),
+                term(p).cast("string").alias("pred"),
+                term(o).cast("string").alias("obj"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(out_graph).cast("string").alias("graph"),
+                F.lit(None).cast("string").alias("src_url"),
+            )
+        )
+    result = outs[0]
+    for df in outs[1:]:
+        result = result.unionByName(df)
+    return result.distinct()
+
+
 def describe(triples: DataFrame, uri: str, hops: int = 1) -> DataFrame:
     """SPARQL DESCRIBE <uri>: every triple where the resource is
     subject or object, optionally following blank-node/object closure

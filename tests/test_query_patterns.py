@@ -179,3 +179,29 @@ def test_describe_and_graph_diff(spark):
     assert ("removed", "urn:a", "q", "lit") in diff
     assert ("removed", "urn:b", "r", "urn:c") in diff
     assert not any(c == "added" and o == "urn:b" for c, s, p, o in diff)
+
+
+def test_construct_template_instantiation(spark):
+    """CONSTRUCT: a 2-pattern BGP rewritten into new triples (grandparent
+    derivation), constants and variables mixed in the template."""
+    from kgap_spark.query.patterns import Var, construct
+
+    triples = spark.createDataFrame(
+        [("urn:a", "parent", "urn:b", None, None, "g", None),
+         ("urn:b", "parent", "urn:c", None, None, "g", None),
+         ("urn:x", "parent", "urn:y", None, None, "g", None)],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    )
+    out = construct(
+        triples,
+        where=[(Var("gp"), "parent", Var("p")), (Var("p"), "parent", Var("c"))],
+        template=[(Var("gp"), "grandparent", Var("c")),
+                  (Var("c"), "rdf:type", "Grandchild")],
+        out_graph="urn:derived",
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert rows == {("urn:a", "grandparent", "urn:c"),
+                    ("urn:c", "rdf:type", "Grandchild")}
+    assert {r.graph for r in out.collect()} == {"urn:derived"}
+    assert out.columns[:3] == ["subj", "pred", "obj"]  # TRIPLES shape
