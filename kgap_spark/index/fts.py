@@ -12,6 +12,8 @@ a pruned scan + partial agg at any scale, never a full-corpus regex.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -22,6 +24,13 @@ def tokens_col(text_col: str):
     return F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_RE), lambda t: t != F.lit("")
     )
+
+
+def query_tokens(query: str) -> list[str]:
+    """Tokenize a query with the SAME rule as the index build — a
+    whitespace split would leave punctuation attached ('data-driven')
+    and silently match nothing."""
+    return [t for t in re.split(TOKEN_RE, query.lower()) if t]
 
 
 def build_posting_table(
@@ -45,11 +54,15 @@ def bucket_of(token_col):
     return F.pmod(F.xxhash64(token_col), F.lit(N_TOKEN_BUCKETS))
 
 
-def write_posting_table(posting: DataFrame, path: str) -> None:
+def write_posting_table(posting: DataFrame, path: str, n_docs: int | None = None) -> None:
     """Materialize the inverted index partitioned by token bucket: a
     search reads only its query tokens' buckets (partition pruning) —
     the Lucene-index analog. Build once per corpus, query many times;
-    ~1/64 of the index read per single-token query."""
+    ~1/64 of the index read per single-token query.
+
+    ``n_docs`` (corpus size, for IDF) is persisted in a ``_doc_count``
+    sidecar — parquet readers ignore underscore files — so a tf-idf
+    search never rescans the whole index to learn N."""
     (
         posting.withColumn("_bucket", bucket_of(F.col("token")))
         .repartition("_bucket")
@@ -57,13 +70,68 @@ def write_posting_table(posting: DataFrame, path: str) -> None:
         .partitionBy("_bucket")
         .parquet(path)
     )
+    if n_docs is None:
+        n_docs = posting.select("subj").distinct().count()
+    from kgap_spark.io.fs import write_text_file
+
+    write_text_file(
+        posting.sparkSession, path.rstrip("/") + "/_doc_count", str(n_docs)
+    )
 
 
-def fts_search_indexed(spark, path: str, query: str, k: int = 20) -> DataFrame:
+def read_doc_count(spark, path: str) -> int | None:
+    """The ``_doc_count`` sidecar written by ``write_posting_table``,
+    or None for pre-sidecar indexes."""
+    from kgap_spark.io.fs import read_text_file
+
+    try:
+        txt = read_text_file(spark, path.rstrip("/") + "/_doc_count")
+        return int(txt.strip())
+    except Exception:
+        return None
+
+
+def _scored(hits: DataFrame, n_docs: int | None, scoring: str, k: int) -> DataFrame:
+    """Shared scoring tail: groupBy subj, TF or TF-IDF score, top-k.
+
+    tfidf: score = Σ_t tf(t,d) · ln((N+1)/(df(t)+1)) — df computed from
+    the (already token-pruned) posting rows themselves, so a
+    corpus-wide token (df=N) contributes ~0 and can no longer drown
+    rarer terms; the smoothed +1 form keeps it SQL-expressible for the
+    DuckDB oracle. ``n_terms`` = distinct matched tokens, tie-break."""
+    if scoring == "tf":
+        scored = hits.groupBy("subj").agg(
+            F.sum("tf").cast("long").alias("score"),
+            F.countDistinct("token").alias("n_terms"),
+        )
+    elif scoring == "tfidf":
+        if n_docs is None:
+            raise ValueError("tfidf scoring needs n_docs (corpus size)")
+        df_by_token = hits.groupBy("token").agg(
+            F.countDistinct("subj").alias("df")
+        )
+        idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+        scored = (
+            hits.join(F.broadcast(df_by_token), "token")
+            .withColumn("_w", F.col("tf") * idf)
+            .groupBy("subj")
+            .agg(
+                F.round(F.sum("_w"), 6).alias("score"),
+                F.countDistinct("token").alias("n_terms"),
+            )
+        )
+    else:
+        raise ValueError(f"scoring must be 'tf' or 'tfidf', got {scoring!r}")
+    return scored.orderBy(F.desc("score"), F.desc("n_terms"), "subj").limit(k)
+
+
+def fts_search_indexed(
+    spark, path: str, query: str, k: int = 20, scoring: str = "tf"
+) -> DataFrame:
     """Search against the materialized posting table: bucket ids are
     computed driver-side from the query tokens, so the scan prunes to
     those partitions AND pushes the token equality filter."""
-    q = [t for t in query.lower().split() if t]
+    q = query_tokens(query)
     posting = spark.read.parquet(path)
     buckets = (
         spark.createDataFrame([(t,) for t in q], "token string")
@@ -74,23 +142,23 @@ def fts_search_indexed(spark, path: str, query: str, k: int = 20) -> DataFrame:
     hits = posting.filter(
         F.col("_bucket").isin(bucket_ids) & F.col("token").isin(q)
     )
-    return (
-        hits.groupBy("subj")
-        .agg(F.sum("tf").alias("score"), F.countDistinct("token").alias("n_terms"))
-        .orderBy(F.desc("score"), F.desc("n_terms"), "subj")
-        .limit(k)
-    )
+    n_docs = read_doc_count(spark, path) if scoring == "tfidf" else None
+    return _scored(hits, n_docs, scoring, k)
 
 
-def fts_search(posting: DataFrame, query: str, k: int = 20) -> DataFrame:
-    """Multi-token OR search, score = Σ tf over matched tokens
-    (the luc:score analog: TF without IDF — deterministic and
-    oracle-checkable). Ties broken by subj for total order."""
-    q = [t for t in query.lower().split() if t]
+def fts_search(
+    posting: DataFrame,
+    query: str,
+    k: int = 20,
+    scoring: str = "tf",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Multi-token OR search over an in-memory posting table.
+    ``scoring='tf'`` (score = Σ tf, the luc:score analog — deterministic
+    and oracle-checkable) or ``'tfidf'`` (df-weighted; pass ``n_docs``
+    or the corpus is rescanned once to count it)."""
+    q = query_tokens(query)
     hits = posting.filter(F.col("token").isin(q))
-    return (
-        hits.groupBy("subj")
-        .agg(F.sum("tf").alias("score"), F.countDistinct("token").alias("n_terms"))
-        .orderBy(F.desc("score"), F.desc("n_terms"), "subj")
-        .limit(k)
-    )
+    if scoring == "tfidf" and n_docs is None:
+        n_docs = posting.select("subj").distinct().count()
+    return _scored(hits, n_docs, scoring, k)

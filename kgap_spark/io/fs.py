@@ -46,6 +46,30 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(p, recursive))
 
 
+def write_text_file(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small metadata file (overwrite) through the Hadoop FS —
+    works on file:// in tests and object stores in production."""
+    fs, p = _jfs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text_file(spark: SparkSession, path: str) -> str:
+    """Read a small metadata file fully into a string (UTF-8)."""
+    fs, p = _jfs(spark, path)
+    stream = fs.open(p)
+    try:
+        jvm = spark._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def join(base: str, *parts: str) -> str:
     """URI-safe path join (os.path.join mangles scheme-qualified paths
     on some platforms; Hadoop paths are always '/'-separated)."""

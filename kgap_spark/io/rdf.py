@@ -9,15 +9,22 @@ back to RDF files plus query results to CSV/JSON/Excel
 ``docs/components/jupyter.md:580-583``).
 
 Here the line-based N-Triples / N-Quads family is implemented natively:
-``spark.read.text`` + JVM-side ``regexp_extract`` — a splittable,
+``spark.read.text`` + one fully-anchored JVM-side regex — a splittable,
 whole-stage-codegen scan that parallelizes over any corpus size (the
-right format for 100 TB bulk RDF; block formats like TTL/JSON-LD are
-not line-splittable and would need a mapInPandas parser — out of scope
-for the stub container, noted below).
+right format for 100 TB bulk RDF). The block formats (Turtle/TriG,
+JSON-LD, RDF/XML) are parsed per-file through ``mapInPandas`` in their
+own modules; ``read_rdf`` dispatches over all five.
 
-Term handling: IRIs lose their angle brackets, plain/typed/lang
-literals map onto (obj, obj_lang, obj_datatype) — the quad schema's
-literal columns.
+Term handling: IRIs lose their angle brackets, ``_:label`` blank nodes
+(legal at subject/object/graph position per the N-Quads grammar) are
+renamed into the same file-unique bnode namespace the Turtle parser
+uses (``io/turtle.py``: ``_:{md5(file)[:8]}-L{label}``) so cross-file
+merges cannot collide and cross-format reads agree, and
+plain/typed/lang literals map onto (obj, obj_lang, obj_datatype) — the
+quad schema's literal columns. Lines that do not match the grammar are
+never silently dropped: ``on_error="fail"`` (default) raises inside the
+scan with the offending line, ``on_error="skip"`` drops them but
+``ntriples_rejects`` returns them for counting/reporting.
 """
 
 from __future__ import annotations
@@ -27,14 +34,30 @@ from pyspark.sql import functions as F
 
 from kgap_spark import schemas as S
 
-# <s> <p> <o> [<g>] .   — o = IRI | "lit" | "lit"@lang | "lit"^^<dt>
-_SUBJ = r"^\s*<([^>]*)>"
-_PRED = r"^\s*<[^>]*>\s+<([^>]*)>"
-_OBJ_IRI = r"^\s*<[^>]*>\s+<[^>]*>\s+<([^>]*)>"
-_OBJ_LIT = r'^\s*<[^>]*>\s+<[^>]*>\s+"((?:[^"\\]|\\.)*)"'
-_LIT_LANG = r'"(?:[^"\\]|\\.)*"@([a-zA-Z-]+)'
-_LIT_DT = r'"(?:[^"\\]|\\.)*"\^\^<([^>]*)>'
-_GRAPH = r'(?:>|")\s*(?:@[a-zA-Z-]+|\^\^<[^>]*>)?\s+<([^>]*)>\s*\.\s*$'
+# N-Triples/N-Quads line grammar, anchored at BOTH ends. A single
+# master regex (extracted per capture group) instead of per-term
+# prefix regexes: the old unanchored graph regex could capture a
+# 3-term line's object IRI as its graph term. Groups:
+#   1 subj IRI   2 subj bnode label
+#   3 pred IRI
+#   4 obj IRI    5 obj bnode label
+#   6 literal lexical form   7 @lang   8 ^^<datatype>
+#   9 graph IRI  10 graph bnode label
+# BLANK_NODE_LABEL per the spec: leading PN_CHARS_U|digit, inner dots
+# allowed, no trailing dot.
+_IRI = r'<([^<>"\s]*)>'
+_BNODE = r"_:([A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)"
+_LINE = (
+    r"^\s*"
+    r"(?:" + _IRI + r"|" + _BNODE + r")"            # subject
+    r"\s+" + _IRI +                                  # predicate
+    r"\s+(?:" + _IRI + r"|" + _BNODE +               # object: IRI | bnode
+    r'|"((?:[^"\\]|\\.)*)"'                          # | literal
+    r"(?:@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)|\^\^" + _IRI + r")?"
+    r")"
+    r"(?:\s+(?:" + _IRI + r"|" + _BNODE + r"))?"     # optional graph term
+    r"\s*\.\s*(?:#.*)?$"
+)
 
 
 def _unescape(col):
@@ -51,37 +74,92 @@ def _unescape(col):
     return F.regexp_replace(out, nul, r"\\")
 
 
+def _nt_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Non-blank, non-comment text lines of an N-Triples/N-Quads path."""
+    return spark.read.text(path).filter(
+        (F.trim("value") != "") & ~F.trim("value").startswith("#")
+    )
+
+
+def ntriples_rejects(spark: SparkSession, path: str) -> DataFrame:
+    """Lines that do NOT parse as N-Triples/N-Quads statements — the
+    reporting companion of ``read_ntriples(on_error='skip')`` so lossy
+    imports are counted, never invisible."""
+    return _nt_lines(spark, path).filter(~F.col("value").rlike(_LINE))
+
+
 def read_ntriples(
-    spark: SparkSession, path: str, default_graph: str | None = None
+    spark: SparkSession,
+    path: str,
+    default_graph: str | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """N-Triples/N-Quads file(s) → quad DataFrame (TRIPLES schema).
 
     ``default_graph`` plays the role of the import ``?context=`` param
     (docs/quick-reference.md:322-327): quads without an explicit graph
-    term land there.
+    term land there. ``_:label`` blank nodes (legal per the N-Quads
+    grammar; the reference's own config Turtle leans on bnodes,
+    graphdb/kgap/template-repo-config.ttl:19-42) are renamed into the
+    Turtle parser's file-unique namespace ``_:{md5(file)[:8]}-L{label}``.
+
+    ``on_error``: 'fail' raises on the first unparseable line — inside
+    the distributed scan, via ``raise_error``, so there is no
+    driver-side validation pass; 'skip' drops such lines (use
+    ``ntriples_rejects`` to count them).
     """
-    lines = spark.read.text(path).filter(
-        (F.trim("value") != "") & ~F.trim("value").startswith("#")
-    )
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    lines = _nt_lines(spark, path)
     v = F.col("value")
-    subj = F.regexp_extract(v, _SUBJ, 1)
-    pred = F.regexp_extract(v, _PRED, 1)
-    obj_iri = F.regexp_extract(v, _OBJ_IRI, 1)
-    obj_lit = F.regexp_extract(v, _OBJ_LIT, 1)
-    graph_term = F.regexp_extract(v, _GRAPH, 1)
+    matched = v.rlike(_LINE)
+
+    def grp(i: int):
+        return F.regexp_extract(v, _LINE, i)
+
+    # file-unique bnode namespace, matching io/turtle.py's
+    # hashlib.md5(src).hexdigest()[:8] + "-" prefix and its "L"+label
+    # convention for labeled bnodes — cross-format reads of the same
+    # file family agree modulo the per-file hash.
+    bn_pfx = F.concat(
+        F.lit("_:"), F.substring(F.md5(F.input_file_name()), 1, 8), F.lit("-L")
+    )
+
+    def bnode(label):
+        return F.concat(bn_pfx, label)
+
+    subj = F.when(grp(1) != "", grp(1)).otherwise(bnode(grp(2)))
+    pred = grp(3)
+    # object: IRI wins, then bnode, else the (possibly empty) literal
+    obj = (
+        F.when(grp(4) != "", grp(4))
+        .when(grp(5) != "", bnode(grp(5)))
+        .otherwise(_unescape(grp(6)))
+    )
+    graph = F.coalesce(
+        F.nullif(grp(9), F.lit("")),
+        F.when(grp(10) != "", bnode(grp(10))),
+        F.lit(default_graph),
+    )
+    if on_error == "fail":
+        # raise inside the scan on the first bad line; when() keeps
+        # raise_error un-evaluated for matching rows
+        subj = F.when(matched, subj).otherwise(
+            F.raise_error(
+                F.concat(F.lit("unparseable N-Triples/N-Quads line: "), v)
+            ).cast("string")
+        )
     return (
-        lines.select(
+        lines.filter(matched if on_error == "skip" else F.lit(True))
+        .select(
             subj.alias("subj"),
             pred.alias("pred"),
-            F.when(obj_iri != "", obj_iri).otherwise(_unescape(obj_lit)).alias("obj"),
-            F.nullif(F.regexp_extract(v, _LIT_LANG, 1), F.lit("")).alias("obj_lang"),
-            F.nullif(F.regexp_extract(v, _LIT_DT, 1), F.lit("")).alias("obj_datatype"),
-            F.coalesce(
-                F.nullif(graph_term, F.lit("")), F.lit(default_graph)
-            ).alias("graph"),
+            obj.alias("obj"),
+            F.nullif(grp(7), F.lit("")).alias("obj_lang"),
+            F.nullif(grp(8), F.lit("")).alias("obj_datatype"),
+            graph.alias("graph"),
             F.lit(None).cast("string").alias("src_url"),
         )
-        .filter((F.col("subj") != "") & (F.col("pred") != ""))
     )
 
 
@@ -103,11 +181,11 @@ def read_rdf(
     """
     fmt = fmt.lower().replace("-", "").replace("/", "")
     if fmt in ("ntriples", "nquads", "nt", "nq"):
-        return read_ntriples(spark, path, default_graph)
+        return read_ntriples(spark, path, default_graph, **kwargs)
     if fmt in ("turtle", "ttl", "trig"):
         from kgap_spark.io.turtle import read_turtle
 
-        return read_turtle(spark, path, default_graph)
+        return read_turtle(spark, path, default_graph, **kwargs)
     if fmt in ("jsonld", "ldjson", "json"):
         from kgap_spark.io.jsonld import read_jsonld
 
@@ -115,7 +193,7 @@ def read_rdf(
     if fmt in ("rdfxml", "xml"):
         from kgap_spark.io.rdfxml import read_rdfxml
 
-        return read_rdfxml(spark, path, default_graph)
+        return read_rdfxml(spark, path, default_graph, **kwargs)
     raise ValueError(f"unsupported RDF format: {fmt}")
 
 
@@ -123,13 +201,44 @@ def _escape(col):
     out = F.regexp_replace(col, r"\\", r"\\\\")
     out = F.regexp_replace(out, '"', r'\\"')
     out = F.regexp_replace(out, "\n", r"\\n")
+    # \r must round-trip too: Hadoop's line reader treats a bare CR as
+    # a record terminator, so an unescaped one splits the statement
+    out = F.regexp_replace(out, "\r", r"\\r")
     return F.regexp_replace(out, "\t", r"\\t")
+
+
+# "Is this obj string an IRI?" — generic RFC 3986 scheme test instead
+# of an https?/urn allowlist (the reference's own LDES feeds use
+# file:/// IRIs): any scheme followed by ://, plus the common
+# non-hierarchical schemes. Anchored + no-whitespace so ordinary prose
+# with a colon ("note: hi") stays a literal. The quad schema carries no
+# explicit term-type column, so this heuristic is shared by every
+# serializer; a literal that happens to look exactly like an IRI (no
+# lang/datatype, scheme prefix, no spaces) serializes as an IRI.
+_IRI_OBJ = (
+    r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://\S+"
+    r"|(?:urn|mailto|doi|tel|data|news|tag|isbn|info|hdl|ark|file|ftp):\S+)$"
+)
+
+
+def _is_iri(col):
+    return col.rlike(_IRI_OBJ)
+
+
+def _is_bnode(col):
+    return col.startswith("_:")
 
 
 def ntriples_lines(triples: DataFrame, with_graph: bool = True) -> DataFrame:
     """quad DataFrame → one N-Triples/N-Quads line per row (native
-    concat; ready for ``.write.text``)."""
-    obj_is_iri = F.col("obj").rlike("^(https?|urn):")
+    concat; ready for ``.write.text``). Blank-node subjects/objects/
+    graphs serialize as ``_:label`` terms, not bracketed IRIs."""
+
+    def iri_or_bnode(col):
+        return F.when(_is_bnode(col), col).otherwise(
+            F.concat(F.lit("<"), col, F.lit(">"))
+        )
+
     lit = F.concat(F.lit('"'), _escape(F.col("obj")), F.lit('"'))
     lit = F.when(
         F.col("obj_lang").isNotNull(),
@@ -138,17 +247,22 @@ def ntriples_lines(triples: DataFrame, with_graph: bool = True) -> DataFrame:
         F.col("obj_datatype").isNotNull(),
         F.concat(lit, F.lit("^^<"), F.col("obj_datatype"), F.lit(">")),
     ).otherwise(lit)
-    obj_term = F.when(
-        obj_is_iri & F.col("obj_lang").isNull() & F.col("obj_datatype").isNull(),
-        F.concat(F.lit("<"), F.col("obj"), F.lit(">")),
-    ).otherwise(lit)
+    untyped = F.col("obj_lang").isNull() & F.col("obj_datatype").isNull()
+    obj_term = (
+        F.when(_is_bnode(F.col("obj")) & untyped, F.col("obj"))
+        .when(
+            _is_iri(F.col("obj")) & untyped,
+            F.concat(F.lit("<"), F.col("obj"), F.lit(">")),
+        )
+        .otherwise(lit)
+    )
     parts = [
-        F.concat(F.lit("<"), F.col("subj"), F.lit(">")),
+        iri_or_bnode(F.col("subj")),
         F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
         obj_term,
     ]
     if with_graph:
-        parts.append(F.concat(F.lit("<"), F.col("graph"), F.lit(">")))
+        parts.append(iri_or_bnode(F.col("graph")))
     return triples.select(
         F.concat_ws(" ", *parts, F.lit(".")).alias("value")
     )
@@ -166,7 +280,10 @@ DEFAULT_PREFIXES = {
     "xsd": "http://www.w3.org/2001/XMLSchema#",
 }
 
-_PN_LOCAL_OK = r"^[A-Za-z0-9_\-.]*$"
+# Turtle PN_LOCAL subset: no leading '-'/'.' and no trailing '.'
+# (a trailing dot would merge with the statement terminator — the
+# repo's own read_turtle rejects `ex:v1. .`); falls back to <iri> form.
+_PN_LOCAL_OK = r"^(?![.\-])[A-Za-z0-9_\-.]*(?<!\.)$"
 
 
 def _compress_iri(col, prefixes: dict[str, str]):
@@ -186,8 +303,8 @@ def _compress_iri(col, prefixes: dict[str, str]):
 def turtle_lines(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
     """quad DataFrame → one prefix-compressed Turtle statement per row
     (no preamble — ``write_turtle`` adds it per output file)."""
-    obj_is_iri = F.col("obj").rlike("^(https?|urn):")
-    obj_is_bnode = F.col("obj").startswith("_:")
+    obj_is_iri = _is_iri(F.col("obj"))
+    obj_is_bnode = _is_bnode(F.col("obj"))
     lit = F.concat(F.lit('"'), _escape(F.col("obj")), F.lit('"'))
     lit = F.when(
         F.col("obj_lang").isNotNull(),

@@ -98,6 +98,9 @@ def _import(rest: list[str]) -> int:
     ap.add_argument("--lines", action="store_true",
                     help="jsonld only: newline-delimited node objects "
                          "(line-splittable bulk mode)")
+    ap.add_argument("--on-error", default="fail", choices=["fail", "skip"],
+                    help="unparseable input: fail the job (default) or "
+                         "skip-and-report (rejected_lines in the output)")
     _common(ap)
     args = ap.parse_args(rest)
 
@@ -106,13 +109,28 @@ def _import(rest: list[str]) -> int:
 
     spark = _session(args)
     kwargs = {"lines": True} if args.lines else {}
+    fmt_norm = args.format.lower().replace("-", "").replace("/", "")
+    if fmt_norm in ("ntriples", "nquads", "nt", "nq", "turtle", "ttl",
+                    "trig", "jsonld", "ldjson", "json", "rdfxml", "xml"):
+        kwargs["on_error"] = args.on_error
     quads = read_rdf(spark, args.path, args.format, args.graph, **kwargs)
     store = TripleStore(spark, args.store)
+    # count the INCOMING quads, not the store total after the write (a
+    # second import into a non-empty store would report a misleading
+    # figure); localCheckpoint so the count and the write share one scan
+    quads = quads.localCheckpoint(eager=True)
+    n_in = quads.count()
     if args.mode == "merge":
         store.merge(quads)
     else:
         store.append(quads)
-    print(json.dumps({"imported": store.read().count(), "mode": args.mode}))
+    out = {"imported": n_in, "mode": args.mode}
+    fmt = args.format.lower().replace("-", "").replace("/", "")
+    if fmt in ("ntriples", "nquads", "nt", "nq"):
+        from kgap_spark.io.rdf import ntriples_rejects
+
+        out["rejected_lines"] = ntriples_rejects(spark, args.path).count()
+    print(json.dumps(out))
     return 0
 
 

@@ -123,23 +123,35 @@ class TripleStore:
         )
 
     def merge(self, df: DataFrame) -> None:
-        """Sync mode: quad-level upsert. For each graph present in the
-        update, the stored content becomes dedup(existing ∪ update).
-        Emulates `MERGE INTO triples ON quad-key WHEN NOT MATCHED
-        INSERT` at partition granularity."""
-        update = df.select([f.name for f in S.TRIPLES.fields])
-        graphs = update.select("graph").distinct()
+        """Sync mode: quad-level upsert — `MERGE INTO triples ON
+        quad-key WHEN NOT MATCHED INSERT` ("no duplicate data
+        ingestion", docs/components/ldes-consumer.md:589-590).
+
+        Append-only formulation: the update is anti-joined against the
+        affected graphs' existing quad keys and ONLY the new quads are
+        appended. Existing partition files are read, never rewritten —
+        O(update) write instead of the previous O(graph) rewrite-and-
+        checkpoint, which at 100 TB is the difference between a delta
+        commit and re-writing a whole feed's history. No read-overwrite
+        hazard either (append never deletes the files the anti-join is
+        scanning), so no eager localCheckpoint. True replaces go
+        through ``overwrite_graphs``; row removal through
+        ``delete_quads``."""
+        update = df.select([f.name for f in S.TRIPLES.fields]).dropDuplicates(
+            QUAD_KEY
+        )
         if self.exists():
-            existing = self.read().join(F.broadcast(graphs), "graph", "left_semi")
-            merged = existing.unionByName(update).dropDuplicates(QUAD_KEY)
+            # driver-side graph list (bounded by the number of feeds) →
+            # static partition pruning on the existing-side scan
+            update = update.localCheckpoint(eager=True)  # O(update), reused 2×
+            graphs = [r.graph for r in update.select("graph").distinct().collect()]
+            existing_keys = self.read().filter(
+                F.col("graph").isin(graphs)
+            ).select(*QUAD_KEY)
+            new_quads = update.join(existing_keys, QUAD_KEY, "left_anti")
         else:
-            merged = update.dropDuplicates(QUAD_KEY)
-        # Materialize BEFORE overwriting: the merged plan reads the very
-        # files dynamic partition overwrite is about to delete (Spark's
-        # read-overwrite-same-path hazard; Iceberg's snapshot isolation
-        # makes this safe natively — parquet needs the explicit cut).
-        merged = merged.localCheckpoint(eager=True)
-        self.overwrite_graphs(merged)
+            new_quads = update
+        self.append(new_quads)
 
     def delete_quads(self, quads: DataFrame) -> None:
         """U2: DELETE DATA — remove specific quads

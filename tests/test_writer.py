@@ -46,6 +46,54 @@ def test_append_overwrite_merge_delete(spark, tmp_path):
     assert [(r.graph, r.n_triples) for r in rows] == [(g2, 1)]
 
 
+def test_merge_appends_delta_without_rewriting_existing_files(spark, tmp_path):
+    """Sync-mode merge is append-only: merging a small delta into a
+    large graph must leave every pre-existing parquet file untouched
+    (no O(graph) partition rewrite), add only the new quads, and stay
+    idempotent."""
+    import os
+
+    store = TripleStore(spark, str(tmp_path / "t3"))
+    g = "urn:g:big"
+    base = _quads(spark, [(f"s{i}", "p", str(i), g) for i in range(5000)])
+    store.append(base)
+
+    def file_states(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = file_states(tmp_path / "t3")
+    assert before  # sanity: base files exist
+
+    # delta: 1 duplicate (dropped) + 2 new quads
+    store.merge(
+        _quads(
+            spark,
+            [("s0", "p", "0", g), ("new1", "p", "x", g), ("new2", "p", "y", g)],
+        )
+    )
+    after = file_states(tmp_path / "t3")
+    # every original file survives byte-identical (same size+mtime)
+    for p, sig in before.items():
+        assert after.get(p) == sig, f"pre-existing file rewritten: {p}"
+    assert len(after) > len(before)  # the delta landed in new files
+    assert store.read_graph(g).count() == 5002
+
+    # idempotence: re-merging the same delta adds nothing
+    store.merge(_quads(spark, [("new1", "p", "x", g), ("new2", "p", "y", g)]))
+    assert store.read_graph(g).count() == 5002
+    # and still no rewrite of the original files
+    final = file_states(tmp_path / "t3")
+    for p, sig in before.items():
+        assert final.get(p) == sig
+
+
 def test_partition_pruning_in_plan(spark, tmp_path):
     """read_graph must prune to one partition (PartitionFilters in the
     scan, not a post-scan filter)."""
