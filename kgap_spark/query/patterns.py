@@ -30,8 +30,14 @@ class Var:
     name: str
 
 
-def _slice(triples: DataFrame, pattern, idx: int) -> tuple[DataFrame, dict[str, str]]:
-    """One triple pattern → filtered/projected slice + var→column map."""
+def _slice(
+    triples: DataFrame, pattern, idx: int, carry_meta: bool = False
+) -> tuple[DataFrame, dict[str, str]]:
+    """One triple pattern → filtered/projected slice + var→column map.
+
+    ``carry_meta``: when the object is a variable, also project its
+    literal metadata as ``{var}__lang`` / ``{var}__dt`` — the binding
+    the SPARQL front-end's LANG()/DATATYPE() filters read."""
     s, p, o = pattern
     df = triples
     out_cols: dict[str, str] = {}
@@ -39,12 +45,19 @@ def _slice(triples: DataFrame, pattern, idx: int) -> tuple[DataFrame, dict[str, 
         if isinstance(term, Var):
             col = f"{term.name}"
             out_cols[term.name] = col
+        elif isinstance(term, (tuple, frozenset, set)):
+            # any-of constant (e.g. SPARQL's `a` matching both the full
+            # rdf:type IRI and the compact store convention)
+            df = df.filter(F.col(field).isin(*term))
         else:
             df = df.filter(F.col(field) == F.lit(term))
     sel = []
     for field, term in (("subj", s), ("pred", p), ("obj", o)):
         if isinstance(term, Var):
             sel.append(F.col(field).alias(term.name))
+            if carry_meta and field == "obj":
+                sel.append(F.col("obj_lang").alias(f"{term.name}__lang"))
+                sel.append(F.col("obj_datatype").alias(f"{term.name}__dt"))
     # a variable used twice in one pattern (?x ?p ?x) needs a self-equality
     names = [t.name for t in (s, p, o) if isinstance(t, Var)]
     if len(set(names)) != len(names):  # pragma: no cover - rare
@@ -52,9 +65,20 @@ def _slice(triples: DataFrame, pattern, idx: int) -> tuple[DataFrame, dict[str, 
     return df.select(*sel), out_cols
 
 
-def bgp(triples: DataFrame, patterns: list[tuple], graph: str | None = None) -> DataFrame:
+def _is_meta(col: str) -> bool:
+    return col.endswith("__lang") or col.endswith("__dt")
+
+
+def bgp(
+    triples: DataFrame,
+    patterns: list[tuple],
+    graph: str | None = None,
+    carry_meta: bool = False,
+) -> DataFrame:
     """Evaluate a basic graph pattern: list of (s, p, o) triples whose
-    terms are ``Var`` or constants. Returns one column per variable.
+    terms are ``Var`` or constants. Returns one column per variable
+    (plus ``{var}__lang``/``{var}__dt`` meta columns for object
+    variables when ``carry_meta`` — first binding wins).
 
     Example (docs/advanced-topics.md:150-168):
         bgp(t, [
@@ -67,16 +91,25 @@ def bgp(triples: DataFrame, patterns: list[tuple], graph: str | None = None) -> 
     acc: DataFrame | None = None
     bound: set[str] = set()
     for i, pattern in enumerate(patterns):
-        sl, _ = _slice(triples, pattern, i)
+        sl, _ = _slice(triples, pattern, i, carry_meta=carry_meta)
         if acc is None:
             acc = sl
         else:
-            shared = sorted(bound & set(sl.columns))
+            # join on shared VARIABLES only; drop meta columns the
+            # accumulated side already carries (first binding wins)
+            dup_meta = [
+                c for c in sl.columns if _is_meta(c) and c in acc.columns
+            ]
+            if dup_meta:
+                sl = sl.drop(*dup_meta)
+            shared = sorted(
+                bound & {c for c in sl.columns if not _is_meta(c)}
+            )
             if shared:
                 acc = acc.join(sl, on=shared, how="inner")
             else:
                 acc = acc.crossJoin(sl)
-        bound |= set(sl.columns)
+        bound |= {c for c in sl.columns if not _is_meta(c)}
     if acc is None:
         raise ValueError("empty BGP")
     return acc

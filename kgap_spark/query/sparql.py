@@ -1,0 +1,752 @@
+"""SPARQL-text front-end over the pattern compiler.
+
+k-gap's user surface is SPARQL strings — typed in notebooks
+(``jupyter/kgap/notebooks/kgap_tools.py:17-26``), templated from
+``queries/*.sparql`` files, POSTed to GraphDB. This module parses the
+concrete SPARQL subset those docs use — SELECT/ASK over a WHERE group
+with BGP triples (``;`` property lists, ``a`` = rdf:type), FILTER
+(comparisons, &&/||/!, LANG, STR, CONTAINS, STRLEN, BOUND, REGEX),
+OPTIONAL, FILTER NOT EXISTS, GRAPH scoping, GROUP BY/HAVING, ORDER BY/
+LIMIT/OFFSET, aggregates COUNT/MAX/MIN/SUM/AVG (reference queries:
+``docs/quick-reference.md:186-222``, ``docs/components/jupyter.md:
+557-566``, ``docs/advanced-topics.md:299-311,377-394``) — and compiles
+it onto the existing ``bgp``/``optional_pattern``/``not_exists`` plans,
+so every query stays a Catalyst DataFrame plan (pruned scans,
+re-orderable equi-joins, partial aggregation — never an interpreter
+loop).
+
+GraphDB's Lucene magic predicates (``?e luc:searchIndex "q"`` +
+``?e luc:score ?s``, docs/quick-reference.md:215-222) are recognized
+and routed to the FTS module: the two virtual patterns leave the BGP
+and become a posting-table search over the store's literal objects,
+joined back on the entity variable.
+
+Term convention: prefixed names expand through the query's PREFIX
+declarations; a pname whose prefix is NOT declared stays compact
+(matching the repo's compact-IRI storage convention, e.g.
+``rdf:type``), so the same parser serves full-IRI and compact stores.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgap_spark.query.patterns import Var, bgp, _is_meta
+
+LUCENE_NS = "http://www.ontotext.com/owlim/lucene#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# ---------------------------------------------------------------------------
+# Tokenizer.
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<COMMENT>\#[^\n]*)
+  | (?P<IRI><[^<>"{}|^`\\\s]*>)
+  | (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*@/])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "PREFIX", "BASE", "SELECT", "ASK", "DISTINCT", "WHERE", "FILTER",
+    "OPTIONAL", "NOT", "EXISTS", "GRAPH", "GROUP", "BY", "HAVING",
+    "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION",
+}
+_AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG"}
+_FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
+          "DATATYPE", "STRSTARTS", "STRENDS", "LCASE", "UCASE"}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(q: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i, n = 0, len(q)
+    while i < n:
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise ValueError(f"SPARQL tokenizer: bad input at {q[i:i+30]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("WS", "COMMENT"):
+            continue
+        text = m.group(0)
+        if kind == "PNAME" and text.upper() in _KEYWORDS | _AGGS | _FUNCS:
+            toks.append(Tok("KW", text.upper()))
+        else:
+            toks.append(Tok(kind, text))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST.
+
+@dataclass
+class Lit:
+    """An RDF literal constant in a query."""
+
+    value: str
+    lang: str | None = None
+    datatype: str | None = None
+
+
+@dataclass
+class Num:
+    value: float
+    text: str
+
+
+@dataclass
+class FnCall:
+    name: str
+    args: list
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class NotExpr:
+    inner: object
+
+
+@dataclass
+class Agg:
+    fn: str           # COUNT/MAX/MIN/SUM/AVG
+    arg: object       # Var | "*"
+    distinct: bool = False
+
+
+@dataclass
+class Group:
+    """One { … } group: triples, filters, optionals, not-exists,
+    graph-scoped subgroups."""
+
+    triples: list = field(default_factory=list)       # (s, p, o) tuples
+    filters: list = field(default_factory=list)       # Expr
+    optionals: list = field(default_factory=list)     # Group
+    not_exists: list = field(default_factory=list)    # Group
+    graph_scopes: list = field(default_factory=list)  # (term, Group)
+
+
+@dataclass
+class Query:
+    form: str                     # "select" | "ask"
+    distinct: bool = False
+    projections: list = field(default_factory=list)  # Var | (expr, alias)
+    where: Group | None = None
+    group_by: list = field(default_factory=list)     # [Var]
+    having: object | None = None
+    order_by: list = field(default_factory=list)     # [(expr, asc: bool)]
+    limit: int | None = None
+    offset: int | None = None
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent).
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("SPARQL parser: unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise ValueError(
+                f"SPARQL parser: expected {text or kind}, got {t.text!r}"
+            )
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "KW" and t.text in kws
+
+    # -- entry ---------------------------------------------------------
+    def parse(self) -> Query:
+        while self.at_kw("PREFIX", "BASE"):
+            kw = self.next().text
+            if kw == "BASE":
+                self.expect("IRI")
+                continue
+            pn = self.expect("PNAME").text
+            iri = self.expect("IRI").text
+            self.prefixes[pn.rstrip(":")] = iri[1:-1]
+        if self.at_kw("ASK"):
+            self.next()
+            q = Query(form="ask")
+            q.where = self.group()
+            return q
+        self.expect("KW", "SELECT")
+        q = Query(form="select")
+        if self.at_kw("DISTINCT"):
+            self.next()
+            q.distinct = True
+        q.projections = self.projection_list()
+        if self.at_kw("WHERE"):
+            self.next()
+        q.where = self.group()
+        while True:
+            if self.at_kw("GROUP"):
+                self.next()
+                self.expect("KW", "BY")
+                while self.peek() and self.peek().kind == "VAR":
+                    q.group_by.append(Var(self.next().text[1:]))
+            elif self.at_kw("HAVING"):
+                self.next()
+                q.having = self.expr()
+            elif self.at_kw("ORDER"):
+                self.next()
+                self.expect("KW", "BY")
+                while True:
+                    t = self.peek()
+                    if t is None:
+                        break
+                    if t.kind == "KW" and t.text in ("DESC", "ASC"):
+                        asc = self.next().text == "ASC"
+                        self.expect("OP", "(")
+                        q.order_by.append((self.expr(), asc))
+                        self.expect("OP", ")")
+                    elif t.kind == "VAR":
+                        q.order_by.append((Var(self.next().text[1:]), True))
+                    else:
+                        break
+            elif self.at_kw("LIMIT"):
+                self.next()
+                q.limit = int(self.expect("NUM").text)
+            elif self.at_kw("OFFSET"):
+                self.next()
+                q.offset = int(self.expect("NUM").text)
+            else:
+                break
+        if self.peek() is not None:
+            raise ValueError(
+                f"SPARQL parser: trailing input at {self.peek().text!r}"
+            )
+        return q
+
+    def projection_list(self) -> list:
+        out = []
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t.kind == "VAR":
+                out.append(Var(self.next().text[1:]))
+            elif t.kind == "OP" and t.text == "*":
+                self.next()
+                out.append("*")
+            elif t.kind == "OP" and t.text == "(":
+                self.next()
+                e = self.expr()
+                self.expect("KW", "AS")
+                alias = Var(self.expect("VAR").text[1:])
+                self.expect("OP", ")")
+                out.append((e, alias))
+            else:
+                break
+        if not out:
+            raise ValueError("SPARQL parser: empty SELECT projection")
+        return out
+
+    # -- group pattern -------------------------------------------------
+    def group(self) -> Group:
+        self.expect("OP", "{")
+        g = Group()
+        while True:
+            t = self.peek()
+            if t is None:
+                raise ValueError("SPARQL parser: unterminated group")
+            if t.kind == "OP" and t.text == "}":
+                self.next()
+                return g
+            if t.kind == "KW" and t.text == "FILTER":
+                self.next()
+                if self.at_kw("NOT"):
+                    self.next()
+                    self.expect("KW", "EXISTS")
+                    g.not_exists.append(self.group())
+                elif self.peek() and self.peek().kind == "KW" \
+                        and self.peek().text in _FUNCS:
+                    # FILTER CONTAINS(...) — bracketless builtin call
+                    g.filters.append(self.expr())
+                else:
+                    self.expect("OP", "(")
+                    g.filters.append(self.expr())
+                    self.expect("OP", ")")
+                continue
+            if t.kind == "KW" and t.text == "OPTIONAL":
+                self.next()
+                g.optionals.append(self.group())
+                continue
+            if t.kind == "KW" and t.text == "GRAPH":
+                self.next()
+                term = self.term()
+                g.graph_scopes.append((term, self.group()))
+                continue
+            self.triples_same_subject(g)
+            if self.peek() and self.peek().kind == "OP" and self.peek().text == ".":
+                self.next()
+        return g
+
+    def triples_same_subject(self, g: Group) -> None:
+        subj = self.term()
+        while True:
+            pred = self.term(as_predicate=True)
+            obj = self.term()
+            g.triples.append((subj, pred, obj))
+            t = self.peek()
+            if t and t.kind == "OP" and t.text == ";":
+                self.next()
+                # allow trailing ';' before '.' or '}'
+                t2 = self.peek()
+                if t2 and (t2.kind == "OP" and t2.text in (".", "}")):
+                    return
+                continue
+            return
+
+    def term(self, as_predicate: bool = False):
+        t = self.next()
+        if t.kind == "VAR":
+            return Var(t.text[1:])
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            if t.text == "a" and as_predicate:
+                # `a` must hit full-IRI stores (no PREFIX rdf: needed —
+                # the docs' observation query relies on that) AND the
+                # repo's compact-IRI stores: any-of constant
+                return (RDF_TYPE, "rdf:type")
+            return self.expand_pname(t.text)
+        if t.kind == "STRING":
+            return self.finish_literal(t)
+        if t.kind == "NUM":
+            return Num(float(t.text), t.text)
+        raise ValueError(f"SPARQL parser: bad term {t.text!r}")
+
+    def finish_literal(self, t: Tok) -> Lit:
+        value = _unescape_string(t.text[1:-1])
+        nxt = self.peek()
+        if nxt and nxt.kind == "OP" and nxt.text == "@":
+            self.next()
+            lang = self.expect("PNAME").text
+            return Lit(value, lang=lang)
+        if nxt and nxt.kind == "OP" and nxt.text == "^^":
+            self.next()
+            dt = self.next()
+            if dt.kind == "IRI":
+                return Lit(value, datatype=dt.text[1:-1])
+            return Lit(value, datatype=self.expand_pname(dt.text))
+        return Lit(value)
+
+    def expand_pname(self, pname: str) -> str:
+        """Declared prefix → full IRI; undeclared → keep compact (the
+        repo's compact-IRI stores; see module docstring)."""
+        if ":" not in pname:
+            return pname
+        pfx, local = pname.split(":", 1)
+        if pfx in self.prefixes:
+            return self.prefixes[pfx] + local
+        return pname
+
+    # -- expressions ---------------------------------------------------
+    def expr(self):
+        return self.or_expr()
+
+    def or_expr(self):
+        left = self.and_expr()
+        while self.peek() and self.peek().kind == "OP" and self.peek().text == "||":
+            self.next()
+            left = BinOp("||", left, self.and_expr())
+        return left
+
+    def and_expr(self):
+        left = self.unary_expr()
+        while self.peek() and self.peek().kind == "OP" and self.peek().text == "&&":
+            self.next()
+            left = BinOp("&&", left, self.unary_expr())
+        return left
+
+    def unary_expr(self):
+        t = self.peek()
+        if t and t.kind == "OP" and t.text == "!":
+            self.next()
+            return NotExpr(self.unary_expr())
+        return self.rel_expr()
+
+    def rel_expr(self):
+        left = self.primary()
+        t = self.peek()
+        if t and t.kind == "OP" and t.text in ("=", "!=", "<", ">", "<=", ">="):
+            op = self.next().text
+            return BinOp(op, left, self.primary())
+        return left
+
+    def primary(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("SPARQL parser: unexpected end of expression")
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            e = self.expr()
+            self.expect("OP", ")")
+            return e
+        if t.kind == "KW" and t.text in _AGGS:
+            self.next()
+            self.expect("OP", "(")
+            distinct = False
+            if self.at_kw("DISTINCT"):
+                self.next()
+                distinct = True
+            if self.peek().kind == "OP" and self.peek().text == "*":
+                self.next()
+                arg = "*"
+            else:
+                arg = self.primary()
+            self.expect("OP", ")")
+            return Agg(t.text, arg, distinct)
+        if t.kind == "KW" and t.text in _FUNCS:
+            self.next()
+            self.expect("OP", "(")
+            args = [self.expr()]
+            while self.peek() and self.peek().kind == "OP" and self.peek().text == ",":
+                self.next()
+                args.append(self.expr())
+            self.expect("OP", ")")
+            return FnCall(t.text, args)
+        return self.term()
+
+
+_STR_ESC = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\", "'": "'"}
+
+
+def _unescape_string(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            out.append(_STR_ESC.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def parse_sparql(text: str) -> Query:
+    return _Parser(_tokenize(text)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Compiler: AST → DataFrame plan.
+
+def _const_of(term) -> str:
+    """Pattern-position constant: literals match on their lexical form."""
+    if isinstance(term, Lit):
+        return term.value
+    if isinstance(term, Num):
+        return term.text
+    return term
+
+
+def _compile_expr(e, df: DataFrame) -> Column:
+    cols = set(df.columns)
+
+    def col_or_null(name: str) -> Column:
+        return F.col(name) if name in cols else F.lit(None).cast("string")
+
+    def to(e):
+        if isinstance(e, Var):
+            return col_or_null(e.name)
+        if isinstance(e, Lit):
+            return F.lit(e.value)
+        if isinstance(e, Num):
+            return F.lit(e.value)
+        if isinstance(e, str):       # IRI / pname constant
+            return F.lit(e)
+        if isinstance(e, NotExpr):
+            return ~to(e.inner)
+        if isinstance(e, BinOp):
+            if e.op == "&&":
+                return to(e.left) & to(e.right)
+            if e.op == "||":
+                return to(e.left) | to(e.right)
+            l, r = to(e.left), to(e.right)
+            # numeric comparison when either side is a number: SPARQL
+            # compares by value, the store keeps lexical forms
+            if isinstance(e.left, Num) or isinstance(e.right, Num):
+                l, r = l.try_cast("double"), r.try_cast("double")
+            return {
+                "=": l == r, "!=": l != r, "<": l < r,
+                ">": l > r, "<=": l <= r, ">=": l >= r,
+            }[e.op]
+        if isinstance(e, FnCall):
+            a = [to(x) for x in e.args]
+            if e.name == "LANG":
+                v = e.args[0]
+                meta = f"{v.name}__lang" if isinstance(v, Var) else None
+                if meta and meta in cols:
+                    return F.coalesce(F.col(meta), F.lit(""))
+                return F.lit("")
+            if e.name == "DATATYPE":
+                v = e.args[0]
+                meta = f"{v.name}__dt" if isinstance(v, Var) else None
+                if meta and meta in cols:
+                    return F.col(meta)
+                return F.lit(None).cast("string")
+            if e.name == "STR":
+                return a[0].cast("string")
+            if e.name == "CONTAINS":
+                return a[0].contains(a[1])
+            if e.name == "STRSTARTS":
+                return a[0].startswith(a[1])
+            if e.name == "STRENDS":
+                return a[0].endswith(a[1])
+            if e.name == "STRLEN":
+                return F.length(a[0])
+            if e.name == "LCASE":
+                return F.lower(a[0])
+            if e.name == "UCASE":
+                return F.upper(a[0])
+            if e.name == "BOUND":
+                return a[0].isNotNull()
+            if e.name == "REGEX":
+                return a[0].rlike(e.args[1].value)
+            raise ValueError(f"unsupported function {e.name}")
+        raise ValueError(f"unsupported expression node {e!r}")
+
+    return to(e)
+
+
+def _agg_col(agg: Agg) -> Column:
+    if agg.fn == "COUNT":
+        if agg.arg == "*":
+            return F.count(F.lit(1))
+        c = F.col(agg.arg.name)
+        return F.countDistinct(c) if agg.distinct else F.count(c)
+    c = F.col(agg.arg.name)
+    if agg.fn == "MAX":
+        return F.max(c)
+    if agg.fn == "MIN":
+        return F.min(c)
+    if agg.fn == "SUM":
+        return F.sum(c.try_cast("double"))
+    if agg.fn == "AVG":
+        return F.avg(c.try_cast("double"))
+    raise ValueError(f"unsupported aggregate {agg.fn}")
+
+
+def _split_lucene(g: Group):
+    """Pull GraphDB's Lucene magic patterns out of the BGP:
+    (?e luc:searchIndex "query") and (?e luc:score ?s). Returns
+    (remaining_triples, searches) with searches =
+    [(entity_var, query_string, score_var|None)]."""
+    remaining, searches = [], {}
+    score_vars = {}
+    for (s, p, o) in g.triples:
+        if p == LUCENE_NS + "searchIndex" and isinstance(s, Var):
+            q = o.value if isinstance(o, Lit) else str(o)
+            searches[s.name] = q
+        elif p == LUCENE_NS + "score" and isinstance(s, Var) and isinstance(o, Var):
+            score_vars[s.name] = o.name
+        else:
+            remaining.append((s, p, o))
+    return remaining, [
+        (ent, q, score_vars.get(ent)) for ent, q in searches.items()
+    ]
+
+
+def _eval_lucene(triples: DataFrame, ent: str, query: str,
+                 score_var: str | None) -> DataFrame:
+    """luc:searchIndex over the store's literal objects: ad-hoc posting
+    table (production uses the materialized bucket-pruned index), TF
+    score — the luc:score analog."""
+    from kgap_spark.index.fts import build_posting_table, fts_search
+
+    literals = triples.filter(
+        F.col("obj_lang").isNotNull()
+        | (F.col("obj_datatype").isNull() & ~F.col("obj").rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"))
+    ).select(F.col("subj").alias("_doc"), F.col("obj").alias("_txt"))
+    posting = build_posting_table(literals, "_doc", "_txt")
+    hits = fts_search(posting, query, k=1 << 30)
+    out = hits.select(F.col("subj").alias(ent),
+                      F.col("score").cast("double").alias(score_var or "__score"))
+    return out if score_var else out.drop("__score")
+
+
+def _compile_group(triples: DataFrame, g: Group,
+                   graph: str | None = None) -> DataFrame:
+    base_triples = triples
+    if graph is not None:
+        base_triples = base_triples.filter(F.col("graph") == graph)
+
+    patterns, searches = _split_lucene(g)
+    patterns = [(s, _const_of(p), _const_of(o)) for (s, p, o) in patterns]
+
+    df: DataFrame | None = None
+    if patterns:
+        df = bgp(base_triples, patterns, carry_meta=True)
+    for ent, q, score_var in searches:
+        sr = _eval_lucene(base_triples, ent, q, score_var)
+        df = sr if df is None else df.join(sr, on=ent, how="inner")
+    # graph-scoped subgroups join into the enclosing solution
+    for term, sub in g.graph_scopes:
+        if isinstance(term, Var):
+            raise ValueError("GRAPH ?var scoping not supported; use a constant")
+        sub_df = _compile_group(triples, sub, graph=term)
+        if df is None:
+            df = sub_df
+        else:
+            shared = sorted(
+                set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
+            )
+            sub_df = sub_df.drop(*[c for c in sub_df.columns
+                                   if _is_meta(c) and c in df.columns])
+            df = df.join(sub_df, on=shared, how="inner") if shared \
+                else df.crossJoin(sub_df)
+    if df is None:
+        raise ValueError("SPARQL compiler: empty WHERE group")
+    for sub in g.optionals:
+        sub_df = _compile_group(triples, sub, graph=graph)
+        sub_df = sub_df.drop(*[c for c in sub_df.columns
+                               if _is_meta(c) and c in df.columns])
+        shared = sorted(
+            set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
+        )
+        df = df.join(sub_df, on=shared, how="left") if shared \
+            else df.crossJoin(sub_df)
+    for sub in g.not_exists:
+        sub_df = _compile_group(triples, sub, graph=graph)
+        shared = sorted(
+            set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
+        )
+        if not shared:
+            raise ValueError("FILTER NOT EXISTS with no shared variables")
+        df = df.join(sub_df.select(*shared).distinct(), on=shared,
+                     how="left_anti")
+    for f_expr in g.filters:
+        df = df.filter(_compile_expr(f_expr, df))
+    return df
+
+
+def _project(q: Query, df: DataFrame) -> DataFrame:
+    has_agg = bool(q.group_by) or any(
+        isinstance(p, tuple) and isinstance(p[0], Agg) for p in q.projections
+    ) or isinstance(q.having, BinOp)
+
+    if not has_agg:
+        if q.projections == ["*"]:
+            out = df.select(*[c for c in df.columns if not _is_meta(c)])
+        else:
+            sel = []
+            for p in q.projections:
+                if isinstance(p, Var):
+                    sel.append(
+                        (F.col(p.name) if p.name in df.columns
+                         else F.lit(None).cast("string")).alias(p.name)
+                    )
+                else:
+                    e, alias = p
+                    sel.append(_compile_expr(e, df).alias(alias.name))
+            out = df.select(*sel)
+        return out.distinct() if q.distinct else out
+
+    group_cols = [v.name for v in q.group_by]
+    aggs, post_sel = [], []
+    for p in q.projections:
+        if isinstance(p, Var):
+            if p.name in group_cols:
+                post_sel.append(F.col(p.name))
+            else:
+                # unbound/non-grouped var (the docs' ?types slip):
+                # SPARQL returns unbound → NULL
+                post_sel.append(F.lit(None).cast("string").alias(p.name))
+        else:
+            e, alias = p
+            if isinstance(e, Agg):
+                aggs.append(_agg_col(e).alias(alias.name))
+                post_sel.append(F.col(alias.name))
+            else:
+                raise ValueError("non-aggregate projection expression "
+                                 "requires GROUP BY variable")
+    having_col = None
+    if q.having is not None:
+        def agg_of(e):
+            if isinstance(e, Agg):
+                return _agg_col(e)
+            return None
+
+        # HAVING (COUNT(?x) > 1): compute the aggregate as a hidden
+        # column, filter after the agg
+        h = q.having
+        if isinstance(h, BinOp) and isinstance(h.left, Agg):
+            aggs.append(_agg_col(h.left).alias("__having"))
+            rhs = h.right.value if isinstance(h.right, Num) else h.right
+            having_col = ("__having", h.op, rhs)
+        else:
+            raise ValueError("HAVING supports <aggregate> <op> <number>")
+
+    gdf = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+    if having_col is not None:
+        name, op, rhs = having_col
+        c = F.col(name)
+        cond = {"=": c == rhs, "!=": c != rhs, "<": c < rhs,
+                ">": c > rhs, "<=": c <= rhs, ">=": c >= rhs}[op]
+        gdf = gdf.filter(cond).drop(name)
+    return gdf.select(*post_sel)
+
+
+def _order_limit(q: Query, df: DataFrame) -> DataFrame:
+    if q.order_by:
+        keys = []
+        for e, asc in q.order_by:
+            c = (F.col(e.name) if isinstance(e, Var) and e.name in df.columns
+                 else _compile_expr(e, df))
+            keys.append(c.asc() if asc else c.desc())
+        df = df.orderBy(*keys)
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def execute_sparql(triples: DataFrame, text: str):
+    """Parse + compile + run a SPARQL string against a quad DataFrame
+    (TRIPLES schema). SELECT → DataFrame (one column per projected
+    variable, ``?`` stripped); ASK → bool."""
+    q = parse_sparql(text)
+    df = _compile_group(triples, q.where)
+    if q.form == "ask":
+        return df.limit(1).count() > 0
+    return _order_limit(q, _project(q, df))

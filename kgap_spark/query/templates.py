@@ -47,33 +47,65 @@ BUILTIN = {
 
 
 class QueryTemplates:
-    """Template registry: built-ins + ``*.sql`` files from a folder."""
+    """Template registry: built-ins + ``*.sql`` / ``*.sparql`` files
+    from a folder (the reference loads ``./queries/*.sparql``,
+    kgap_tools.py:13-19). SQL templates run via ``spark.sql`` against
+    registered temp views; SPARQL templates run through the
+    ``query.sparql`` front-end against the ``triples`` DataFrame passed
+    to the constructor."""
 
-    def __init__(self, spark: SparkSession, templates_folder: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        templates_folder: str | None = None,
+        triples: DataFrame | None = None,
+    ):
         self.spark = spark
+        self.triples = triples
         self.templates: dict[str, str] = dict(BUILTIN)
+        self.sparql_names: set[str] = set()
         if templates_folder and os.path.isdir(templates_folder):
             for fn in sorted(os.listdir(templates_folder)):
                 if fn.endswith(".sql"):
                     with open(os.path.join(templates_folder, fn)) as f:
                         self.templates[fn[:-4]] = f.read()
+                elif fn.endswith(".sparql"):
+                    with open(os.path.join(templates_folder, fn)) as f:
+                        self.templates[fn[:-7]] = f.read()
+                    self.sparql_names.add(fn[:-7])
 
     def generate_sql(self, name: str, **vars: object) -> str:
         """The ``generate_sparql`` analog (kgap_tools.py:17-19):
-        substitute ``${var}`` placeholders. Values are validated against
-        a conservative quote-free character class, and ``table`` (which
-        substitutes unquoted into the FROM clause) against a strict
-        identifier regex — template substitution is not a SQL-injection
-        surface."""
-        for k, v in vars.items():
-            pattern = _TABLE if k == "table" else _VALUE
-            if not pattern.match(str(v)):
-                raise ValueError(f"unsafe template value for {k!r}: {v!r}")
+        substitute ``${var}`` placeholders. For SQL templates, values
+        are validated against a conservative quote-free character class
+        and ``table`` (which substitutes unquoted into the FROM clause)
+        against a strict identifier regex — template substitution is
+        not a SQL-injection surface. SPARQL templates skip the value
+        filter (reference templates inject whole FILTER lines,
+        advanced-topics.md:299-311); the SPARQL parser is the gate —
+        substituted text must still parse as the supported subset, and
+        nothing is ever string-concatenated into SQL."""
+        if name not in self.sparql_names:
+            for k, v in vars.items():
+                pattern = _TABLE if k == "table" else _VALUE
+                if not pattern.match(str(v)):
+                    raise ValueError(f"unsafe template value for {k!r}: {v!r}")
         return Template(self.templates[name]).substitute(
             {k: str(v) for k, v in vars.items()}
         )
 
     def execute_to_df(self, name: str, **vars: object) -> DataFrame:
         """The ``execute_to_df`` analog (kgap_tools.py:22-31): template →
-        SQL → DataFrame (lazy; ``.toPandas()`` is the caller's choice)."""
-        return self.spark.sql(self.generate_sql(name, **vars))
+        SQL or SPARQL → DataFrame (lazy; ``.toPandas()`` is the
+        caller's choice)."""
+        text = self.generate_sql(name, **vars)
+        if name in self.sparql_names:
+            from kgap_spark.query.sparql import execute_sparql
+
+            if self.triples is None:
+                raise ValueError(
+                    "SPARQL template needs a triples DataFrame: "
+                    "QueryTemplates(spark, folder, triples=...)"
+                )
+            return execute_sparql(self.triples, text)
+        return self.spark.sql(text)

@@ -1029,11 +1029,37 @@ GROUP BY subj ORDER BY score DESC, n_terms DESC, subj ASC LIMIT 20
 """
 
 
+# tf·idf twin of the above: idf = ln((N+1)/(df+1)), N = corpus size,
+# df = docs containing the token; round(…, 6) on both engines (the
+# per-doc sum has ≤ |query tokens| addends, so fp accumulation order
+# cannot flip the 6th decimal).
+ORACLE_FTS_TFIDF = """
+WITH posting AS (
+  SELECT doc_id AS subj, tok AS token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      t -> t <> '')) AS tok
+    FROM documents)
+  GROUP BY 1, 2
+),
+hits AS (SELECT * FROM posting WHERE token IN ('join', 'stream')),
+df AS (SELECT token, COUNT(DISTINCT subj) AS df FROM hits GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+SELECT h.subj,
+       ROUND(SUM(h.tf * ln((n.n + 1.0) / (df.df + 1.0))), 6) AS score,
+       COUNT(DISTINCT h.token) AS n_terms
+FROM hits h JOIN df ON h.token = df.token CROSS JOIN n
+GROUP BY h.subj
+ORDER BY score DESC, n_terms DESC, subj ASC LIMIT 20
+"""
+
+
 def q_fts_search_indexed(spark, sf_dir):
     """F9 production path: the posting table MATERIALIZED partitioned by
     token bucket (built once per sf_dir, cached); the search prunes to
-    its query tokens' buckets instead of rebuilding the index. Same
-    result as `fts_search`, so the same oracle verifies it."""
+    its query tokens' buckets instead of rebuilding the index. Scored
+    tf·idf (the Lucene-relevance analog: luc:score,
+    quick-reference.md:215-222) with df from the pruned posting rows and
+    the corpus size from the index's _doc_count sidecar."""
     import os
 
     from kgap_spark.index.fts import (
@@ -1042,13 +1068,16 @@ def q_fts_search_indexed(spark, sf_dir):
         write_posting_table,
     )
 
+    # v2: tfidf needs the _doc_count sidecar — bust pre-sidecar caches
     idx_dir = os.path.join(
-        "/tmp/kgap_fts", _cache_key(sf_dir, "documents")
+        "/tmp/kgap_fts_v2", _cache_key(sf_dir, "documents")
     )
     if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
-        posting = build_posting_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
-        write_posting_table(posting, idx_dir)
-    return fts_search_indexed(spark, idx_dir, "join stream", k=20)
+        docs = _t(spark, sf_dir, "documents")
+        posting = build_posting_table(docs, "doc_id", "text")
+        write_posting_table(posting, idx_dir, n_docs=docs.count())
+    return fts_search_indexed(spark, idx_dir, "join stream", k=20,
+                              scoring="tfidf")
 
 
 SHACL_DOC_SHAPE = """
@@ -1233,6 +1262,60 @@ ORACLE_CONFLICTING_TYPES = """
 SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS entity,
        CAST(2 AS BIGINT) AS n_types
 FROM documents WHERE n_chars < 200
+"""
+
+
+SPARQL_TYPE_COUNTS = """
+SELECT ?type (COUNT(?d) as ?n)
+WHERE { ?d a ?type . }
+GROUP BY ?type
+ORDER BY DESC(?n) ?type
+"""
+
+
+def q_sparql_select(spark, sf_dir):
+    """SPARQL-text front-end, end-to-end: the doc-triple graph queried
+    from a SPARQL string (parse → bgp/groupBy compile → Catalyst plan;
+    the notebooks' query surface, kgap_tools.py:17-26,
+    quick-reference.md:190-196)."""
+    from kgap_spark.query.sparql import execute_sparql
+
+    return execute_sparql(_doc_triples(spark, sf_dir), SPARQL_TYPE_COUNTS)
+
+
+ORACLE_SPARQL_SELECT = """
+SELECT type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT source AS type FROM documents
+  UNION ALL
+  SELECT 'ex:Short' AS type FROM documents WHERE n_chars < 200
+) GROUP BY type ORDER BY n DESC, type
+"""
+
+
+SPARQL_UNLABELED = """
+PREFIX ex: <http://example.org/>
+SELECT ?d ?type
+WHERE {
+  ?d a ?type .
+  FILTER(?type != "ex:Short")
+  FILTER NOT EXISTS { ?d rdfs:label ?label }
+}
+ORDER BY ?d ?type
+"""
+
+
+def q_sparql_notexists(spark, sf_dir):
+    """SPARQL front-end with FILTER + FILTER NOT EXISTS (the jupyter
+    data-quality pattern, jupyter.md:557-566) compiled to a
+    filtered-scan + anti join."""
+    from kgap_spark.query.sparql import execute_sparql
+
+    return execute_sparql(_doc_triples(spark, sf_dir), SPARQL_UNLABELED)
+
+
+ORACLE_SPARQL_NOTEXISTS = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, source AS type
+FROM documents WHERE lang <> 'en' ORDER BY d, type
 """
 
 
@@ -1456,9 +1539,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_band": q_minhash_band,
     "simhash": q_simhash,
+    # the two Python-adjacent paths sit mid-registry on purpose: a
+    # driver that trims the tail of a long run must not silently drop
+    # exactly these (round-2 lesson — they were last and absent from
+    # CORRECTNESS_r02.json)
+    "minhash_lsh_ml": q_minhash_lsh_ml,
+    "multimodal_features": q_multimodal_features,
     "fts_search": q_fts_search,
     "fts_search_indexed": q_fts_search_indexed,
     "shacl_validate": q_shacl_validate,
+    "sparql_select": q_sparql_select,
+    "sparql_notexists": q_sparql_notexists,
     "type_distribution": q_type_distribution,
     "entities_without_label": q_entities_without_label,
     "conflicting_types": q_conflicting_types,
@@ -1466,8 +1557,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
     "emb_lsh_topk": q_emb_lsh_topk,
-    "minhash_lsh_ml": q_minhash_lsh_ml,
-    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1512,8 +1601,10 @@ ORACLES: dict[str, str] = {
     "minhash_band": ORACLE_MINHASH_BAND,
     "simhash": ORACLE_SIMHASH,
     "fts_search": ORACLE_FTS_SEARCH,
-    "fts_search_indexed": ORACLE_FTS_SEARCH,
+    "fts_search_indexed": ORACLE_FTS_TFIDF,
     "shacl_validate": ORACLE_SHACL_VALIDATE,
+    "sparql_select": ORACLE_SPARQL_SELECT,
+    "sparql_notexists": ORACLE_SPARQL_NOTEXISTS,
     "type_distribution": ORACLE_TYPE_DISTRIBUTION,
     "entities_without_label": ORACLE_ENTITIES_WITHOUT_LABEL,
     "conflicting_types": ORACLE_CONFLICTING_TYPES,

@@ -66,6 +66,42 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
     assert uncapped > 100
 
 
+def test_ngram_jaccard_cap_sized_posting_list(spark):
+    """Worst-case bounded expansion: ONE shingle whose df is EXACTLY
+    max_shingle_df survives the cap, so the in-task flatten expands the
+    full cap²/2 pair structs from a single posting row. Must complete
+    (bounded executor memory), produce only sub-threshold candidates
+    from the hot shingle, and leave the true near-dup result identical
+    to a run where the hot shingle is dropped (cap-1)."""
+    from kgap_spark.functions.dedup import ngram_jaccard_pairs
+
+    cap = 200
+    hot = "shared boilerplate footer"
+    # `cap` docs: each contributes the hot shingle ONCE plus unique tail
+    rows = [(i, f"{hot} unique{i} tail{i} end{i}") for i in range(cap)]
+    # a genuine near-dup pair WITHOUT the hot shingle
+    rows += [(900, "deep sea probe records salinity and temperature daily"),
+             (901, "deep sea probe records salinity and temperature hourly")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    at_cap = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                 threshold=0.5, max_shingle_df=cap)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in at_cap.collect()}
+    # the hot shingle's 19 900 in-task pairs all score 1/(4+4-1) < 0.5:
+    # only the genuine near-dup pair survives the threshold
+    assert set(got) == {(900, 901)} and got[(900, 901)] > 0.6
+
+    below = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                threshold=0.5, max_shingle_df=cap - 1)
+    assert {(r.doc_a, r.doc_b) for r in below.collect()} == {(900, 901)}
+
+    # candidate volume sanity: at the cap the hot shingle contributes
+    # cap·(cap-1)/2 intersection pairs before thresholding
+    n_cand = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                 threshold=0.0, max_shingle_df=cap).count()
+    assert n_cand >= cap * (cap - 1) // 2
+
+
 def test_minhash_band_candidates(spark, docs):
     from kgap_spark.functions.dedup import minhash_band_candidates
 
@@ -115,6 +151,43 @@ def test_fts(spark, docs):
     subj_scores = {r.subj: r.score for r in hits}
     assert subj_scores[1] == 1  # fox only
     assert 3 not in subj_scores
+
+
+def test_fts_tfidf_downweights_stopwords(spark, tmp_path):
+    """tf·idf ranking: a corpus-wide token (df=N → idf≈ln(1)=0) must no
+    longer drown a rare term — the doc with ONE 'rare' hit outranks the
+    doc with many 'the' hits; under plain TF the order is reversed.
+    Also: the query tokenizer uses the index's rule, so a punctuated
+    query ('the-rare') still matches."""
+    from kgap_spark.index.fts import (
+        build_posting_table,
+        fts_search,
+        fts_search_indexed,
+        write_posting_table,
+    )
+
+    # "the" is in EVERY doc (df=N → idf=ln((N+1)/(N+1))=0)
+    rows = [(0, "the the the the the common words"),
+            (1, "the rare treasure"),
+            (2, "the ordinary text"),
+            (3, "the filler the filler")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    posting = build_posting_table(docs, "doc_id", "text")
+
+    tf_top = fts_search(posting, "the rare", k=4).collect()[0]
+    assert tf_top.subj == 0  # TF: stopword spam wins
+
+    idf_hits = fts_search(posting, "the-rare", k=4, scoring="tfidf").collect()
+    assert idf_hits[0].subj == 1  # tf·idf: the rare term wins
+    scores = {r.subj: r.score for r in idf_hits}
+    assert scores[1] > scores[0]
+
+    # indexed path agrees (sidecar carries N)
+    idx = str(tmp_path / "idx")
+    write_posting_table(posting, idx, n_docs=4)
+    via_index = fts_search_indexed(spark, idx, "the-rare", k=4,
+                                   scoring="tfidf").collect()
+    assert [r.subj for r in via_index] == [r.subj for r in idf_hits]
 
 
 def test_cosine_topk_and_lsh_recall(spark):

@@ -65,3 +65,25 @@ def test_latest_wins_increments(spark, tiny, tmp_path):
     mx = inc.groupBy("url").agg(F.max("warc_ts").alias("mx"))
     joined = latest.join(mx, "url").filter(F.col("warc_ts") != F.col("mx"))
     assert joined.count() == 0
+
+
+def test_per_graph_wall_time_attribution(spark, tiny, tmp_path):
+    """Graphs in ONE run get per-graph wall_ms apportioned by their
+    share of the work, not a duplicated run-level figure — feeds with
+    different sizes must show different costs (per-feed log analog)."""
+    store = TripleStore(spark, str(tmp_path / "triples"))
+    lin = LineageLog(spark, str(tmp_path / "lineage"))
+    run_pipeline_resumable(spark, tiny["web_pages"], tiny["alias_dict"], store, lin)
+    rows = lin.read().filter(F.col("status") == "ok").collect()
+    by_graph = {r.graph: r for r in rows}
+    assert len(by_graph) > 2
+    walls = {g: r.wall_ms for g, r in by_graph.items()}
+    assert all(w is not None and w >= 1 for w in walls.values())
+    # distinct attribution across differently-sized feeds
+    assert len(set(walls.values())) > 1
+    # attribution is ordered by work: the graph with the most
+    # rows_in+triples_out costs at least as much as the one with least
+    work = {g: (r.rows_in or 0) + (r.triples_out or 0) for g, r in by_graph.items()}
+    gmax = max(work, key=work.get)
+    gmin = min(work, key=work.get)
+    assert walls[gmax] >= walls[gmin]

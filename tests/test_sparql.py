@@ -1,0 +1,329 @@
+"""SPARQL-text front-end: the reference docs' own queries, verbatim,
+against golden fixtures (docs/quick-reference.md:186-222,
+docs/components/jupyter.md:557-566, docs/advanced-topics.md:299-311,
+377-394)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgap_spark import schemas as S
+from kgap_spark.query.sparql import execute_sparql, parse_sparql
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+SOSA = "http://www.w3.org/ns/sosa/"
+
+
+@pytest.fixture(scope="module")
+def kb(spark):
+    """A small observation KB using full IRIs (what the doc queries'
+    PREFIX declarations expand to)."""
+    rows = []
+
+    def t(s, p, o, lang=None, dt=None, g="urn:g:obs"):
+        rows.append((s, p, o, lang, dt, g, None))
+
+    for i in range(4):
+        obs = f"urn:obs:{i}"
+        t(obs, RDF + "type", SOSA + "Observation")
+        t(obs, SOSA + "madeBySensor", f"urn:sensor:{i % 2}")
+        t(obs, SOSA + "hasResult", str(10 * (i + 1)))
+        t(obs, SOSA + "resultTime", f"2024-01-0{i + 1}T00:00:00Z")
+    # obs 3 has a conflicting second type
+    t("urn:obs:3", RDF + "type", SOSA + "Sample")
+    # sensors: typed, sensor 0 labeled (en + nl), sensor 1 unlabeled
+    t("urn:sensor:0", RDF + "type", SOSA + "Sensor")
+    t("urn:sensor:1", RDF + "type", SOSA + "Sensor")
+    t("urn:sensor:0", RDFS + "label", "marine sensor", lang="en")
+    t("urn:sensor:0", RDFS + "label", "mariene sensor", lang="nl")
+    # a second graph for GRAPH-scope tests
+    t("urn:obs:100", RDF + "type", SOSA + "Observation", g="urn:g:other")
+    return spark.createDataFrame(rows, S.TRIPLES)
+
+
+def test_count_all(kb):
+    # quick-reference.md:186-188 — verbatim
+    df = execute_sparql(kb, """
+        # Count all triples
+        SELECT (COUNT(*) as ?count)
+        WHERE { ?s ?p ?o }
+    """)
+    assert df.columns == ["count"]
+    assert df.collect()[0]["count"] == kb.count()
+
+
+def test_list_all_types(kb):
+    # quick-reference.md:190-196 — verbatim
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT DISTINCT ?type (COUNT(?s) as ?count)
+        WHERE { ?s rdf:type ?type }
+        GROUP BY ?type
+        ORDER BY DESC(?count)
+    """)
+    rows = [(r.type, r["count"]) for r in df.collect()]
+    assert rows[0] == (SOSA + "Observation", 5)
+    assert (SOSA + "Sensor", 2) in rows and (SOSA + "Sample", 1) in rows
+
+
+def test_list_all_predicates(kb):
+    # quick-reference.md:198-202 — verbatim
+    df = execute_sparql(kb, """
+        SELECT DISTINCT ?p (COUNT(*) as ?count)
+        WHERE { ?s ?p ?o }
+        GROUP BY ?p
+        ORDER BY DESC(?count)
+    """)
+    got = {r.p: r["count"] for r in df.collect()}
+    assert got[RDF + "type"] == 8
+    assert got[SOSA + "hasResult"] == 4
+    assert got[RDFS + "label"] == 2
+
+
+def test_entities_with_labels_limit(kb):
+    # quick-reference.md:206-213 — verbatim
+    df = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?entity ?label
+        WHERE {
+          ?entity rdfs:label ?label .
+        }
+        LIMIT 100
+    """)
+    assert df.columns == ["entity", "label"]
+    got = {(r.entity, r.label) for r in df.collect()}
+    assert got == {("urn:sensor:0", "marine sensor"),
+                   ("urn:sensor:0", "mariene sensor")}
+
+
+def test_fulltext_search_magic_predicate(kb):
+    # quick-reference.md:215-222 — verbatim (luc: magic predicates)
+    df = execute_sparql(kb, """
+        PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        SELECT ?entity ?score
+        WHERE {
+          ?entity luc:searchIndex "marine" ;
+                  luc:score ?score .
+        }
+        ORDER BY DESC(?score)
+    """)
+    rows = df.collect()
+    assert [r.entity for r in rows] == ["urn:sensor:0"]
+    assert rows[0].score >= 1.0
+
+
+def test_missing_labels_not_exists(kb):
+    # jupyter.md:557-566 — verbatim (data-quality pattern 2)
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+
+        SELECT ?entity ?type
+        WHERE {
+            ?entity rdf:type ?type .
+            FILTER NOT EXISTS { ?entity rdfs:label ?label }
+        }
+        LIMIT 100
+    """)
+    ents = {r.entity for r in df.collect()}
+    assert "urn:sensor:0" not in ents          # labeled
+    assert "urn:sensor:1" in ents              # unlabeled
+    assert {f"urn:obs:{i}" for i in range(4)} <= ents
+
+
+def test_observation_template_query(kb):
+    # advanced-topics.md:299-311 — verbatim, with the template's
+    # ${filter_*} slots instantiated the way the reference renders them
+    text = """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        PREFIX qudt: <http://qudt.org/schema/qudt/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+
+        SELECT ?observation ?sensor ?result ?time
+        WHERE {
+          ?observation a sosa:Observation ;
+                       sosa:madeBySensor ?sensor ;
+                       sosa:hasResult ?result ;
+                       sosa:resultTime ?time .
+
+          # Optional filters based on parameters
+          FILTER(?sensor = <urn:sensor:0>)
+          FILTER(?result >= 10)
+
+        }
+        ORDER BY DESC(?time)
+        LIMIT 10
+    """
+    df = execute_sparql(kb, text)
+    rows = df.collect()
+    # sensor 0 made obs 0 and 2; DESC(?time) puts obs 2 first
+    assert [r.observation for r in rows] == ["urn:obs:2", "urn:obs:0"]
+    assert all(r.sensor == "urn:sensor:0" for r in rows)
+
+
+def test_type_consistency_group_having(kb):
+    # advanced-topics.md:377-394 — verbatim (incl. the doc's unbound
+    # ?types projection, which SPARQL renders as NULL)
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+
+        SELECT ?entity ?types
+        WHERE {
+          ?entity a sosa:Observation .
+
+          # Get all types
+          ?entity rdf:type ?type .
+
+          # Check for conflicting types
+          FILTER(?type != sosa:Observation)
+        }
+        GROUP BY ?entity
+        HAVING (COUNT(?type) > 1)
+    """)
+    # only obs:3 has a second type, but COUNT > 1 needs two extras —
+    # none qualify; loosen to >= 1 via a twin query for the positive
+    assert df.count() == 0
+    df2 = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?entity ?types
+        WHERE {
+          ?entity a sosa:Observation .
+          ?entity rdf:type ?type .
+          FILTER(?type != sosa:Observation)
+        }
+        GROUP BY ?entity
+        HAVING (COUNT(?type) >= 1)
+    """)
+    rows = df2.collect()
+    assert [r.entity for r in rows] == ["urn:obs:3"]
+    assert rows[0].types is None  # the doc query's ?types is unbound
+
+
+def test_optional_and_bound(kb):
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s ?label
+        WHERE {
+          ?s rdf:type sosa:Sensor .
+          OPTIONAL { ?s rdfs:label ?label }
+        }
+    """)
+    got = {(r.s, r.label) for r in df.collect()}
+    assert ("urn:sensor:1", None) in got
+    assert ("urn:sensor:0", "marine sensor") in got
+    # BOUND over the optional var
+    df2 = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s
+        WHERE {
+          ?s rdf:type sosa:Sensor .
+          OPTIONAL { ?s rdfs:label ?label }
+          FILTER(!BOUND(?label))
+        }
+    """)
+    assert [r.s for r in df2.collect()] == ["urn:sensor:1"]
+
+
+def test_lang_filter_and_contains(kb):
+    df = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?s ?label
+        WHERE {
+          ?s rdfs:label ?label .
+          FILTER(LANG(?label) = "en" && CONTAINS(STR(?label), "marine"))
+        }
+    """)
+    assert [(r.s, r.label) for r in df.collect()] == [
+        ("urn:sensor:0", "marine sensor")
+    ]
+
+
+def test_graph_scope(kb):
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s
+        WHERE {
+          GRAPH <urn:g:other> { ?s rdf:type sosa:Observation }
+        }
+    """)
+    assert [r.s for r in df.collect()] == ["urn:obs:100"]
+
+
+def test_ask(kb):
+    assert execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        ASK { ?s a sosa:Sensor }
+    """) is True
+    assert execute_sparql(kb, """
+        ASK { ?s a <urn:type:Nonexistent> }
+    """) is False
+
+
+def test_compact_store_convention(spark):
+    """Undeclared prefixes stay compact — the repo's own triple tables
+    (rdf:type etc.) query without PREFIX declarations."""
+    rows = [("e1", "rdf:type", "ex:Doc", None, None, "urn:g", None),
+            ("e1", "rdfs:label", "doc one", None, None, "urn:g", None)]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, "SELECT ?s WHERE { ?s rdf:type ex:Doc }")
+    assert [r.s for r in df.collect()] == ["e1"]
+
+
+def test_sparql_template_file(spark, kb, tmp_path):
+    """.sparql templates load and execute like kgap_tools.py:17-26,
+    with ${var} slots (advanced-topics.md template pattern)."""
+    from kgap_spark.query.templates import QueryTemplates
+
+    (tmp_path / "obs_by_sensor.sparql").write_text("""
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?observation ?result
+        WHERE {
+          ?observation a sosa:Observation ;
+                       sosa:madeBySensor ?sensor ;
+                       sosa:hasResult ?result .
+          ${filter_sensor}
+        }
+        ORDER BY ?observation
+        LIMIT ${limit}
+    """)
+    qt = QueryTemplates(spark, str(tmp_path), triples=kb)
+    df = qt.execute_to_df(
+        "obs_by_sensor",
+        filter_sensor="FILTER(?sensor = <urn:sensor:1>)",
+        limit=10,
+    )
+    assert [r.observation for r in df.collect()] == ["urn:obs:1", "urn:obs:3"]
+
+
+def test_sparql_compiles_to_catalyst_plan(kb):
+    """The front-end emits DataFrame plans, not an interpreter loop:
+    FILTER NOT EXISTS shows up as a LeftAnti join, constants as
+    pushed filters in the scan."""
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?entity ?type
+        WHERE {
+            ?entity rdf:type ?type .
+            FILTER NOT EXISTS { ?entity rdfs:label ?label }
+        }
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # no Python in the plan: everything stays JVM-side
+    assert "EvalPython" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError, match="bad term"):
+        parse_sparql("SELECT ?s WHERE { ?s ?p }")
+    with pytest.raises(ValueError, match="trailing"):
+        parse_sparql("SELECT ?s WHERE { ?s ?p ?o } BOGUS ?x")
