@@ -34,6 +34,37 @@ HEADLINE = [
 ]
 
 
+def _run_headline(spark, QUERIES, sf_dir: str) -> dict[str, float]:
+    # build the materialized indexes once (FTS posting table, ANN
+    # signature table): a once-per-corpus cost amortized over every
+    # query — the Lucene-index-build analog — so the timed section
+    # measures the pruned QUERY path, which is what repeats at scale
+    QUERIES["fts_search_indexed"](spark, sf_dir).count()
+    QUERIES["emb_lsh_topk"](spark, sf_dir).count()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        n = QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    return times
+
+
+def _sf1_dir() -> str | None:
+    """10× sf0.1, synthesized deterministically into /tmp (one rung
+    above toy scale so shuffle effects register; ~3 s to generate,
+    cached). Disable with SPARK_GRAFT_SF1=0."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    out = "/tmp/kgap_sf1"
+    if not os.path.exists(os.path.join(out, "_SCALED")):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from make_sf_scale import make
+
+        make("/root/testdata/sf0.1", out, 10)
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -50,19 +81,8 @@ def main() -> int:
     QUERIES["count_all"](spark, sf_dir).count()
     QUERIES["kg_mentions"](spark, "/root/testdata/sf0.001").count()
     QUERIES["multimodal_features"](spark, "/root/testdata/sf0.001").count()
-    # build the materialized indexes once (FTS posting table, ANN
-    # signature table): a once-per-corpus cost amortized over every
-    # query — the Lucene-index-build analog — so the timed section
-    # measures the pruned QUERY path, which is what repeats at scale
-    QUERIES["fts_search_indexed"](spark, sf_dir).count()
-    QUERIES["emb_lsh_topk"](spark, sf_dir).count()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        n = QUERIES[name](spark, sf_dir).count()
-        times[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    times = _run_headline(spark, QUERIES, sf_dir)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -73,6 +93,14 @@ def main() -> int:
         "queries": times,
         "sf": sf,
     }
+
+    sf1 = _sf1_dir()
+    if sf1:
+        times1 = _run_headline(spark, QUERIES, sf1)
+        out["sf1"] = 1.0
+        out["sf1_value"] = round(sum(times1.values()), 3)
+        out["sf1_queries"] = times1
+
     print(json.dumps(out))
     spark.stop()
     return 0
