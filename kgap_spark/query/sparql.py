@@ -4,10 +4,11 @@ k-gap's user surface is SPARQL strings — typed in notebooks
 (``jupyter/kgap/notebooks/kgap_tools.py:17-26``), templated from
 ``queries/*.sparql`` files, POSTed to GraphDB. This module parses the
 concrete SPARQL subset those docs use — SELECT/ASK over a WHERE group
-with BGP triples (``;`` property lists, ``a`` = rdf:type), FILTER
-(comparisons, &&/||/!, LANG, STR, CONTAINS, STRLEN, BOUND, REGEX),
-OPTIONAL, FILTER NOT EXISTS, GRAPH scoping, GROUP BY/HAVING, ORDER BY/
-LIMIT/OFFSET, aggregates COUNT/MAX/MIN/SUM/AVG (reference queries:
+with BGP triples (``;`` property lists, ``,`` object lists, ``a`` =
+rdf:type), FILTER (comparisons, &&/||/!, LANG, STR, CONTAINS, STRLEN,
+BOUND, REGEX), OPTIONAL, FILTER NOT EXISTS, UNION, BIND, VALUES, GRAPH
+scoping, GROUP BY/HAVING, ORDER BY/LIMIT/OFFSET, aggregates
+COUNT/MAX/MIN/SUM/AVG (reference queries:
 ``docs/quick-reference.md:186-222``, ``docs/components/jupyter.md:
 557-566``, ``docs/advanced-topics.md:299-311,377-394``) — and compiles
 it onto the existing ``bgp``/``optional_pattern``/``not_exists`` plans,
@@ -60,7 +61,8 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "PREFIX", "BASE", "SELECT", "ASK", "DISTINCT", "WHERE", "FILTER",
     "OPTIONAL", "NOT", "EXISTS", "GRAPH", "GROUP", "BY", "HAVING",
-    "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION",
+    "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION", "BIND",
+    "VALUES",
 }
 _AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
@@ -138,13 +140,16 @@ class Agg:
 @dataclass
 class Group:
     """One { … } group: triples, filters, optionals, not-exists,
-    graph-scoped subgroups."""
+    graph-scoped subgroups, unions, BINDs, inline VALUES."""
 
     triples: list = field(default_factory=list)       # (s, p, o) tuples
     filters: list = field(default_factory=list)       # Expr
     optionals: list = field(default_factory=list)     # Group
     not_exists: list = field(default_factory=list)    # Group
     graph_scopes: list = field(default_factory=list)  # (term, Group)
+    unions: list = field(default_factory=list)        # [Group, Group, …]
+    binds: list = field(default_factory=list)         # (expr, Var)
+    values: list = field(default_factory=list)        # ([Var], [rows])
 
 
 @dataclass
@@ -314,17 +319,84 @@ class _Parser:
                 term = self.term()
                 g.graph_scopes.append((term, self.group()))
                 continue
+            if t.kind == "KW" and t.text == "BIND":
+                self.next()
+                self.expect("OP", "(")
+                e = self.expr()
+                self.expect("KW", "AS")
+                v = Var(self.expect("VAR").text[1:])
+                self.expect("OP", ")")
+                g.binds.append((e, v))
+                continue
+            if t.kind == "KW" and t.text == "VALUES":
+                self.next()
+                g.values.append(self.values_block())
+                continue
+            if t.kind == "OP" and t.text == "{":
+                # { A } UNION { B } [UNION { C } …]
+                arms = [self.group()]
+                while self.at_kw("UNION"):
+                    self.next()
+                    arms.append(self.group())
+                g.unions.append(arms)
+                continue
             self.triples_same_subject(g)
             if self.peek() and self.peek().kind == "OP" and self.peek().text == ".":
                 self.next()
         return g
 
+    def values_block(self):
+        """VALUES ?x { v… }  or  VALUES (?a ?b) { (v v) … }"""
+        t = self.peek()
+        if t and t.kind == "VAR":
+            vars_ = [Var(self.next().text[1:])]
+            self.expect("OP", "{")
+            rows = []
+            while not (self.peek().kind == "OP" and self.peek().text == "}"):
+                rows.append((self.value_term(),))
+            self.next()
+            return (vars_, rows)
+        self.expect("OP", "(")
+        vars_ = []
+        while self.peek() and self.peek().kind == "VAR":
+            vars_.append(Var(self.next().text[1:]))
+        self.expect("OP", ")")
+        self.expect("OP", "{")
+        rows = []
+        while not (self.peek().kind == "OP" and self.peek().text == "}"):
+            self.expect("OP", "(")
+            row = []
+            while not (self.peek().kind == "OP" and self.peek().text == ")"):
+                row.append(self.value_term())
+            self.next()
+            if len(row) != len(vars_):
+                raise ValueError("VALUES row arity mismatch")
+            rows.append(tuple(row))
+        self.next()
+        return (vars_, rows)
+
+    def value_term(self) -> str:
+        t = self.term()
+        if isinstance(t, Lit):
+            return t.value
+        if isinstance(t, Num):
+            return t.text
+        if isinstance(t, Var):
+            raise ValueError("variables not allowed inside VALUES data")
+        return t
+
     def triples_same_subject(self, g: Group) -> None:
         subj = self.term()
         while True:
             pred = self.term(as_predicate=True)
-            obj = self.term()
-            g.triples.append((subj, pred, obj))
+            while True:
+                obj = self.term()
+                g.triples.append((subj, pred, obj))
+                t = self.peek()
+                if t and t.kind == "OP" and t.text == ",":  # object list
+                    self.next()
+                    continue
+                break
             t = self.peek()
             if t and t.kind == "OP" and t.text == ";":
                 self.next()
@@ -634,8 +706,40 @@ def _compile_group(triples: DataFrame, g: Group,
                                    if _is_meta(c) and c in df.columns])
             df = df.join(sub_df, on=shared, how="inner") if shared \
                 else df.crossJoin(sub_df)
+    # { A } UNION { B }: evaluate each arm, align columns (a var bound
+    # in one arm only → NULL in the other, per SPARQL), then join the
+    # combined solution into the enclosing pattern
+    for arms in g.unions:
+        arm_dfs = [_compile_group(triples, arm, graph=graph) for arm in arms]
+        u = arm_dfs[0]
+        for other in arm_dfs[1:]:
+            u = u.unionByName(other, allowMissingColumns=True)
+        if df is None:
+            df = u
+        else:
+            u = u.drop(*[c for c in u.columns
+                         if _is_meta(c) and c in df.columns])
+            shared = sorted(
+                set(df.columns) & {c for c in u.columns if not _is_meta(c)}
+            )
+            df = df.join(u, on=shared, how="inner") if shared \
+                else df.crossJoin(u)
+    # inline VALUES: a broadcast-joined literal table
+    for vars_, rows in g.values:
+        names = [v.name for v in vars_]
+        vdf = triples.sparkSession.createDataFrame(
+            rows, ", ".join(f"{n} string" for n in names)
+        )
+        if df is None:
+            df = vdf
+        else:
+            shared = sorted(set(df.columns) & set(names))
+            df = df.join(F.broadcast(vdf), on=shared, how="inner") if shared \
+                else df.crossJoin(F.broadcast(vdf))
     if df is None:
         raise ValueError("SPARQL compiler: empty WHERE group")
+    for e, v in g.binds:
+        df = df.withColumn(v.name, _compile_expr(e, df))
     for sub in g.optionals:
         sub_df = _compile_group(triples, sub, graph=graph)
         sub_df = sub_df.drop(*[c for c in sub_df.columns

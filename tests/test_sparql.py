@@ -303,6 +303,73 @@ def test_sparql_template_file(spark, kb, tmp_path):
     assert [r.observation for r in df.collect()] == ["urn:obs:1", "urn:obs:3"]
 
 
+def test_union(kb):
+    df = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s ?label
+        WHERE {
+          { ?s a sosa:Sensor . OPTIONAL { ?s rdfs:label ?label } }
+          UNION
+          { ?s a sosa:Sample }
+        }
+    """)
+    got = {(r.s, r.label) for r in df.collect()}
+    assert ("urn:obs:3", None) in got           # Sample arm, ?label unbound
+    assert ("urn:sensor:0", "marine sensor") in got
+    assert ("urn:sensor:1", None) in got
+
+
+def test_bind_and_object_list(kb):
+    df = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?s ?len
+        WHERE {
+          ?s rdfs:label ?label .
+          FILTER(LANG(?label) = "en")
+          BIND(STRLEN(?label) AS ?len)
+        }
+    """)
+    assert [(r.s, r.len) for r in df.collect()] == [("urn:sensor:0", 13)]
+
+
+def test_object_list(kb):
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s
+        WHERE { ?s rdf:type sosa:Observation , sosa:Sample . }
+    """)
+    # only obs:3 carries BOTH types
+    assert [r.s for r in df.collect()] == ["urn:obs:3"]
+
+
+def test_values(kb):
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs ?sensor
+        WHERE {
+          VALUES ?sensor { <urn:sensor:0> }
+          ?obs sosa:madeBySensor ?sensor .
+        }
+        ORDER BY ?obs
+    """)
+    assert [r.obs for r in df.collect()] == ["urn:obs:0", "urn:obs:2"]
+    # multi-var form
+    df2 = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs ?r
+        WHERE {
+          VALUES (?obs ?r) { (<urn:obs:0> "10") (<urn:obs:1> "20") }
+          ?obs sosa:hasResult ?r .
+        }
+        ORDER BY ?obs
+    """)
+    assert [(x.obs, x.r) for x in df2.collect()] == [
+        ("urn:obs:0", "10"), ("urn:obs:1", "20")
+    ]
+
+
 def test_sparql_compiles_to_catalyst_plan(kb):
     """The front-end emits DataFrame plans, not an interpreter loop:
     FILTER NOT EXISTS shows up as a LeftAnti join, constants as
