@@ -24,6 +24,8 @@ The other subcommands mirror the reference's repository-ops surface
     export   — store/graph → N-Quads text or csv/json/parquet/xlsx
     validate — SHACL shape file → violations (exit 1 if any)
     clear    — drop one graph (or --all)
+    sparql   — run a SPARQL SELECT/ASK/CONSTRUCT/DESCRIBE string or
+               .sparql file against the store (GDB.query analog)
 """
 
 from __future__ import annotations
@@ -210,12 +212,64 @@ def _clear(rest: list[str]) -> int:
     return 0
 
 
+def _sparql(rest: list[str]) -> int:
+    """Run a SPARQL query (string or .sparql file) against the store —
+    the GDB.query analog of the notebooks (kgap_tools.py:22-31).
+    SELECT/DESCRIBE results export like `export`; ASK prints the
+    boolean; CONSTRUCT quads can be written back with --into."""
+    ap = argparse.ArgumentParser(prog="kgap_spark.job sparql")
+    ap.add_argument("--store", required=True)
+    q = ap.add_mutually_exclusive_group(required=True)
+    q.add_argument("--query", default=None, help="SPARQL text")
+    q.add_argument("--query-file", default=None, help="path to .sparql")
+    ap.add_argument("--out", default=None, help="result output dir")
+    ap.add_argument("--format", default="csv",
+                    choices=["csv", "json", "parquet", "xlsx"])
+    ap.add_argument("--into", default=None,
+                    help="CONSTRUCT only: merge result quads into this "
+                         "graph of the store")
+    ap.add_argument("--show", type=int, default=20,
+                    help="rows to print when no --out is given")
+    _common(ap)
+    args = ap.parse_args(rest)
+
+    from pyspark.sql import functions as F
+
+    from kgap_spark.io import export_results
+    from kgap_spark.query.sparql import execute_sparql
+    from kgap_spark.triples import TripleStore
+
+    spark = _session(args)
+    store = TripleStore(spark, args.store)
+    text = args.query
+    if text is None:
+        with open(args.query_file) as f:
+            text = f.read()
+    result = execute_sparql(store.read(), text)
+    if isinstance(result, bool):
+        print(json.dumps({"ask": result}))
+        return 0
+    if args.into is not None:
+        quads = result.withColumn("graph", F.lit(args.into))
+        store.merge(quads)
+        print(json.dumps({"constructed": quads.count(), "graph": args.into}))
+        return 0
+    if args.out:
+        export_results(result, args.out, fmt=args.format)
+        print(json.dumps({"rows": result.count(), "out": args.out}))
+    else:
+        rows = [r.asDict() for r in result.limit(args.show).collect()]
+        print(json.dumps({"rows": rows}, default=str))
+    return 0
+
+
 _COMMANDS = {
     "run": _run,
     "import": _import,
     "export": _export,
     "validate": _validate,
     "clear": _clear,
+    "sparql": _sparql,
 }
 
 

@@ -41,6 +41,19 @@ from kgap_spark.query.patterns import Var, bgp, _is_meta
 LUCENE_NS = "http://www.ontotext.com/owlim/lucene#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
+# GraphDB ships these namespaces pre-declared, so reference queries
+# (e.g. the FAQ's template example, faq.md:215-224) use rdfs:label with
+# no PREFIX line. An UNDECLARED well-known pname therefore matches
+# EITHER its full IRI or the compact form (the repo's own store
+# convention) — an any-of constant, like `a`.
+WELL_KNOWN_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+}
+
 # ---------------------------------------------------------------------------
 # Tokenizer.
 
@@ -53,7 +66,7 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*@/])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*@/+])
     """,
     re.VERBOSE,
 )
@@ -62,7 +75,7 @@ _KEYWORDS = {
     "PREFIX", "BASE", "SELECT", "ASK", "DISTINCT", "WHERE", "FILTER",
     "OPTIONAL", "NOT", "EXISTS", "GRAPH", "GROUP", "BY", "HAVING",
     "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION", "BIND",
-    "VALUES",
+    "VALUES", "CONSTRUCT", "DESCRIBE",
 }
 _AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
@@ -118,6 +131,13 @@ class FnCall:
     args: list
 
 
+@dataclass(frozen=True)
+class PathPlus:
+    """A one-or-more property path: ``pred+``."""
+
+    pred: str
+
+
 @dataclass
 class BinOp:
     op: str
@@ -154,7 +174,7 @@ class Group:
 
 @dataclass
 class Query:
-    form: str                     # "select" | "ask"
+    form: str                     # "select" | "ask" | "construct" | "describe"
     distinct: bool = False
     projections: list = field(default_factory=list)  # Var | (expr, alias)
     where: Group | None = None
@@ -163,6 +183,8 @@ class Query:
     order_by: list = field(default_factory=list)     # [(expr, asc: bool)]
     limit: int | None = None
     offset: int | None = None
+    template: list = field(default_factory=list)     # CONSTRUCT triples
+    describe_iris: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -211,6 +233,34 @@ class _Parser:
             self.next()
             q = Query(form="ask")
             q.where = self.group()
+            return q
+        if self.at_kw("CONSTRUCT"):
+            self.next()
+            q = Query(form="construct")
+            tg = self.group()  # template: triples only
+            if tg.filters or tg.optionals or tg.not_exists or tg.unions:
+                raise ValueError("CONSTRUCT template must contain only triples")
+            q.template = tg.triples
+            if self.at_kw("WHERE"):
+                self.next()
+            q.where = self.group()
+            if self.at_kw("LIMIT"):
+                self.next()
+                q.limit = int(self.expect("NUM").text)
+            return q
+        if self.at_kw("DESCRIBE"):
+            self.next()
+            q = Query(form="describe")
+            while self.peek() and self.peek().kind in ("IRI", "PNAME"):
+                t = self.next()
+                iri = (t.text[1:-1] if t.kind == "IRI"
+                       else self.expand_pname(t.text))
+                if isinstance(iri, tuple):  # any-of: describe each form
+                    q.describe_iris.extend(iri)
+                else:
+                    q.describe_iris.append(iri)
+            if not q.describe_iris:
+                raise ValueError("DESCRIBE needs at least one IRI")
             return q
         self.expect("KW", "SELECT")
         q = Query(form="select")
@@ -385,13 +435,49 @@ class _Parser:
             raise ValueError("variables not allowed inside VALUES data")
         return t
 
+    _path_counter = 0
+
+    def path(self):
+        """Property path subset: ``p``, ``p+`` (one-or-more), and
+        ``p1/p2/…`` sequences (each element optionally ``+``). Returns
+        a list of path elements [(pred, transitive), …]."""
+        parts = []
+        while True:
+            pred = self.term(as_predicate=True)
+            trans = False
+            t = self.peek()
+            if t and t.kind == "OP" and t.text == "+":
+                self.next()
+                trans = True
+            parts.append((pred, trans))
+            t = self.peek()
+            if t and t.kind == "OP" and t.text == "/":
+                self.next()
+                continue
+            return parts
+
+    def emit_path(self, g: Group, subj, parts, obj) -> None:
+        """Rewrite a path into chained patterns through fresh vars."""
+        node = subj
+        for i, (pred, trans) in enumerate(parts):
+            last = i == len(parts) - 1
+            nxt = obj if last else Var(f"__path{_Parser._path_counter}")
+            if not last:
+                _Parser._path_counter += 1
+            p = PathPlus(pred) if trans else pred
+            g.triples.append((node, p, nxt))
+            node = nxt
+
     def triples_same_subject(self, g: Group) -> None:
         subj = self.term()
         while True:
-            pred = self.term(as_predicate=True)
+            parts = self.path()
             while True:
                 obj = self.term()
-                g.triples.append((subj, pred, obj))
+                if len(parts) == 1 and not parts[0][1]:
+                    g.triples.append((subj, parts[0][0], obj))
+                else:
+                    self.emit_path(g, subj, parts, obj)
                 t = self.peek()
                 if t and t.kind == "OP" and t.text == ",":  # object list
                     self.next()
@@ -441,14 +527,17 @@ class _Parser:
             return Lit(value, datatype=self.expand_pname(dt.text))
         return Lit(value)
 
-    def expand_pname(self, pname: str) -> str:
-        """Declared prefix → full IRI; undeclared → keep compact (the
-        repo's compact-IRI stores; see module docstring)."""
+    def expand_pname(self, pname: str):
+        """Declared prefix → full IRI; undeclared well-known prefix →
+        any-of (full IRI, compact); other undeclared → keep compact
+        (the repo's compact-IRI stores; see module docstring)."""
         if ":" not in pname:
             return pname
         pfx, local = pname.split(":", 1)
         if pfx in self.prefixes:
             return self.prefixes[pfx] + local
+        if pfx in WELL_KNOWN_PREFIXES:
+            return (WELL_KNOWN_PREFIXES[pfx] + local, pname)
         return pname
 
     # -- expressions ---------------------------------------------------
@@ -568,11 +657,25 @@ def _compile_expr(e, df: DataFrame) -> Column:
             return F.lit(e)
         if isinstance(e, NotExpr):
             return ~to(e.inner)
+        if isinstance(e, tuple):
+            raise ValueError(
+                "any-of constant only valid in = / != comparisons"
+            )
         if isinstance(e, BinOp):
             if e.op == "&&":
                 return to(e.left) & to(e.right)
             if e.op == "||":
                 return to(e.left) | to(e.right)
+            # any-of constant (undeclared well-known pname): = → isin
+            for a, b in ((e.left, e.right), (e.right, e.left)):
+                if isinstance(b, tuple):
+                    if e.op == "=":
+                        return to(a).isin(*b)
+                    if e.op == "!=":
+                        return ~to(a).isin(*b)
+                    raise ValueError(
+                        "any-of constant only valid in = / != comparisons"
+                    )
             l, r = to(e.left), to(e.right)
             # numeric comparison when either side is a number: SPARQL
             # compares by value, the store keeps lexical forms
@@ -621,6 +724,10 @@ def _compile_expr(e, df: DataFrame) -> Column:
 
 
 def _agg_col(agg: Agg) -> Column:
+    if agg.arg != "*" and not isinstance(agg.arg, Var):
+        raise ValueError(
+            f"{agg.fn}() supports a variable or * argument, got {agg.arg!r}"
+        )
     if agg.fn == "COUNT":
         if agg.arg == "*":
             return F.count(F.lit(1))
@@ -645,11 +752,13 @@ def _split_lucene(g: Group):
     [(entity_var, query_string, score_var|None)]."""
     remaining, searches = [], {}
     score_vars = {}
+    search_preds = (LUCENE_NS + "searchIndex", "luc:searchIndex")
+    score_preds = (LUCENE_NS + "score", "luc:score")
     for (s, p, o) in g.triples:
-        if p == LUCENE_NS + "searchIndex" and isinstance(s, Var):
+        if p in search_preds and isinstance(s, Var):
             q = o.value if isinstance(o, Lit) else str(o)
             searches[s.name] = q
-        elif p == LUCENE_NS + "score" and isinstance(s, Var) and isinstance(o, Var):
+        elif p in score_preds and isinstance(s, Var) and isinstance(o, Var):
             score_vars[s.name] = o.name
         else:
             remaining.append((s, p, o))
@@ -676,6 +785,45 @@ def _eval_lucene(triples: DataFrame, ent: str, query: str,
     return out if score_var else out.drop("__score")
 
 
+def _transitive_pairs(triples: DataFrame, pred, start: str | None,
+                      max_depth: int = 12) -> DataFrame:
+    """Closure of ``pred+``: (a, b) pairs connected by 1..max_depth
+    hops. With a constant subject the frontier starts there (bounded
+    expansion, the ``recursive_dereference`` shape); var-var paths
+    compute the bounded full closure. Iterations are joins on the
+    edge relation — each round is one shuffle, O(log-ish) rounds for
+    typical shallow hierarchies."""
+    cond = (
+        F.col("pred").isin(*pred) if isinstance(pred, (tuple, set, frozenset))
+        else F.col("pred") == pred
+    )
+    edges = (
+        triples.filter(cond)
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    if start is not None:
+        frontier = edges.filter(F.col("a") == start)
+    else:
+        frontier = edges
+    result = frontier
+    for _ in range(max_depth - 1):
+        nxt = (
+            frontier.withColumnRenamed("b", "_m")
+            .join(edges.withColumnRenamed("a", "_m"), "_m")
+            .select("a", "b")
+            .distinct()
+        )
+        new = nxt.join(result, ["a", "b"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if not new.head(1):
+            break
+        result = result.unionByName(new)
+        frontier = new
+    return result
+
+
 def _compile_group(triples: DataFrame, g: Group,
                    graph: str | None = None) -> DataFrame:
     base_triples = triples
@@ -683,7 +831,13 @@ def _compile_group(triples: DataFrame, g: Group,
         base_triples = base_triples.filter(F.col("graph") == graph)
 
     patterns, searches = _split_lucene(g)
-    patterns = [(s, _const_of(p), _const_of(o)) for (s, p, o) in patterns]
+    path_patterns = [
+        (s, p, o) for (s, p, o) in patterns if isinstance(p, PathPlus)
+    ]
+    patterns = [
+        (s, _const_of(p), _const_of(o)) for (s, p, o) in patterns
+        if not isinstance(p, PathPlus)
+    ]
 
     df: DataFrame | None = None
     if patterns:
@@ -691,6 +845,27 @@ def _compile_group(triples: DataFrame, g: Group,
     for ent, q, score_var in searches:
         sr = _eval_lucene(base_triples, ent, q, score_var)
         df = sr if df is None else df.join(sr, on=ent, how="inner")
+    for s, p, o in path_patterns:
+        pairs = _transitive_pairs(
+            base_triples, p.pred,
+            start=s if not isinstance(s, Var) else None,
+        )
+        sel = []
+        if isinstance(s, Var):
+            sel.append(F.col("a").alias(s.name))
+        else:
+            pairs = pairs.filter(F.col("a") == s)
+        if isinstance(o, Var):
+            sel.append(F.col("b").alias(o.name))
+        else:
+            pairs = pairs.filter(F.col("b") == _const_of(o))
+        pp = pairs.select(*sel) if sel else pairs.select(F.lit(1).alias("__hit")).limit(1)
+        if df is None:
+            df = pp
+        else:
+            shared = sorted(set(df.columns) & set(pp.columns))
+            df = df.join(pp, on=shared, how="inner") if shared \
+                else df.crossJoin(pp)
     # graph-scoped subgroups join into the enclosing solution
     for term, sub in g.graph_scopes:
         if isinstance(term, Var):
@@ -845,12 +1020,54 @@ def _order_limit(q: Query, df: DataFrame) -> DataFrame:
     return df
 
 
+def _construct(q: Query, sols: DataFrame) -> DataFrame:
+    """CONSTRUCT template instantiation over compiled solutions —
+    output rows carry the TRIPLES schema (feeds TripleStore)."""
+    def term(t):
+        if isinstance(t, Var):
+            return F.col(t.name)
+        if isinstance(t, tuple):  # any-of: emit the full-IRI form
+            return F.lit(t[0])
+        return F.lit(_const_of(t))
+
+    outs = []
+    for s, p, o in q.template:
+        outs.append(
+            sols.select(
+                term(s).cast("string").alias("subj"),
+                term(p).cast("string").alias("pred"),
+                term(o).cast("string").alias("obj"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("graph"),
+                F.lit(None).cast("string").alias("src_url"),
+            )
+        )
+    result = outs[0]
+    for df in outs[1:]:
+        result = result.unionByName(df)
+    result = result.distinct()
+    if q.limit is not None:
+        result = result.limit(q.limit)
+    return result
+
+
 def execute_sparql(triples: DataFrame, text: str):
     """Parse + compile + run a SPARQL string against a quad DataFrame
     (TRIPLES schema). SELECT → DataFrame (one column per projected
-    variable, ``?`` stripped); ASK → bool."""
+    variable, ``?`` stripped); ASK → bool; CONSTRUCT → quad DataFrame
+    (TRIPLES schema); DESCRIBE → the resources' triples."""
     q = parse_sparql(text)
+    if q.form == "describe":
+        from kgap_spark.query.patterns import describe
+
+        out = describe(triples, q.describe_iris[0])
+        for iri in q.describe_iris[1:]:
+            out = out.unionByName(describe(triples, iri))
+        return out.distinct()
     df = _compile_group(triples, q.where)
     if q.form == "ask":
         return df.limit(1).count() > 0
+    if q.form == "construct":
+        return _construct(q, df)
     return _order_limit(q, _project(q, df))

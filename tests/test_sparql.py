@@ -389,6 +389,119 @@ def test_sparql_compiles_to_catalyst_plan(kb):
     assert "EvalPython" not in plan and "mapInPandas" not in plan.lower()
 
 
+@pytest.fixture(scope="module")
+def chain_kb(spark):
+    """a→b→c→d partOf chain + labels for path tests."""
+    rows = []
+    for x, y in [("urn:n:a", "urn:n:b"), ("urn:n:b", "urn:n:c"),
+                 ("urn:n:c", "urn:n:d")]:
+        rows.append((x, "ex:partOf", y, None, None, "urn:g", None))
+    rows.append(("urn:n:d", "rdfs:label", "the root", None, None, "urn:g", None))
+    return spark.createDataFrame(rows, S.TRIPLES)
+
+
+def test_property_path_transitive(chain_kb):
+    df = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { <urn:n:a> ex:partOf+ ?x } ORDER BY ?x
+    """)
+    assert [r.x for r in df.collect()] == ["urn:n:b", "urn:n:c", "urn:n:d"]
+    # var-var closure
+    df2 = execute_sparql(chain_kb, """
+        SELECT ?a ?b WHERE { ?a ex:partOf+ ?b } ORDER BY ?a ?b
+    """)
+    assert df2.count() == 6  # 3+2+1 reachable pairs
+
+
+def test_property_path_sequence(chain_kb):
+    df = execute_sparql(chain_kb, """
+        SELECT ?l WHERE { <urn:n:c> ex:partOf/rdfs:label ?l }
+    """)
+    assert [r.l for r in df.collect()] == ["the root"]
+    # sequence with transitive tail: a partOf+ then label
+    df2 = execute_sparql(chain_kb, """
+        SELECT ?l WHERE { <urn:n:a> ex:partOf+/rdfs:label ?l }
+    """)
+    assert [r.l for r in df2.collect()] == ["the root"]
+
+
+def test_repo_queries_folder(spark, kb):
+    """The shipped queries/ folder (the reference's notebooks/queries
+    analog) loads and runs — incl. the FAQ's verbatim template example
+    with its ${search_term}/${limit} slots (faq.md:215-229)."""
+    from kgap_spark.query.templates import QueryTemplates
+
+    qt = QueryTemplates(spark, "queries", triples=kb)
+    df = qt.execute_to_df("label_search", search_term="marine", limit=100)
+    assert [(r.entity, r.label) for r in df.collect()] == [
+        ("urn:sensor:0", "marine sensor")
+    ]
+    # empty filter slots render to nothing, like the reference
+    df2 = qt.execute_to_df(
+        "observations", filter_sensor="", filter_timerange="",
+        filter_value="FILTER(?result >= 30)", limit=10,
+    )
+    assert [r.observation for r in df2.collect()] == ["urn:obs:3", "urn:obs:2"]
+    df3 = qt.execute_to_df("missing_labels", limit=100)
+    assert df3.columns == ["entity", "type"]
+    df4 = qt.execute_to_df("type_counts")
+    assert df4.collect()[0]["count"] == 5
+
+
+def test_construct_from_text(kb):
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        CONSTRUCT { ?sensor <urn:p:observedBy> ?obs }
+        WHERE {
+          ?obs a sosa:Observation ;
+               sosa:madeBySensor ?sensor .
+        }
+    """)
+    assert df.columns[:3] == ["subj", "pred", "obj"]  # TRIPLES schema
+    got = {(r.subj, r.obj) for r in df.collect()}
+    assert ("urn:sensor:0", "urn:obs:0") in got
+    assert ("urn:sensor:1", "urn:obs:3") in got
+    assert len(got) == 4
+
+
+def test_describe_from_text(kb):
+    df = execute_sparql(kb, "DESCRIBE <urn:sensor:0>")
+    preds = {r.pred for r in df.collect()}
+    assert RDF + "type" in preds and RDFS + "label" in preds
+    # appears as object of madeBySensor too
+    objs = {r.obj for r in df.collect()}
+    assert "urn:sensor:0" in objs
+
+
+def test_job_sparql_subcommand(spark, tmp_path, capsys):
+    """CLI: SELECT to stdout and CONSTRUCT --into the store."""
+    import json as _json
+
+    from kgap_spark import schemas as S
+    from kgap_spark.job import main as job_main
+    from kgap_spark.triples import TripleStore
+
+    store_path = str(tmp_path / "store")
+    rows = [("urn:e:1", "rdf:type", "ex:Doc", None, None, "urn:g", None),
+            ("urn:e:2", "rdf:type", "ex:Doc", None, None, "urn:g", None)]
+    TripleStore(spark, store_path).append(spark.createDataFrame(rows, S.TRIPLES))
+
+    rc = job_main(["sparql", "--store", store_path,
+                   "--query", "SELECT (COUNT(*) as ?n) WHERE { ?s ?p ?o }"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == [{"n": 2}]
+
+    rc = job_main(["sparql", "--store", store_path,
+                   "--query",
+                   "CONSTRUCT { ?s <urn:p:isA> <urn:c:Doc> } "
+                   "WHERE { ?s rdf:type ex:Doc }",
+                   "--into", "urn:g:derived"])
+    assert rc == 0
+    derived = TripleStore(spark, store_path).read_graph("urn:g:derived")
+    assert derived.count() == 2
+    assert {r.pred for r in derived.collect()} == {"urn:p:isA"}
+
+
 def test_parse_errors():
     with pytest.raises(ValueError, match="bad term"):
         parse_sparql("SELECT ?s WHERE { ?s ?p }")
