@@ -228,6 +228,8 @@ def _sparql(rest: list[str]) -> int:
     ap.add_argument("--into", default=None,
                     help="CONSTRUCT only: merge result quads into this "
                          "graph of the store")
+    ap.add_argument("--graph", default=None,
+                    help="updates only: default graph for inserted quads")
     ap.add_argument("--show", type=int, default=20,
                     help="rows to print when no --out is given")
     _common(ap)
@@ -236,7 +238,12 @@ def _sparql(rest: list[str]) -> int:
     from pyspark.sql import functions as F
 
     from kgap_spark.io import export_results
-    from kgap_spark.query.sparql import execute_sparql
+    from kgap_spark.query.sparql import (
+        Update,
+        execute_sparql,
+        execute_sparql_update,
+        parse_sparql,
+    )
     from kgap_spark.triples import TripleStore
 
     spark = _session(args)
@@ -245,6 +252,10 @@ def _sparql(rest: list[str]) -> int:
     if text is None:
         with open(args.query_file) as f:
             text = f.read()
+    if isinstance(parse_sparql(text), Update):
+        stats = execute_sparql_update(store, text, default_graph=args.graph)
+        print(json.dumps(stats))
+        return 0
     result = execute_sparql(store.read(), text)
     if isinstance(result, bool):
         print(json.dumps({"ask": result}))

@@ -75,7 +75,7 @@ _KEYWORDS = {
     "PREFIX", "BASE", "SELECT", "ASK", "DISTINCT", "WHERE", "FILTER",
     "OPTIONAL", "NOT", "EXISTS", "GRAPH", "GROUP", "BY", "HAVING",
     "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION", "BIND",
-    "VALUES", "CONSTRUCT", "DESCRIBE",
+    "VALUES", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA",
 }
 _AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
@@ -158,6 +158,17 @@ class Agg:
 
 
 @dataclass
+class Update:
+    """A SPARQL Update request (quick-reference.md:224-244)."""
+
+    form: str                     # "insert_data" | "delete_data" | "modify"
+    data: list = field(default_factory=list)       # ground (s,p,o,graph)
+    delete_template: list = field(default_factory=list)
+    insert_template: list = field(default_factory=list)
+    where: object | None = None
+
+
+@dataclass
 class Group:
     """One { … } group: triples, filters, optionals, not-exists,
     graph-scoped subgroups, unions, BINDs, inline VALUES."""
@@ -229,6 +240,8 @@ class _Parser:
             pn = self.expect("PNAME").text
             iri = self.expect("IRI").text
             self.prefixes[pn.rstrip(":")] = iri[1:-1]
+        if self.at_kw("INSERT", "DELETE"):
+            return self.parse_update()
         if self.at_kw("ASK"):
             self.next()
             q = Query(form="ask")
@@ -309,6 +322,66 @@ class _Parser:
                 f"SPARQL parser: trailing input at {self.peek().text!r}"
             )
         return q
+
+    def parse_update(self) -> Update:
+        """INSERT DATA { … } | DELETE DATA { … } |
+        DELETE { t } INSERT { t } WHERE { g } (either part optional) |
+        DELETE WHERE { g } (quick-reference.md:224-244)."""
+        kw = self.next().text  # INSERT | DELETE
+        if self.at_kw("DATA"):
+            self.next()
+            g = self.group()
+            u = Update(form="insert_data" if kw == "INSERT" else "delete_data")
+            u.data = self.ground_quads(g)
+            return u
+        u = Update(form="modify")
+        if kw == "DELETE":
+            if self.at_kw("WHERE"):  # DELETE WHERE { g }: template = BGP
+                self.next()
+                u.where = self.group()
+                u.delete_template = list(u.where.triples)
+                return u
+            u.delete_template = self.template_group()
+            if self.at_kw("INSERT"):
+                self.next()
+                u.insert_template = self.template_group()
+        else:
+            u.insert_template = self.template_group()
+            if self.at_kw("DELETE"):  # pragma: no cover - unusual order
+                self.next()
+                u.delete_template = self.template_group()
+        self.expect("KW", "WHERE")
+        u.where = self.group()
+        return u
+
+    def template_group(self) -> list:
+        tg = self.group()
+        if tg.filters or tg.optionals or tg.not_exists or tg.unions:
+            raise ValueError("update template must contain only triples")
+        return tg.triples
+
+    def ground_quads(self, g: Group) -> list:
+        """Ground triples of a DATA block → (s, p, o-term, graph) rows;
+        GRAPH <g> { … } blocks scope their triples."""
+        out = []
+
+        def add(triples, graph):
+            for s, p, o in triples:
+                if any(isinstance(t, (Var, PathPlus)) for t in (s, p, o)):
+                    raise ValueError("DATA blocks must be ground (no variables)")
+                out.append((s, p, o, graph))
+
+        add(g.triples, None)
+        for term, sub in g.graph_scopes:
+            if isinstance(term, Var):
+                raise ValueError("GRAPH ?var not allowed in DATA blocks")
+            if (sub.filters or sub.optionals or sub.not_exists
+                    or sub.unions or sub.graph_scopes):
+                raise ValueError("DATA blocks must contain only triples")
+            add(sub.triples, term)
+        if g.filters or g.optionals or g.not_exists or g.unions:
+            raise ValueError("DATA blocks must contain only triples")
+        return out
 
     def projection_list(self) -> list:
         out = []
@@ -1052,12 +1125,124 @@ def _construct(q: Query, sols: DataFrame) -> DataFrame:
     return result
 
 
+def _write_term(t) -> str:
+    """Constant term → the string written into the store. An any-of
+    tuple (undeclared well-known pname) writes the form as typed —
+    compact, matching the repo's store convention."""
+    if isinstance(t, tuple):
+        return t[1]
+    return _const_of(t)
+
+
+def _ground_rows(data: list, default_graph: str | None):
+    rows = []
+    for s, p, o, g in data:
+        lang = o.lang if isinstance(o, Lit) else None
+        dt = o.datatype if isinstance(o, Lit) else None
+        graph = _write_term(g) if g is not None else default_graph
+        rows.append((_write_term(s), _write_term(p), _write_term(o),
+                     lang, dt, graph, None))
+    return rows
+
+
+def _instantiate(template: list, sols: DataFrame) -> DataFrame:
+    """Template triples × solutions → distinct (subj, pred, obj)."""
+    def term(t):
+        return F.col(t.name) if isinstance(t, Var) else F.lit(_write_term(t))
+
+    outs = [
+        sols.select(
+            term(s).cast("string").alias("subj"),
+            term(p).cast("string").alias("pred"),
+            term(o).cast("string").alias("obj"),
+        )
+        for s, p, o in template
+    ]
+    result = outs[0]
+    for df in outs[1:]:
+        result = result.unionByName(df)
+    return result.distinct()
+
+
+def execute_sparql_update(store, text: str,
+                          default_graph: str | None = None) -> dict:
+    """Run a SPARQL Update string against a ``TripleStore``
+    (quick-reference.md:224-244):
+
+    - INSERT DATA → quad-key merge (idempotent, append-only);
+    - DELETE DATA → row-level delete of the named quads;
+    - DELETE/INSERT … WHERE → solutions instantiate both templates;
+      deleted quads are matched on (subj, pred, obj) across graphs,
+      inserts land in ``default_graph``.
+
+    Returns a small stats dict. All set logic runs as DataFrame plans;
+    only the commit touches the store."""
+    u = parse_sparql(text)
+    if not isinstance(u, Update):
+        raise ValueError("not a SPARQL Update request; use execute_sparql")
+    spark = store.spark
+    if u.form in ("insert_data", "delete_data"):
+        # nullable staging schema: a DELETE DATA row with no graph term
+        # is a cross-graph wildcard (graph = NULL here, resolved below)
+        quads = spark.createDataFrame(
+            _ground_rows(u.data, default_graph),
+            "subj string, pred string, obj string, obj_lang string, "
+            "obj_datatype string, graph string, src_url string",
+        )
+        if u.form == "insert_data":
+            if any(g is None for (_, _, _, g) in u.data) and default_graph is None:
+                raise ValueError(
+                    "INSERT DATA outside a GRAPH block needs default_graph"
+                )
+            store.merge(quads)
+            return {"inserted": len(u.data)}
+        # DELETE DATA: rows without an explicit graph delete that
+        # (subj, pred, obj) from EVERY graph it appears in
+        explicit = quads.filter(F.col("graph").isNotNull())
+        wild = quads.filter(F.col("graph").isNull()).select(
+            "subj", "pred", "obj"
+        )
+        dels = explicit.select("subj", "pred", "obj", "graph")
+        if wild.head(1):
+            matched = store.read().join(
+                wild, ["subj", "pred", "obj"], "left_semi"
+            ).select("subj", "pred", "obj", "graph")
+            dels = dels.unionByName(matched)
+        store.delete_quads(dels)
+        return {"delete_requested": len(u.data)}
+    # modify: evaluate WHERE once, instantiate templates
+    sols = _compile_group(store.read(), u.where).localCheckpoint(eager=True)
+    n_del = n_ins = 0
+    if u.delete_template:
+        del_spo = _instantiate(u.delete_template, sols)
+        matched = store.read().join(
+            del_spo, ["subj", "pred", "obj"], "left_semi"
+        ).select("subj", "pred", "obj", "graph").localCheckpoint(eager=True)
+        n_del = matched.count()
+        store.delete_quads(matched)
+    if u.insert_template:
+        ins = _instantiate(u.insert_template, sols).select(
+            "subj", "pred", "obj",
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(default_graph).cast("string").alias("graph"),
+            F.lit(None).cast("string").alias("src_url"),
+        )
+        n_ins = ins.count()
+        store.merge(ins)
+    return {"deleted": n_del, "inserted": n_ins}
+
+
 def execute_sparql(triples: DataFrame, text: str):
     """Parse + compile + run a SPARQL string against a quad DataFrame
     (TRIPLES schema). SELECT → DataFrame (one column per projected
     variable, ``?`` stripped); ASK → bool; CONSTRUCT → quad DataFrame
     (TRIPLES schema); DESCRIBE → the resources' triples."""
     q = parse_sparql(text)
+    if isinstance(q, Update):
+        raise ValueError(
+            "SPARQL Update request; use execute_sparql_update(store, text)"
+        )
     if q.form == "describe":
         from kgap_spark.query.patterns import describe
 

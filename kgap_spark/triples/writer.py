@@ -157,10 +157,16 @@ class TripleStore:
         """U2: DELETE DATA — remove specific quads
         (docs/quick-reference.md:234-237). Anti-join the affected
         graphs' content against the delete set, rewrite only those
-        partitions (Iceberg row-level delete analog)."""
-        dels = quads.select(*QUAD_KEY).distinct()
-        graphs = dels.select("graph").distinct()
-        existing = self.read().join(F.broadcast(graphs), "graph", "left_semi")
+        partitions (Iceberg row-level delete analog).
+
+        The delete set is materialized FIRST: ``quads`` may itself be
+        derived from this store (SPARQL DELETE WHERE), and any of its
+        plans re-evaluated after the overwrite would read files the
+        overwrite just deleted."""
+        dels = quads.select(*QUAD_KEY).distinct().localCheckpoint(eager=True)
+        graphs = [r.graph for r in dels.select("graph").distinct().collect()]
+        # driver-side graph list → static partition pruning on the scan
+        existing = self.read().filter(F.col("graph").isin(graphs))
         remaining = existing.join(dels, QUAD_KEY, "left_anti").localCheckpoint(
             eager=True
         )
@@ -168,9 +174,9 @@ class TripleStore:
         self.overwrite_graphs(remaining)
         # graphs whose every quad was deleted produce no output
         # partition under dynamic overwrite — drop them explicitly
-        for r in graphs.collect():
-            if r.graph not in kept_graphs:
-                self.delete_graph(r.graph)
+        for g in graphs:
+            if g not in kept_graphs:
+                self.delete_graph(g)
 
     def rewrite(self, match_pred: str, new_pred: str) -> None:
         """U3: DELETE { ?s old ?o } INSERT { ?s new ?o } WHERE —

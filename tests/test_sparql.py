@@ -502,6 +502,78 @@ def test_job_sparql_subcommand(spark, tmp_path, capsys):
     assert {r.pred for r in derived.collect()} == {"urn:p:isA"}
 
 
+def test_sparql_updates(spark, tmp_path):
+    """The reference's Updates examples verbatim
+    (quick-reference.md:224-244) against a TripleStore."""
+    from kgap_spark.query.sparql import execute_sparql_update
+    from kgap_spark.triples import TripleStore
+
+    store = TripleStore(spark, str(tmp_path / "ustore"))
+
+    # Insert data (verbatim)
+    r = execute_sparql_update(store, """
+        PREFIX ex: <http://example.org/>
+        INSERT DATA {
+          ex:entity1 ex:property "value" .
+        }
+    """, default_graph="urn:g")
+    assert r == {"inserted": 1}
+    rows = store.read().collect()
+    assert [(x.subj, x.pred, x.obj, x.graph) for x in rows] == [
+        ("http://example.org/entity1", "http://example.org/property",
+         "value", "urn:g")
+    ]
+    # idempotent re-insert (merge semantics)
+    execute_sparql_update(store, """
+        PREFIX ex: <http://example.org/>
+        INSERT DATA { ex:entity1 ex:property "value" . }
+    """, default_graph="urn:g")
+    assert store.read().count() == 1
+
+    # seed more data for the modify form
+    execute_sparql_update(store, """
+        PREFIX ex: <http://example.org/>
+        INSERT DATA {
+          ex:entity1 ex:oldProp "a" .
+          ex:entity2 ex:oldProp "b" .
+          GRAPH <urn:g2> { ex:entity3 ex:other "c" . }
+        }
+    """, default_graph="urn:g")
+    assert store.read().count() == 4
+    assert store.read_graph("urn:g2").count() == 1
+
+    # Update (delete + insert) — verbatim
+    r = execute_sparql_update(store, """
+        PREFIX ex: <http://example.org/>
+        DELETE { ?s ex:oldProp ?o }
+        INSERT { ?s ex:newProp ?o }
+        WHERE { ?s ex:oldProp ?o }
+    """, default_graph="urn:g")
+    assert r == {"deleted": 2, "inserted": 2}
+    preds = {x.pred for x in store.read().collect()}
+    assert "http://example.org/oldProp" not in preds
+    assert "http://example.org/newProp" in preds
+
+    # Delete data (verbatim)
+    r = execute_sparql_update(store, """
+        PREFIX ex: <http://example.org/>
+        DELETE DATA {
+          ex:entity1 ex:property "value" .
+        }
+    """)
+    objs = {x.obj for x in store.read().collect()}
+    assert "value" not in objs
+
+    # DELETE WHERE shorthand
+    execute_sparql_update(store, """
+        PREFIX ex: <http://example.org/>
+        DELETE WHERE { ?s ex:newProp ?o }
+    """)
+    assert {x.pred for x in store.read().collect()} == {
+        "http://example.org/other"
+    }
+
+
 def test_parse_errors():
     with pytest.raises(ValueError, match="bad term"):
         parse_sparql("SELECT ?s WHERE { ?s ?p }")
