@@ -56,6 +56,50 @@ def _spans(n: int):
     )
 
 
+# Above this many distinct alias first-tokens, skip the pre-filter:
+# the InSet probe stays cheap, but a filter that passes almost
+# everything just adds work. Dictionaries are broadcast-sized by
+# design, so the driver-side collect is bounded too.
+MAX_FIRST_TOKEN_FILTER = 100_000
+
+
+def _first_token_grams(pages: DataFrame, alias_dict: DataFrame,
+                       text_col: str) -> DataFrame | None:
+    """Gram stream restricted to spans whose FIRST token opens some
+    alias. The broadcast join discards every other span anyway — but
+    only after the explode has materialized ~3×|tokens| concatenated
+    strings; pruning at the start-position level keeps the exploded
+    row count proportional to dictionary hits, not corpus size. The
+    membership probe compiles to an InSet (hash set) per token."""
+    firsts = [
+        r.f for r in alias_dict.select(
+            F.split(F.lower(F.col("alias")), r"\s+")[0].alias("f")
+        ).distinct().collect()
+    ]
+    if len(firsts) > MAX_FIRST_TOKEN_FILTER:
+        return None
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    df = pages.withColumn("_toks", F.filter(toks, lambda t: t != F.lit("")))
+    starts = F.filter(
+        F.transform("_toks", lambda x, i: i),
+        lambda i: F.col("_toks")[i].isin(firsts),
+    )
+    df = df.withColumn("_i", F.explode(starts))
+    n = F.size("_toks")
+    i = F.col("_i")
+    t = F.col("_toks")
+    g1 = t[i]
+    g2 = F.when(i + 1 < n, F.concat_ws(" ", t[i], t[i + 1]))
+    g3 = F.when(i + 2 < n, F.concat_ws(" ", t[i], t[i + 1], t[i + 2]))
+    return (
+        df.withColumn(
+            "gram",
+            F.explode(F.filter(F.array(g1, g2, g3), lambda x: x.isNotNull())),
+        )
+        .drop("_toks", "_i")
+    )
+
+
 def detect_mentions(
     pages: DataFrame, alias_dict: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -63,9 +107,14 @@ def detect_mentions(
 
     Returns ``(url, lang, alias, entity_id, prior, tf)`` — one row per
     (page, alias, candidate entity) with the term frequency of the alias
-    in the page. The dictionary side is explicitly ``broadcast`` (J6).
-    """
-    grams = with_ngrams(pages.select("url", "lang", text_col), text_col)
+    in the page. The dictionary side is explicitly ``broadcast`` (J6);
+    the gram stream is start-position-pruned by the dictionary's first
+    tokens (identical result — the join drops non-hits regardless)."""
+    grams = _first_token_grams(
+        pages.select("url", "lang", text_col), alias_dict, text_col
+    )
+    if grams is None:  # dictionary too wide for the prefilter
+        grams = with_ngrams(pages.select("url", "lang", text_col), text_col)
     d = alias_dict.select(
         F.col("alias"), F.col("entity_id"), F.col("lang").alias("alias_lang"),
         F.col("prior"),
