@@ -106,3 +106,80 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", language_id(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher-style repetition filters: fraction of
+# duplicate n-grams and the most-frequent-word share — high values mark
+# boilerplate/spam documents a training pipeline drops).
+
+def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals:
+
+    - ``top_word_frac``: share of the most frequent token (explode →
+      two keyed partial aggs — scales as one shuffle on (doc, token));
+    - ``dup_trigram_frac``: duplicate word-3-gram share, computed
+      per-row with ``array_distinct`` (no shuffle at all).
+    Both rounded to 6 dp for engine-portable comparison."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+    d = d.withColumn("_tks", _TOKENS(F.col("_txt")))
+    tri = F.expr(
+        "CASE WHEN size(_tks) >= 3 THEN "
+        "transform(slice(_tks, 1, size(_tks) - 2), "
+        "(x, i) -> concat_ws(' ', _tks[i], _tks[i + 1], _tks[i + 2])) "
+        "ELSE array() END"
+    )
+    per_row = d.select(
+        "doc_id",
+        F.size("_tks").alias("_n"),
+        F.size(tri).alias("_t"),
+        F.size(F.array_distinct(tri)).alias("_td"),
+    )
+    counts = (
+        d.select("doc_id", F.explode("_tks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_topc"))
+    )
+    return (
+        per_row.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.when(F.col("_n") > 0,
+                       F.col("_topc").cast("double") / F.col("_n"))
+                .otherwise(F.lit(0.0)), 6
+            ).alias("top_word_frac"),
+            F.round(
+                F.when(F.col("_t") > 0,
+                       (F.col("_t") - F.col("_td")).cast("double") / F.col("_t"))
+                .otherwise(F.lit(0.0)), 6
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: redact emails/phone-like strings, count what was hit.
+# Both regexes stay in the RE2-compatible subset so the DuckDB oracle
+# runs the very same patterns.
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}[ \-][0-9]{2,4}[ \-][0-9]{4,8}"
+
+
+def redact_pii(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_emails, n_phones, clean_text): emails → [EMAIL],
+    phone-like +CC sequences → [PHONE]. Pure regexp_replace /
+    regexp_count — native codegen, one scan, no shuffle."""
+    c = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )

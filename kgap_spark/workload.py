@@ -1265,6 +1265,91 @@ FROM documents WHERE n_chars < 200
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: most-frequent-word share
+    (explode + keyed partial aggs) and duplicate-3-gram share (pure
+    per-row array ops, zero shuffle) — the boilerplate/spam filters of
+    a training-data pipeline."""
+    from kgap_spark.functions.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DOC_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tks
+  FROM documents),
+tri AS (
+  SELECT doc_id, len(tks) AS n,
+         CASE WHEN len(tks) >= 3 THEN
+           list_transform(range(1, len(tks) - 1),
+                          i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2])
+         ELSE [] END AS tg
+  FROM t),
+wc AS (
+  SELECT doc_id, MAX(c) AS topc, SUM(c) AS ntok FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(tks) AS tok FROM t) GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT tri.doc_id,
+  ROUND(CASE WHEN COALESCE(wc.ntok, 0) > 0
+             THEN wc.topc::DOUBLE / wc.ntok ELSE 0.0 END, 6) AS top_word_frac,
+  ROUND(CASE WHEN len(tg) > 0
+             THEN (len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg)
+             ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM tri LEFT JOIN wc ON tri.doc_id = wc.doc_id
+"""
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,3}[ \-][0-9]{2,4}[ \-][0-9]{4,8}"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: the corpus gets one deterministic email + phone
+    appended per doc (the synthetic text has none — injection inside
+    query AND oracle, the anti_join pattern), then emails/phones are
+    counted and redacted in one native regexp scan (no shuffle)."""
+    from kgap_spark.functions.textstats import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +32 123 4567"),
+        ).alias("text"),
+    )
+    out = redact_pii(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_emails", "n_phones",
+        F.expr("right(clean_text, 80)").alias("clean_tail"),
+    )
+
+
+ORACLE_PII_REDACT = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact doc' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +32 123 4567' AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\\+[0-9]{1,3}[ \\-][0-9]{2,4}[ \\-][0-9]{4,8}')) AS BIGINT) AS n_phones,
+  right(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\\+[0-9]{1,3}[ \\-][0-9]{2,4}[ \\-][0-9]{4,8}', '[PHONE]', 'g'),
+    80) AS clean_tail
+FROM d
+"""
+
+
 SPARQL_TYPE_COUNTS = """
 SELECT ?type (COUNT(?d) as ?n)
 WHERE { ?d a ?type . }
@@ -1528,6 +1613,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_count": q_bpe_token_count,
     "frame_sample_plan": q_frame_sample_plan,
     "doc_quality": q_doc_quality,
+    "doc_repetition": q_doc_repetition,
+    "pii_redact": q_pii_redact,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_topk_per_source": q_quality_topk_per_source,
@@ -1589,6 +1676,8 @@ ORACLES: dict[str, str] = {
     "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
     "frame_sample_plan": ORACLE_FRAME_SAMPLE,
     "doc_quality": ORACLE_DOC_QUALITY,
+    "doc_repetition": ORACLE_DOC_REPETITION,
+    "pii_redact": ORACLE_PII_REDACT,
     "doc_lang_id": ORACLE_DOC_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "quality_topk_per_source": ORACLE_QUALITY_TOPK,

@@ -142,6 +142,36 @@ def test_textstats(spark, docs):
     assert 0.0 <= stats[0].quality <= 1.0
 
 
+def test_repetition_stats(spark):
+    from kgap_spark.functions.textstats import repetition_stats
+
+    rows = [(0, "spam spam spam spam spam spam"),     # 1 word repeated
+            (1, "all words here are unique tokens"),
+            (2, "ab cd ef ab cd ef ab cd ef")]        # repeated trigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           repetition_stats(docs, "doc_id", "text").collect()}
+    assert got[0].top_word_frac == 1.0
+    assert got[0].dup_trigram_frac == 0.75  # 4 trigrams, 1 distinct
+    assert got[1].top_word_frac == pytest.approx(1 / 6, abs=1e-6)
+    assert got[1].dup_trigram_frac == 0.0
+    # doc 2: 7 trigrams, 3 distinct → 4/7 duplicated
+    assert got[2].dup_trigram_frac == pytest.approx(4 / 7, abs=1e-6)
+
+
+def test_redact_pii(spark):
+    from kgap_spark.functions.textstats import redact_pii
+
+    rows = [(0, "mail me at jane.doe+x@lab.example.org or +32 468 123456 now"),
+            (1, "no pii in this one")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(docs, "doc_id", "text").collect()}
+    assert got[0].n_emails == 1 and got[0].n_phones == 1
+    assert got[0].clean_text == "mail me at [EMAIL] or [PHONE] now"
+    assert got[1].n_emails == 0 and got[1].n_phones == 0
+    assert got[1].clean_text == "no pii in this one"
+
+
 def test_fts(spark, docs):
     from kgap_spark.index.fts import build_posting_table, fts_search
 
