@@ -77,7 +77,7 @@ _KEYWORDS = {
     "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION", "BIND",
     "VALUES", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA",
 }
-_AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG"}
+_AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG", "SAMPLE", "GROUP_CONCAT"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
           "DATATYPE", "STRSTARTS", "STRENDS", "LCASE", "UCASE"}
 
@@ -815,6 +815,13 @@ def _agg_col(agg: Agg) -> Column:
         return F.sum(c.try_cast("double"))
     if agg.fn == "AVG":
         return F.avg(c.try_cast("double"))
+    if agg.fn == "SAMPLE":
+        # SPARQL SAMPLE is any value; MIN keeps it deterministic
+        return F.min(c)
+    if agg.fn == "GROUP_CONCAT":
+        # sorted for determinism; SPARQL's default separator is a space
+        vals = F.collect_set(c) if agg.distinct else F.collect_list(c)
+        return F.array_join(F.sort_array(vals), " ")
     raise ValueError(f"unsupported aggregate {agg.fn}")
 
 

@@ -68,3 +68,66 @@ def test_turtle_parser_agrees_with_ntriples_grammar(rows):
     quads = parse_turtle("\n".join(lines), default_graph="urn:g")
     got = {(q[0], q[1], q[2]) for q in quads}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# N-Triples writer → reader roundtrip on adversarial quads.
+
+_IRI_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789:/._-"
+_iri = st.text(alphabet=_IRI_CHARS, min_size=1, max_size=40).map(
+    lambda s: "urn:x:" + s
+)
+# any text except NUL (the unescape sentinel; raw NUL is illegal in
+# N-Triples anyway) — quotes, backslashes, newlines, CR, tabs, unicode
+_lit = st.text(max_size=60).filter(lambda s: "\x00" not in s)
+_bnode = st.from_regex(r"_:[A-Za-z0-9][A-Za-z0-9_]{0,10}", fullmatch=True)
+
+
+@st.composite
+def _quads(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    rows = []
+    for _ in range(n):
+        subj = draw(st.one_of(_iri, _bnode))
+        pred = draw(_iri)
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            obj, lang, dt = draw(st.one_of(_iri, _bnode)), None, None
+        elif kind == 1:
+            obj, lang, dt = draw(_lit), None, None
+        elif kind == 2:
+            obj, lang, dt = draw(_lit), draw(st.sampled_from(
+                ["en", "nl", "de-DE"])), None
+        else:
+            obj, lang, dt = draw(_lit), None, draw(_iri)
+        rows.append((subj, pred, obj, lang, dt, "urn:g:p", None))
+    return rows
+
+
+@given(_quads())
+@settings(max_examples=12, deadline=None)
+def test_ntriples_roundtrip_property(spark, tmp_path_factory, rows):
+    """write_ntriples → read_ntriples preserves every quad column for
+    arbitrary literals (quotes, backslashes, newlines, CR, unicode),
+    IRI and bnode terms — modulo the reader's file-unique bnode
+    renaming, which the comparison strips."""
+    from pyspark.sql import functions as F
+
+    from kgap_spark import schemas as S
+    from kgap_spark.io import read_ntriples, write_ntriples
+
+    out = str(tmp_path_factory.mktemp("ntprop"))
+    df = spark.createDataFrame(rows, S.TRIPLES)
+    write_ntriples(df, out)
+    back = read_ntriples(spark, out)  # on_error='fail': no silent drops
+
+    key = ["subj", "pred", "obj", "obj_lang", "obj_datatype", "graph"]
+    norm = lambda d: {  # noqa: E731
+        tuple(
+            __import__("re").sub(r"^_:(?:[0-9a-f]{8}-L)+", "_:", v)
+            if isinstance(v, str) else v
+            for v in r
+        )
+        for r in d.select(key).collect()
+    }
+    assert norm(back) == norm(df)

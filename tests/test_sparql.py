@@ -502,6 +502,19 @@ def test_job_sparql_subcommand(spark, tmp_path, capsys):
     assert {r.pred for r in derived.collect()} == {"urn:p:isA"}
 
 
+def test_group_concat_and_sample(kb):
+    df = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?s (GROUP_CONCAT(?label) AS ?labels) (SAMPLE(?label) AS ?one)
+        WHERE { ?s rdfs:label ?label }
+        GROUP BY ?s
+    """)
+    r = df.collect()[0]
+    assert r.s == "urn:sensor:0"
+    assert r.labels == "mariene sensor marine sensor"  # sorted, space-sep
+    assert r.one == "mariene sensor"  # deterministic MIN
+
+
 def test_sparql_updates(spark, tmp_path):
     """The reference's Updates examples verbatim
     (quick-reference.md:224-244) against a TripleStore."""
