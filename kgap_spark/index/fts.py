@@ -79,6 +79,34 @@ def write_posting_table(posting: DataFrame, path: str, n_docs: int | None = None
     )
 
 
+def append_posting_table(posting: DataFrame, path: str,
+                         n_new_docs: int = 0) -> None:
+    """Incremental index maintenance: append NEW documents' postings
+    into the existing bucket-partitioned index (no rebuild — the
+    Lucene segment-add analog). Token bucketing is content-hashed, so
+    new rows land in the same bucket scheme; the `_doc_count` sidecar
+    is bumped by ``n_new_docs``. Searches need no change — a token's
+    postings just span more files until the next compaction
+    (`posting.repartition` keeps the per-append file count at one per
+    touched bucket)."""
+    (
+        posting.withColumn("_bucket", bucket_of(F.col("token")))
+        .repartition("_bucket")
+        .write.mode("append")
+        .partitionBy("_bucket")
+        .parquet(path)
+    )
+    if n_new_docs:
+        spark = posting.sparkSession
+        current = read_doc_count(spark, path) or 0
+        from kgap_spark.io.fs import write_text_file
+
+        write_text_file(
+            spark, path.rstrip("/") + "/_doc_count",
+            str(current + n_new_docs),
+        )
+
+
 def read_doc_count(spark, path: str) -> int | None:
     """The ``_doc_count`` sidecar written by ``write_posting_table``,
     or None for pre-sidecar indexes."""

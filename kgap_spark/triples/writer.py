@@ -194,6 +194,39 @@ class TripleStore:
         ).localCheckpoint(eager=True)
         self.overwrite_graphs(rewritten)
 
+    def compact(self, graphs: list[str] | None = None) -> dict:
+        """Rewrite fragmented graph partitions into the canonical
+        range-partitioned layout. The append-only ``merge`` trades
+        rewrite I/O for file-count growth — every Sync delta adds
+        files — so periodic compaction is the operational counterpart
+        (Iceberg's rewrite_data_files analog): read the affected
+        graphs once, re-`_prep`, dynamic-partition-overwrite them.
+        Returns per-call file accounting."""
+        if graphs is None:
+            graphs = [
+                r.graph for r in self.read().select("graph").distinct().collect()
+            ]
+        if not graphs:
+            return {"graphs": 0, "files_before": 0, "files_after": 0}
+
+        def n_files() -> int:
+            total = 0
+            for g in graphs:
+                part = fs.join(self.path, f"graph={_escape_partition(g)}")
+                total += sum(
+                    1 for name in fs.list_names(self.spark, part)
+                    if name.endswith(".parquet")
+                )
+            return total
+
+        before = n_files()
+        df = self.read().filter(F.col("graph").isin(graphs)).localCheckpoint(
+            eager=True
+        )
+        self.overwrite_graphs(df)
+        return {"graphs": len(graphs), "files_before": before,
+                "files_after": n_files()}
+
     def cleanup_orphan_graphs(self, active_graphs: list[str]) -> list[str]:
         """T7: drop graphs no longer in the source config (the analog of
         removing feed containers for deleted feeds, app.py:242-272).

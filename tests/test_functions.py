@@ -220,6 +220,37 @@ def test_fts_tfidf_downweights_stopwords(spark, tmp_path):
     assert [r.subj for r in via_index] == [r.subj for r in idf_hits]
 
 
+def test_append_posting_table_incremental(spark, tmp_path):
+    """Index maintenance: appending a new doc's postings (no rebuild)
+    makes it searchable and bumps the corpus-size sidecar."""
+    from kgap_spark.index.fts import (
+        append_posting_table,
+        build_posting_table,
+        fts_search_indexed,
+        read_doc_count,
+        write_posting_table,
+    )
+
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    write_posting_table(build_posting_table(base, "doc_id", "text"), idx,
+                        n_docs=2)
+    assert read_doc_count(spark, idx) == 2
+    assert fts_search_indexed(spark, idx, "zeta", k=5).count() == 0
+
+    newdocs = spark.createDataFrame([(2, "zeta beta")], "doc_id long, text string")
+    append_posting_table(build_posting_table(newdocs, "doc_id", "text"), idx,
+                         n_new_docs=1)
+    assert read_doc_count(spark, idx) == 3
+    hits = fts_search_indexed(spark, idx, "zeta", k=5).collect()
+    assert [r.subj for r in hits] == [2]
+    # old postings still intact, tfidf path works over the merged index
+    beta = fts_search_indexed(spark, idx, "beta", k=5, scoring="tfidf")
+    assert {r.subj for r in beta.collect()} == {0, 1, 2}
+
+
 def test_cosine_topk_and_lsh_recall(spark):
     from kgap_spark.functions.similarity import cosine_topk, lsh_bucketed_topk
 

@@ -94,6 +94,24 @@ def test_merge_appends_delta_without_rewriting_existing_files(spark, tmp_path):
         assert final.get(p) == sig
 
 
+def test_compact_collapses_merge_fragments(spark, tmp_path):
+    """Repeated append-only merges fragment a partition into many
+    small files; compact() rewrites it to the canonical layout with
+    identical content."""
+    store = TripleStore(spark, str(tmp_path / "t4"))
+    g = "urn:g:frag"
+    store.append(_quads(spark, [(f"s{i}", "p", str(i), g) for i in range(100)]))
+    for j in range(6):  # six delta merges → six file batches
+        store.merge(_quads(spark, [(f"d{j}", "p", str(j), g)]))
+    before_rows = {(r.subj, r.obj) for r in store.read_graph(g).collect()}
+
+    stats = store.compact([g])
+    assert stats["files_before"] > stats["files_after"]
+    after_rows = {(r.subj, r.obj) for r in store.read_graph(g).collect()}
+    assert after_rows == before_rows
+    assert len(after_rows) == 106
+
+
 def test_partition_pruning_in_plan(spark, tmp_path):
     """read_graph must prune to one partition (PartitionFilters in the
     scan, not a post-scan filter)."""
