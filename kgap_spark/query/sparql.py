@@ -22,6 +22,13 @@ and routed to the FTS module: the two virtual patterns leave the BGP
 and become a posting-table search over the store's literal objects,
 joined back on the entity variable.
 
+Known divergence from full SPARQL semantics: a variable left unbound
+by one OPTIONAL and then used as a join key by a LATER optional/group
+joins as SQL NULL (no match) rather than SPARQL's unbound-compatible
+join — the UNION compiler handles this case exactly (``_compat_join``),
+the optional chain does not. Queries in the reference docs never hit
+this shape.
+
 Term convention: prefixed names expand through the query's PREFIX
 declarations; a pname whose prefix is NOT declared stays compact
 (matching the repo's compact-IRI storage convention, e.g.
@@ -66,7 +73,7 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*@/+])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*@/+\-])
     """,
     re.VERBOSE,
 )
@@ -231,7 +238,15 @@ class _Parser:
         return t is not None and t.kind == "KW" and t.text in kws
 
     # -- entry ---------------------------------------------------------
-    def parse(self) -> Query:
+    def parse(self):
+        q = self._parse_inner()
+        if self.peek() is not None:
+            raise ValueError(
+                f"SPARQL parser: trailing input at {self.peek().text!r}"
+            )
+        return q
+
+    def _parse_inner(self):
         while self.at_kw("PREFIX", "BASE"):
             kw = self.next().text
             if kw == "BASE":
@@ -250,10 +265,7 @@ class _Parser:
         if self.at_kw("CONSTRUCT"):
             self.next()
             q = Query(form="construct")
-            tg = self.group()  # template: triples only
-            if tg.filters or tg.optionals or tg.not_exists or tg.unions:
-                raise ValueError("CONSTRUCT template must contain only triples")
-            q.template = tg.triples
+            q.template = self.template_group()
             if self.at_kw("WHERE"):
                 self.next()
             q.where = self.group()
@@ -317,10 +329,6 @@ class _Parser:
                 q.offset = int(self.expect("NUM").text)
             else:
                 break
-        if self.peek() is not None:
-            raise ValueError(
-                f"SPARQL parser: trailing input at {self.peek().text!r}"
-            )
         return q
 
     def parse_update(self) -> Update:
@@ -339,7 +347,7 @@ class _Parser:
             if self.at_kw("WHERE"):  # DELETE WHERE { g }: template = BGP
                 self.next()
                 u.where = self.group()
-                u.delete_template = list(u.where.triples)
+                u.delete_template = [(s, p, o, None) for s, p, o in u.where.triples]
                 return u
             u.delete_template = self.template_group()
             if self.at_kw("INSERT"):
@@ -355,10 +363,23 @@ class _Parser:
         return u
 
     def template_group(self) -> list:
+        """A CONSTRUCT/INSERT/DELETE template → (s, p, o, graph|None)
+        quads; GRAPH <g> { … } blocks scope their triples' graph term
+        (previously these were silently discarded)."""
         tg = self.group()
         if tg.filters or tg.optionals or tg.not_exists or tg.unions:
-            raise ValueError("update template must contain only triples")
-        return tg.triples
+            raise ValueError("template must contain only triples")
+        out = [(s, p, o, None) for s, p, o in tg.triples]
+        for term, sub in tg.graph_scopes:
+            if isinstance(term, Var):
+                raise ValueError("GRAPH ?var not allowed in a template")
+            if (sub.filters or sub.optionals or sub.not_exists
+                    or sub.unions or sub.graph_scopes):
+                raise ValueError("template must contain only triples")
+            out.extend((s, p, o, term) for s, p, o in sub.triples)
+        if not out:
+            raise ValueError("empty template")
+        return out
 
     def ground_quads(self, g: Group) -> list:
         """Ground triples of a DATA block → (s, p, o-term, graph) rows;
@@ -470,12 +491,18 @@ class _Parser:
 
     def values_block(self):
         """VALUES ?x { v… }  or  VALUES (?a ?b) { (v v) … }"""
+        def at_op(text: str) -> bool:
+            p = self.peek()
+            if p is None:
+                raise ValueError("SPARQL parser: unterminated VALUES block")
+            return p.kind == "OP" and p.text == text
+
         t = self.peek()
         if t and t.kind == "VAR":
             vars_ = [Var(self.next().text[1:])]
             self.expect("OP", "{")
             rows = []
-            while not (self.peek().kind == "OP" and self.peek().text == "}"):
+            while not at_op("}"):
                 rows.append((self.value_term(),))
             self.next()
             return (vars_, rows)
@@ -486,10 +513,10 @@ class _Parser:
         self.expect("OP", ")")
         self.expect("OP", "{")
         rows = []
-        while not (self.peek().kind == "OP" and self.peek().text == "}"):
+        while not at_op("}"):
             self.expect("OP", "(")
             row = []
-            while not (self.peek().kind == "OP" and self.peek().text == ")"):
+            while not at_op(")"):
                 row.append(self.value_term())
             self.next()
             if len(row) != len(vars_):
@@ -499,6 +526,11 @@ class _Parser:
         return (vars_, rows)
 
     def value_term(self) -> str:
+        nxt = self.peek()
+        if nxt and nxt.kind == "PNAME" and nxt.text == "UNDEF":
+            raise ValueError(
+                "VALUES UNDEF is not supported (unbound-compatible joins)"
+            )
         t = self.term()
         if isinstance(t, Lit):
             return t.value
@@ -506,6 +538,8 @@ class _Parser:
             return t.text
         if isinstance(t, Var):
             raise ValueError("variables not allowed inside VALUES data")
+        if isinstance(t, tuple):  # any-of well-known pname: as typed
+            return t[1]
         return t
 
     _path_counter = 0
@@ -591,6 +625,14 @@ class _Parser:
         if nxt and nxt.kind == "OP" and nxt.text == "@":
             self.next()
             lang = self.expect("PNAME").text
+            # BCP-47 subtags: en-US, de-DE-1996 …
+            while (self.peek() and self.peek().kind == "OP"
+                   and self.peek().text == "-"):
+                self.next()
+                sub = self.next()
+                if sub.kind not in ("PNAME", "NUM"):
+                    raise ValueError(f"bad language subtag {sub.text!r}")
+                lang += "-" + sub.text
             return Lit(value, lang=lang)
         if nxt and nxt.kind == "OP" and nxt.text == "^^":
             self.next()
@@ -789,7 +831,19 @@ def _compile_expr(e, df: DataFrame) -> Column:
             if e.name == "BOUND":
                 return a[0].isNotNull()
             if e.name == "REGEX":
-                return a[0].rlike(e.args[1].value)
+                if not isinstance(e.args[1], Lit):
+                    raise ValueError("REGEX pattern must be a string literal")
+                pat = e.args[1].value
+                if len(e.args) > 2:  # flags: i/s/m → inline (?…) prefix
+                    if not isinstance(e.args[2], Lit):
+                        raise ValueError("REGEX flags must be a string literal")
+                    flags = e.args[2].value
+                    bad = set(flags) - set("ism")
+                    if bad:
+                        raise ValueError(f"unsupported REGEX flags {flags!r}")
+                    if flags:
+                        pat = f"(?{flags})" + pat
+                return a[0].rlike(pat)
             raise ValueError(f"unsupported function {e.name}")
         raise ValueError(f"unsupported expression node {e!r}")
 
@@ -842,6 +896,12 @@ def _split_lucene(g: Group):
             score_vars[s.name] = o.name
         else:
             remaining.append((s, p, o))
+    orphans = set(score_vars) - set(searches)
+    if orphans:
+        raise ValueError(
+            "luc:score without a matching luc:searchIndex pattern for "
+            f"?{sorted(orphans)[0]}"
+        )
     return remaining, [
         (ent, q, score_vars.get(ent)) for ent, q in searches.items()
     ]
@@ -904,6 +964,33 @@ def _transitive_pairs(triples: DataFrame, pred, start: str | None,
     return result
 
 
+def _compat_join(df: DataFrame, right: DataFrame, total: list[str],
+                 partial: list[str]) -> DataFrame:
+    """SPARQL solution-compatibility join: ``total`` columns are bound
+    on both sides (plain equi keys); ``partial`` columns may be NULL
+    (unbound) on the right — unbound matches anything, and the merged
+    value is COALESCE of the two sides. The equi keys keep this a hash
+    join; the partial conditions ride along as join residuals."""
+    r = right
+    for c in partial:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    cond = F.lit(True)
+    for c in total:
+        cond = cond & (df[c] == r[c])
+    for c in partial:
+        rc = r[f"__r_{c}"]
+        cond = cond & (df[c].isNull() | rc.isNull() | (df[c] == rc))
+    out = df.join(r, cond, "inner")
+    # merge partial bindings; drop the duplicated total columns
+    merged = out
+    for c in partial:
+        merged = merged.withColumn(c, F.coalesce(df[c], F.col(f"__r_{c}")))
+        merged = merged.drop(f"__r_{c}")
+    for c in total:
+        merged = merged.drop(r[c])
+    return merged
+
+
 def _compile_group(triples: DataFrame, g: Group,
                    graph: str | None = None) -> DataFrame:
     base_triples = triples
@@ -928,24 +1015,33 @@ def _compile_group(triples: DataFrame, g: Group,
     for s, p, o in path_patterns:
         pairs = _transitive_pairs(
             base_triples, p.pred,
-            start=s if not isinstance(s, Var) else None,
+            start=s if isinstance(s, str) else None,
         )
+
+        def _match(col, term):
+            if isinstance(term, tuple):  # any-of constant
+                return col.isin(*term)
+            return col == F.lit(_const_of(term))
+
         sel = []
         if isinstance(s, Var):
             sel.append(F.col("a").alias(s.name))
         else:
-            pairs = pairs.filter(F.col("a") == s)
+            pairs = pairs.filter(_match(F.col("a"), s))
         if isinstance(o, Var):
             sel.append(F.col("b").alias(o.name))
         else:
-            pairs = pairs.filter(F.col("b") == _const_of(o))
+            pairs = pairs.filter(_match(F.col("b"), o))
+        # no variables → pure existence constraint on the group
         pp = pairs.select(*sel) if sel else pairs.select(F.lit(1).alias("__hit")).limit(1)
         if df is None:
             df = pp
         else:
-            shared = sorted(set(df.columns) & set(pp.columns))
+            shared = sorted(set(df.columns) & set(pp.columns) - {"__hit"})
             df = df.join(pp, on=shared, how="inner") if shared \
                 else df.crossJoin(pp)
+        if "__hit" in df.columns:
+            df = df.drop("__hit")
     # graph-scoped subgroups join into the enclosing solution
     for term, sub in g.graph_scopes:
         if isinstance(term, Var):
@@ -963,9 +1059,17 @@ def _compile_group(triples: DataFrame, g: Group,
                 else df.crossJoin(sub_df)
     # { A } UNION { B }: evaluate each arm, align columns (a var bound
     # in one arm only → NULL in the other, per SPARQL), then join the
-    # combined solution into the enclosing pattern
+    # combined solution into the enclosing pattern. Variables bound in
+    # EVERY arm join as plain equi-keys; arm-local variables carry
+    # NULLs, and SQL NULL keys never match, so those use SPARQL's
+    # unbound-is-compatible condition (NULL on either side matches,
+    # output = coalesce) instead of silently dropping solutions.
     for arms in g.unions:
         arm_dfs = [_compile_group(triples, arm, graph=graph) for arm in arms]
+        arm_cols = [
+            {c for c in a.columns if not _is_meta(c)} for a in arm_dfs
+        ]
+        total_cols = set.intersection(*arm_cols)
         u = arm_dfs[0]
         for other in arm_dfs[1:]:
             u = u.unionByName(other, allowMissingColumns=True)
@@ -977,8 +1081,15 @@ def _compile_group(triples: DataFrame, g: Group,
             shared = sorted(
                 set(df.columns) & {c for c in u.columns if not _is_meta(c)}
             )
-            df = df.join(u, on=shared, how="inner") if shared \
-                else df.crossJoin(u)
+            partial = [c for c in shared if c not in total_cols]
+            if not shared:
+                df = df.crossJoin(u)
+            elif not partial:
+                df = df.join(u, on=shared, how="inner")
+            else:
+                df = _compat_join(
+                    df, u, [c for c in shared if c in total_cols], partial
+                )
     # inline VALUES: a broadcast-joined literal table
     for vars_, rows in g.values:
         names = [v.name for v in vars_]
@@ -994,6 +1105,10 @@ def _compile_group(triples: DataFrame, g: Group,
     if df is None:
         raise ValueError("SPARQL compiler: empty WHERE group")
     for e, v in g.binds:
+        if v.name in df.columns:
+            # SPARQL forbids BIND onto an in-scope variable; silently
+            # overwriting it would fabricate solutions
+            raise ValueError(f"BIND target ?{v.name} is already bound")
         df = df.withColumn(v.name, _compile_expr(e, df))
     for sub in g.optionals:
         sub_df = _compile_group(triples, sub, graph=graph)
@@ -1002,8 +1117,10 @@ def _compile_group(triples: DataFrame, g: Group,
         shared = sorted(
             set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
         )
+        # no shared vars → SPARQL left-join-on-true: every outer row
+        # survives even when the optional side is empty
         df = df.join(sub_df, on=shared, how="left") if shared \
-            else df.crossJoin(sub_df)
+            else df.join(sub_df, F.lit(True), "left")
     for sub in g.not_exists:
         sub_df = _compile_group(triples, sub, graph=graph)
         shared = sorted(
@@ -1018,14 +1135,20 @@ def _compile_group(triples: DataFrame, g: Group,
     return df
 
 
-def _project(q: Query, df: DataFrame) -> DataFrame:
+def _is_internal(col: str) -> bool:
+    """Meta (lang/dt) and compiler-internal (__path/__having/…) columns
+    never surface in results."""
+    return _is_meta(col) or col.startswith("__")
+
+
+def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFrame:
     has_agg = bool(q.group_by) or any(
         isinstance(p, tuple) and isinstance(p[0], Agg) for p in q.projections
     ) or isinstance(q.having, BinOp)
 
     if not has_agg:
         if q.projections == ["*"]:
-            out = df.select(*[c for c in df.columns if not _is_meta(c)])
+            out = df.select(*[c for c in df.columns if not _is_internal(c)])
         else:
             sel = []
             for p in q.projections:
@@ -1037,6 +1160,8 @@ def _project(q: Query, df: DataFrame) -> DataFrame:
                 else:
                     e, alias = p
                     sel.append(_compile_expr(e, df).alias(alias.name))
+            # hidden ORDER BY keys ride along until after the sort
+            sel.extend(F.col(k) for k in (keep or []))
             out = df.select(*sel)
         return out.distinct() if q.distinct else out
 
@@ -1089,7 +1214,13 @@ def _order_limit(q: Query, df: DataFrame) -> DataFrame:
     if q.order_by:
         keys = []
         for e, asc in q.order_by:
-            c = (F.col(e.name) if isinstance(e, Var) and e.name in df.columns
+            if isinstance(e, Var) and e.name not in df.columns:
+                # silently sorting by NULL would be no ordering at all
+                raise ValueError(
+                    f"ORDER BY ?{e.name}: variable not available in the "
+                    "result (project it, or order by a projected alias)"
+                )
+            c = (F.col(e.name) if isinstance(e, Var)
                  else _compile_expr(e, df))
             keys.append(c.asc() if asc else c.desc())
         df = df.orderBy(*keys)
@@ -1100,9 +1231,41 @@ def _order_limit(q: Query, df: DataFrame) -> DataFrame:
     return df
 
 
+def _select_result(q: Query, df: DataFrame) -> DataFrame:
+    """Project + order + limit with SPARQL's ordering scope: ORDER BY
+    may reference WHERE-bound variables the SELECT list drops — those
+    ride through the projection as hidden columns, sort, then vanish.
+    (DISTINCT and aggregate queries order over the projected result
+    only — an out-of-scope key raises instead of silently not
+    sorting.)"""
+    has_agg = bool(q.group_by) or any(
+        isinstance(p, tuple) and isinstance(p[0], Agg) for p in q.projections
+    ) or isinstance(q.having, BinOp)
+    proj_names = set()
+    for p in q.projections:
+        if isinstance(p, Var):
+            proj_names.add(p.name)
+        elif p == "*":
+            proj_names.update(c for c in df.columns if not _is_internal(c))
+        else:
+            proj_names.add(p[1].name)
+    hidden = []
+    if not has_agg and not q.distinct:
+        hidden = [
+            e.name for e, _ in q.order_by
+            if isinstance(e, Var) and e.name not in proj_names
+            and e.name in df.columns
+        ]
+    out = _order_limit(q, _project(q, df, keep=hidden))
+    return out.drop(*hidden) if hidden else out
+
+
 def _construct(q: Query, sols: DataFrame) -> DataFrame:
     """CONSTRUCT template instantiation over compiled solutions —
-    output rows carry the TRIPLES schema (feeds TripleStore)."""
+    output rows carry the TRIPLES schema (feeds TripleStore). Literal
+    metadata survives: a template Lit keeps its @lang/^^dt, and a
+    variable object carries the solution's ``__lang``/``__dt`` binding
+    (round-tripping a labeled graph must not strip its tags)."""
     def term(t):
         if isinstance(t, Var):
             return F.col(t.name)
@@ -1110,16 +1273,27 @@ def _construct(q: Query, sols: DataFrame) -> DataFrame:
             return F.lit(t[0])
         return F.lit(_const_of(t))
 
+    cols = set(sols.columns)
+
+    def meta(t, kind: str):
+        if isinstance(t, Var) and f"{t.name}__{kind}" in cols:
+            return F.col(f"{t.name}__{kind}")
+        if isinstance(t, Lit):
+            v = t.lang if kind == "lang" else t.datatype
+            return F.lit(v).cast("string")
+        return F.lit(None).cast("string")
+
     outs = []
-    for s, p, o in q.template:
+    for s, p, o, graph in q.template:
         outs.append(
             sols.select(
                 term(s).cast("string").alias("subj"),
                 term(p).cast("string").alias("pred"),
                 term(o).cast("string").alias("obj"),
-                F.lit(None).cast("string").alias("obj_lang"),
-                F.lit(None).cast("string").alias("obj_datatype"),
-                F.lit(None).cast("string").alias("graph"),
+                meta(o, "lang").alias("obj_lang"),
+                meta(o, "dt").alias("obj_datatype"),
+                (F.lit(_write_term(graph)) if graph is not None
+                 else F.lit(None)).cast("string").alias("graph"),
                 F.lit(None).cast("string").alias("src_url"),
             )
         )
@@ -1153,7 +1327,8 @@ def _ground_rows(data: list, default_graph: str | None):
 
 
 def _instantiate(template: list, sols: DataFrame) -> DataFrame:
-    """Template triples × solutions → distinct (subj, pred, obj)."""
+    """Template quads × solutions → distinct (subj, pred, obj, graph);
+    graph is NULL for template triples outside a GRAPH block."""
     def term(t):
         return F.col(t.name) if isinstance(t, Var) else F.lit(_write_term(t))
 
@@ -1162,8 +1337,10 @@ def _instantiate(template: list, sols: DataFrame) -> DataFrame:
             term(s).cast("string").alias("subj"),
             term(p).cast("string").alias("pred"),
             term(o).cast("string").alias("obj"),
+            (F.lit(_write_term(g)) if g is not None
+             else F.lit(None)).cast("string").alias("graph"),
         )
-        for s, p, o in template
+        for s, p, o, g in template
     ]
     result = outs[0]
     for df in outs[1:]:
@@ -1217,22 +1394,32 @@ def execute_sparql_update(store, text: str,
             dels = dels.unionByName(matched)
         store.delete_quads(dels)
         return {"delete_requested": len(u.data)}
-    # modify: evaluate WHERE once, instantiate templates
+    # modify: evaluate WHERE once, instantiate templates. A template
+    # quad inside GRAPH <g> targets that graph exactly; outside, a
+    # delete matches (subj, pred, obj) in EVERY graph and an insert
+    # lands in ``default_graph``.
     sols = _compile_group(store.read(), u.where).localCheckpoint(eager=True)
     n_del = n_ins = 0
     if u.delete_template:
-        del_spo = _instantiate(u.delete_template, sols)
+        inst = _instantiate(u.delete_template, sols)
+        exact = inst.filter(F.col("graph").isNotNull())
+        wild = inst.filter(F.col("graph").isNull()).select(
+            "subj", "pred", "obj"
+        )
         matched = store.read().join(
-            del_spo, ["subj", "pred", "obj"], "left_semi"
-        ).select("subj", "pred", "obj", "graph").localCheckpoint(eager=True)
-        n_del = matched.count()
-        store.delete_quads(matched)
+            wild, ["subj", "pred", "obj"], "left_semi"
+        ).select("subj", "pred", "obj", "graph")
+        dels = exact.unionByName(matched).distinct().localCheckpoint(
+            eager=True
+        )
+        n_del = dels.count()
+        store.delete_quads(dels)
     if u.insert_template:
         ins = _instantiate(u.insert_template, sols).select(
             "subj", "pred", "obj",
             F.lit(None).cast("string").alias("obj_lang"),
             F.lit(None).cast("string").alias("obj_datatype"),
-            F.lit(default_graph).cast("string").alias("graph"),
+            F.coalesce(F.col("graph"), F.lit(default_graph)).alias("graph"),
             F.lit(None).cast("string").alias("src_url"),
         )
         n_ins = ins.count()
@@ -1262,4 +1449,4 @@ def execute_sparql(triples: DataFrame, text: str):
         return df.limit(1).count() > 0
     if q.form == "construct":
         return _construct(q, df)
-    return _order_limit(q, _project(q, df))
+    return _select_result(q, df)

@@ -502,6 +502,107 @@ def test_job_sparql_subcommand(spark, tmp_path, capsys):
     assert {r.pred for r in derived.collect()} == {"urn:p:isA"}
 
 
+def test_review_fixes(spark, kb, chain_kb, tmp_path):
+    """Regression pins for the round-3 review findings."""
+    from kgap_spark import schemas as S
+    from kgap_spark.query.sparql import execute_sparql_update
+    from kgap_spark.triples import TripleStore
+
+    # 1. OPTIONAL with no shared vars keeps outer rows when empty
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s ?b WHERE {
+          ?s a sosa:Sensor .
+          OPTIONAL { ?a <urn:p:absent> ?b }
+        }
+    """)
+    rows = df.collect()
+    assert len(rows) == 2 and all(r.b is None for r in rows)
+
+    # 2. ORDER BY a WHERE-bound var dropped by SELECT still sorts
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?observation WHERE {
+          ?observation a sosa:Observation ;
+                       sosa:resultTime ?time .
+        }
+        ORDER BY DESC(?time) LIMIT 2
+    """)
+    assert [r.observation for r in df.collect()] == ["urn:obs:3", "urn:obs:2"]
+    assert df.columns == ["observation"]
+    # …but an out-of-scope key raises instead of silently not sorting
+    with pytest.raises(ValueError, match="ORDER BY"):
+        execute_sparql(kb, """
+            SELECT (COUNT(*) as ?n) WHERE { ?s ?p ?o } ORDER BY ?p
+        """).collect()
+
+    # 3. SELECT * hides internal path columns
+    df = execute_sparql(chain_kb, """
+        SELECT * WHERE { ?a ex:partOf/rdfs:label ?l }
+    """)
+    assert df.columns == ["a", "l"]
+
+    # 4. BIND onto a bound variable raises (was: silent overwrite)
+    with pytest.raises(ValueError, match="already bound"):
+        execute_sparql(kb, """
+            SELECT ?s WHERE { ?s ?p ?o . BIND(<urn:x> AS ?s) }
+        """)
+
+    # 5. UNION with arm-local vars: unbound is compatible, not a
+    # NULL-key join that drops everything
+    df = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s ?label WHERE {
+          ?s a sosa:Sensor .
+          { ?s rdfs:label ?label } UNION { ?s a sosa:Sensor }
+        }
+    """)
+    got = {(r.s, r.label) for r in df.collect()}
+    assert ("urn:sensor:0", "marine sensor") in got
+    assert ("urn:sensor:1", None) in got  # second arm, ?label unbound
+
+    # 6. REGEX flags
+    df = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?s WHERE { ?s rdfs:label ?l . FILTER REGEX(?l, "MARINE", "i") }
+    """)
+    assert {r.s for r in df.collect()} == {"urn:sensor:0"}
+
+    # 7. language subtags tokenize
+    df = execute_sparql(kb, """
+        SELECT ?s WHERE { ?s ?p "x"@en-US }
+    """)
+    assert df.count() == 0  # parses; no such literal
+
+    # 8. CONSTRUCT keeps lang tags and GRAPH template scoping
+    out = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        CONSTRUCT { GRAPH <urn:g:copy> { ?s <urn:p:lbl> ?l } }
+        WHERE { ?s rdfs:label ?l }
+    """)
+    rows = out.collect()
+    assert {r.graph for r in rows} == {"urn:g:copy"}
+    assert {r.obj_lang for r in rows} == {"en", "nl"}
+
+    # 9. DELETE with a GRAPH-scoped template is not a silent no-op
+    st = TripleStore(spark, str(tmp_path / "rstore"))
+    st.append(spark.createDataFrame(
+        [("s1", "p", "o", None, None, "g1", None),
+         ("s1", "p", "o", None, None, "g2", None)], S.TRIPLES))
+    r = execute_sparql_update(st, """
+        DELETE { GRAPH <g1> { ?s ?p ?o } } WHERE { ?s ?p ?o }
+    """)
+    assert r["deleted"] == 1
+    assert {x.graph for x in st.read().collect()} == {"g2"}
+
+    # 10. trailing garbage rejected on every form
+    for q in ["ASK { ?s ?p ?o } junk", "DESCRIBE <urn:x> ?v junk",
+              "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o } junk"]:
+        with pytest.raises(ValueError):
+            parse_sparql(q)
+
+
 def test_group_concat_and_sample(kb):
     df = execute_sparql(kb, """
         PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
