@@ -70,13 +70,14 @@ def write_posting_table(posting: DataFrame, path: str, n_docs: int | None = None
         .partitionBy("_bucket")
         .parquet(path)
     )
+    spark = posting.sparkSession
     if n_docs is None:
-        n_docs = posting.select("subj").distinct().count()
+        # count from the just-written index, not from `posting` — the
+        # lazy posting plan re-tokenizes the whole corpus if recomputed
+        n_docs = spark.read.parquet(path).select("subj").distinct().count()
     from kgap_spark.io.fs import write_text_file
 
-    write_text_file(
-        posting.sparkSession, path.rstrip("/") + "/_doc_count", str(n_docs)
-    )
+    write_text_file(spark, path.rstrip("/") + "/_doc_count", str(n_docs))
 
 
 def append_posting_table(posting: DataFrame, path: str,
@@ -98,7 +99,14 @@ def append_posting_table(posting: DataFrame, path: str,
     )
     if n_new_docs:
         spark = posting.sparkSession
-        current = read_doc_count(spark, path) or 0
+        current = read_doc_count(spark, path)
+        if current is None:
+            # treating an unknown N as 0 would write a tiny corpus size
+            # and silently invert tf-idf rankings
+            raise ValueError(
+                f"{path} has no _doc_count sidecar; rebuild with "
+                "write_posting_table before appending"
+            )
         from kgap_spark.io.fs import write_text_file
 
         write_text_file(

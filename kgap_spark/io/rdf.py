@@ -65,13 +65,36 @@ def _unescape(col):
     mis-decode a literal backslash followed by n/t/" (the input
     backslash-backslash-n, meaning backslash+n, would become
     backslash+newline). A sentinel swap keeps each escape decoded
-    exactly once, all JVM-side."""
+    exactly once, all JVM-side.
+
+    ``\\uXXXX`` UCHAR escapes (Jena/Serd ASCII-escape non-ASCII this
+    way) take a guarded slow path through the JVM's full Java-string
+    unescape (same ECHAR semantics, plus \\u) — previously they were
+    silently left as 9 literal characters. ``\\U`` 8-hex escapes raise:
+    Java strings can't express them and dropping the backslash would be
+    silent corruption (the block-format readers via mapInPandas are the
+    fallback for such files)."""
     nul = chr(0)  # control chars cannot appear raw in N-Triples
-    out = F.regexp_replace(col, r"\\\\", nul)
+    fast = F.regexp_replace(col, r"\\\\", nul)
     for esc, ch in ((r"\\n", "\n"), (r"\\t", "\t"),
                     (r"\\r", "\r"), (r'\\"', '"')):
-        out = F.regexp_replace(out, esc, ch)
-    return F.regexp_replace(out, nul, r"\\")
+        fast = F.regexp_replace(fast, esc, ch)
+    fast = F.regexp_replace(fast, nul, r"\\")
+    slow = F.reflect(
+        F.lit("org.apache.commons.lang3.StringEscapeUtils"),
+        F.lit("unescapeJava"),
+        col,
+    )
+    return (
+        F.when(
+            col.rlike(r"\\U[0-9A-Fa-f]{8}"),
+            F.raise_error(F.concat(
+                F.lit(r"\U escapes unsupported in the line reader: "), col
+            )).cast("string"),
+        )
+        .when(col.rlike(r"\\u[0-9A-Fa-f]{4}"), slow)
+        .otherwise(fast)
+    )
 
 
 def _nt_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -217,7 +240,8 @@ def _escape(col):
 # lang/datatype, scheme prefix, no spaces) serializes as an IRI.
 _IRI_OBJ = (
     r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://\S+"
-    r"|(?:urn|mailto|doi|tel|data|news|tag|isbn|info|hdl|ark|file|ftp):\S+)$"
+    r"|(?:urn|mailto|doi|tel|data|news|tag|isbn|info|hdl|ark|file|ftp"
+    r"|did|geo|uuid|ni|cid|spdx):\S+)$"
 )
 
 
@@ -314,8 +338,9 @@ def turtle_lines(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
         F.concat(lit, F.lit("^^"),
                  _compress_iri(F.col("obj_datatype"), prefixes)),
     ).otherwise(lit)
-    obj_term = F.when(obj_is_bnode, F.col("obj")).when(
-        obj_is_iri & F.col("obj_lang").isNull() & F.col("obj_datatype").isNull(),
+    untyped = F.col("obj_lang").isNull() & F.col("obj_datatype").isNull()
+    obj_term = F.when(obj_is_bnode & untyped, F.col("obj")).when(
+        obj_is_iri & untyped,
         _compress_iri(F.col("obj"), prefixes),
     ).otherwise(lit)
     subj_term = F.when(

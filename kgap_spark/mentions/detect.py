@@ -115,14 +115,21 @@ def detect_mentions(
     )
     if grams is None:  # dictionary too wide for the prefilter
         grams = with_ngrams(pages.select("url", "lang", text_col), text_col)
+    # grams are lowercased, so the alias side must be too (an alias
+    # spelled 'Paris' previously matched nothing, silently); a NULL
+    # alias lang means no language restriction, same as '*'
     d = alias_dict.select(
-        F.col("alias"), F.col("entity_id"), F.col("lang").alias("alias_lang"),
-        F.col("prior"),
+        F.lower(F.col("alias")).alias("alias"), F.col("entity_id"),
+        F.col("lang").alias("alias_lang"), F.col("prior"),
     )
     joined = grams.join(
         F.broadcast(d),
         (grams["gram"] == d["alias"])
-        & ((d["alias_lang"] == grams["lang"]) | (d["alias_lang"] == F.lit("*"))),
+        & (
+            (d["alias_lang"] == grams["lang"])
+            | (d["alias_lang"] == F.lit("*"))
+            | d["alias_lang"].isNull()
+        ),
         "inner",
     )
     return (
@@ -154,7 +161,7 @@ def detect_mentions_fuzzy(
     exact = detect_mentions(pages, alias_dict, text_col)
     grams = with_ngrams(pages.select("url", "lang", text_col), text_col)
 
-    aliases = alias_dict.select("alias").distinct()
+    aliases = alias_dict.select(F.lower(F.col("alias")).alias("alias")).distinct()
     unmatched = (
         grams.select("gram")
         .distinct()
@@ -171,6 +178,7 @@ def detect_mentions_fuzzy(
         .filter(
             (F.col("alias_lang") == F.col("lang"))
             | (F.col("alias_lang") == F.lit("*"))
+            | F.col("alias_lang").isNull()
         )
         .groupBy(
             "url", "lang", "alias", "entity_id",

@@ -1327,16 +1327,32 @@ def _ground_rows(data: list, default_graph: str | None):
 
 
 def _instantiate(template: list, sols: DataFrame) -> DataFrame:
-    """Template quads × solutions → distinct (subj, pred, obj, graph);
-    graph is NULL for template triples outside a GRAPH block."""
+    """Template quads × solutions → distinct
+    (subj, pred, obj, obj_lang, obj_datatype, graph); graph is NULL for
+    template triples outside a GRAPH block. Literal metadata flows the
+    same way as in _construct — a template Lit keeps its @lang/^^dt, a
+    variable object carries the solution's meta binding — so deletes
+    match the exact term and inserts don't strip tags."""
     def term(t):
         return F.col(t.name) if isinstance(t, Var) else F.lit(_write_term(t))
+
+    cols = set(sols.columns)
+
+    def meta(t, kind: str):
+        if isinstance(t, Var) and f"{t.name}__{kind}" in cols:
+            return F.col(f"{t.name}__{kind}")
+        if isinstance(t, Lit):
+            v = t.lang if kind == "lang" else t.datatype
+            return F.lit(v).cast("string")
+        return F.lit(None).cast("string")
 
     outs = [
         sols.select(
             term(s).cast("string").alias("subj"),
             term(p).cast("string").alias("pred"),
             term(o).cast("string").alias("obj"),
+            meta(o, "lang").alias("obj_lang"),
+            meta(o, "dt").alias("obj_datatype"),
             (F.lit(_write_term(g)) if g is not None
              else F.lit(None)).cast("string").alias("graph"),
         )
@@ -1380,17 +1396,18 @@ def execute_sparql_update(store, text: str,
                 )
             store.merge(quads)
             return {"inserted": len(u.data)}
-        # DELETE DATA: rows without an explicit graph delete that
-        # (subj, pred, obj) from EVERY graph it appears in
+        # DELETE DATA: rows without an explicit graph delete that exact
+        # term (incl. lang/datatype) from EVERY graph it appears in
+        from kgap_spark.triples.writer import nullsafe_join
+
+        term_key = ["subj", "pred", "obj", "obj_lang", "obj_datatype"]
         explicit = quads.filter(F.col("graph").isNotNull())
-        wild = quads.filter(F.col("graph").isNull()).select(
-            "subj", "pred", "obj"
-        )
-        dels = explicit.select("subj", "pred", "obj", "graph")
+        wild = quads.filter(F.col("graph").isNull())
+        dels = explicit.select(*term_key, "graph")
         if wild.head(1):
-            matched = store.read().join(
-                wild, ["subj", "pred", "obj"], "left_semi"
-            ).select("subj", "pred", "obj", "graph")
+            matched = nullsafe_join(
+                store.read(), wild, term_key, "left_semi"
+            ).select(*term_key, "graph")
             dels = dels.unionByName(matched)
         store.delete_quads(dels)
         return {"delete_requested": len(u.data)}
@@ -1398,27 +1415,26 @@ def execute_sparql_update(store, text: str,
     # quad inside GRAPH <g> targets that graph exactly; outside, a
     # delete matches (subj, pred, obj) in EVERY graph and an insert
     # lands in ``default_graph``.
+    from kgap_spark.triples.writer import nullsafe_join
+
     sols = _compile_group(store.read(), u.where).localCheckpoint(eager=True)
+    term_key = ["subj", "pred", "obj", "obj_lang", "obj_datatype"]
     n_del = n_ins = 0
     if u.delete_template:
         inst = _instantiate(u.delete_template, sols)
         exact = inst.filter(F.col("graph").isNotNull())
-        wild = inst.filter(F.col("graph").isNull()).select(
-            "subj", "pred", "obj"
-        )
-        matched = store.read().join(
-            wild, ["subj", "pred", "obj"], "left_semi"
-        ).select("subj", "pred", "obj", "graph")
-        dels = exact.unionByName(matched).distinct().localCheckpoint(
-            eager=True
-        )
+        wild = inst.filter(F.col("graph").isNull())
+        matched = nullsafe_join(
+            store.read(), wild, term_key, "left_semi"
+        ).select(*term_key, "graph")
+        dels = exact.select(*term_key, "graph").unionByName(
+            matched
+        ).distinct().localCheckpoint(eager=True)
         n_del = dels.count()
         store.delete_quads(dels)
     if u.insert_template:
         ins = _instantiate(u.insert_template, sols).select(
-            "subj", "pred", "obj",
-            F.lit(None).cast("string").alias("obj_lang"),
-            F.lit(None).cast("string").alias("obj_datatype"),
+            *term_key,
             F.coalesce(F.col("graph"), F.lit(default_graph)).alias("graph"),
             F.lit(None).cast("string").alias("src_url"),
         )

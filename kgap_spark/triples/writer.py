@@ -44,7 +44,28 @@ from pyspark.sql import functions as F
 from kgap_spark import schemas as S
 from kgap_spark.io import fs
 
-QUAD_KEY = ["subj", "pred", "obj", "graph"]
+# Quad identity: the object TERM includes its language tag / datatype —
+# "Paris"@en and "Paris"@fr are distinct statements, so merge/delete
+# must key on all six columns or distinct literals silently collapse.
+QUAD_KEY = ["subj", "pred", "obj", "obj_lang", "obj_datatype", "graph"]
+
+
+def nullsafe_join(left: DataFrame, right: DataFrame, cols: list[str],
+                  how: str) -> DataFrame:
+    """semi/anti join with NULL-safe key equality: obj_lang/obj_datatype
+    are NULL for plain literals, and SQL's NULL != NULL would make every
+    plain-literal quad look new on every merge (or undeletable)."""
+    r = right.select(*cols)
+    for c in cols:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & left[c].eqNullSafe(F.col(f"__r_{c}"))
+    return left.join(r, cond, how)
+
+
+def _nullsafe_anti(left: DataFrame, right: DataFrame, cols: list[str]) -> DataFrame:
+    return nullsafe_join(left, right, cols, "left_anti")
 
 
 class TripleStore:
@@ -80,6 +101,21 @@ class TripleStore:
     def _prep(self, df: DataFrame) -> DataFrame:
         cols = [f.name for f in S.TRIPLES.fields]
         out = df.select(*cols)
+        # a NULL graph would land in Hive's default partition, be
+        # invisible to graph-pruned merges (IN (NULL) is never true),
+        # and crash delete paths — fail inside the write, loudly
+        out = out.withColumn(
+            "graph",
+            F.when(
+                F.col("graph").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("NULL graph for subj "), F.col("subj"),
+                        F.lit(" — pass default_graph when reading RDF"),
+                    )
+                ).cast("string"),
+            ).otherwise(F.col("graph")),
+        )
         n = max(self.spark.sparkContext.defaultParallelism * 2, 16)
         if self.files_per_graph and self.files_per_graph > 1:
             # explicit override: bounded subj-hash split per graph
@@ -148,7 +184,7 @@ class TripleStore:
             existing_keys = self.read().filter(
                 F.col("graph").isin(graphs)
             ).select(*QUAD_KEY)
-            new_quads = update.join(existing_keys, QUAD_KEY, "left_anti")
+            new_quads = _nullsafe_anti(update, existing_keys, QUAD_KEY)
         else:
             new_quads = update
         self.append(new_quads)
@@ -167,7 +203,7 @@ class TripleStore:
         graphs = [r.graph for r in dels.select("graph").distinct().collect()]
         # driver-side graph list → static partition pruning on the scan
         existing = self.read().filter(F.col("graph").isin(graphs))
-        remaining = existing.join(dels, QUAD_KEY, "left_anti").localCheckpoint(
+        remaining = _nullsafe_anti(existing, dels, QUAD_KEY).localCheckpoint(
             eager=True
         )
         kept_graphs = {r.graph for r in remaining.select("graph").distinct().collect()}
@@ -276,12 +312,15 @@ class TripleStore:
         )
 
 
+# Hive's exact escape set (verified against Spark's partition writer:
+# '}' is NOT escaped, '#'/'='/'?'/'\''/'*' ARE — a mismatch makes
+# delete_graph/compact target a nonexistent directory and the graph
+# silently survives a clear).
+_HIVE_ESCAPED = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {"\x7f"}
+
+
 def _escape_partition(value: str) -> str:
-    """Hive partition-dir escaping for the characters our graph IRIs use."""
-    out = []
-    for ch in value:
-        if ch in '":%/\\{}[]^' or ord(ch) < 0x20:
-            out.append(f"%{ord(ch):02X}")
-        else:
-            out.append(ch)
-    return "".join(out)
+    """Hive partition-dir escaping, matching Spark's writer exactly."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPED else ch for ch in value
+    )

@@ -330,6 +330,26 @@ def test_embedding_near_dup_pairs_recall(spark):
     assert all(r.cosine >= 0.995 for r in pairs)  # no false positives
 
 
+def test_detect_mentions_case_and_null_lang(spark):
+    """Uppercase aliases ('Paris') and NULL-lang aliases must match —
+    both previously produced zero mentions, silently."""
+    from kgap_spark.mentions.detect import detect_mentions
+
+    pages = spark.createDataFrame(
+        [("u1", "en", "we visited Paris in june"),
+         ("u2", "nl", "paris is mooi")],
+        "url string, lang string, text string",
+    )
+    alias = spark.createDataFrame(
+        [("Paris", "e:paris", None, 0.9)],
+        "alias string, entity_id string, lang string, prior double",
+    )
+    got = {(r.url, r.entity_id) for r in
+           detect_mentions(pages, alias).collect()}
+    # case-insensitive match on both pages; NULL lang = no restriction
+    assert got == {("u1", "e:paris"), ("u2", "e:paris")}
+
+
 def test_detect_mentions_fuzzy_end_to_end(spark):
     """A typo'd surface form must link to the right entity via the
     fuzzy LSH path, with prior discounted below an exact match; clean

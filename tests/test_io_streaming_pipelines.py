@@ -159,6 +159,26 @@ def test_ntriples_turtle_cross_format_bnodes(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_uchar_escapes(spark, tmp_path):
+    """\\uXXXX UCHAR escapes (Jena/Serd ASCII-escaped output) decode to
+    their characters; \\U 8-hex raises instead of silently corrupting."""
+    p = tmp_path / "u.nt"
+    p.write_text(
+        '<urn:s:1> <urn:p:1> "caf\\u00E9 d\\u00E9j\\u00E0" .\n'
+        '<urn:s:2> <urn:p:1> "mix \\u0041\\\\u0042 \\"q\\"" .\n'
+    )
+    objs = {r.subj: r.obj for r in
+            read_ntriples(spark, str(p), "urn:g").collect()}
+    assert objs["urn:s:1"] == "café déjà"
+    # escaped backslash before u stays literal; quotes decode
+    assert objs["urn:s:2"] == 'mix A\\u0042 "q"'
+
+    p2 = tmp_path / "u8.nt"
+    p2.write_text('<urn:s:3> <urn:p:1> "emoji \\U0001F600" .\n')
+    with pytest.raises(Exception, match="U escapes unsupported"):
+        read_ntriples(spark, str(p2), "urn:g").collect()
+
+
 def test_escape_roundtrip_cr_and_schemes(spark, tmp_path):
     """\\r in a literal must round-trip (a bare CR splits the line for
     Hadoop's reader), and non-http(s)/urn IRI objects (file:///,

@@ -112,6 +112,56 @@ def test_compact_collapses_merge_fragments(spark, tmp_path):
     assert len(after_rows) == 106
 
 
+def test_quad_key_distinguishes_lang_and_datatype(spark, tmp_path):
+    """'Paris'@en and 'Paris'@fr are distinct statements: merge must
+    keep both and delete_quads must remove only the named term."""
+    from kgap_spark import schemas as S
+
+    store = TripleStore(spark, str(tmp_path / "t5"))
+    g = "urn:g:l"
+    r = lambda lang, dt=None: ("s", "rdfs:label", "Paris", lang, dt, g, None)
+    store.merge(spark.createDataFrame([r("en")], S.TRIPLES))
+    store.merge(spark.createDataFrame([r("fr")], S.TRIPLES))
+    store.merge(spark.createDataFrame([r(None, "xsd:string")], S.TRIPLES))
+    store.merge(spark.createDataFrame([r("en")], S.TRIPLES))  # idempotent
+    got = {(x.obj_lang, x.obj_datatype) for x in store.read_graph(g).collect()}
+    assert got == {("en", None), ("fr", None), (None, "xsd:string")}
+
+    store.delete_quads(spark.createDataFrame([r("en")], S.TRIPLES))
+    got = {(x.obj_lang, x.obj_datatype) for x in store.read_graph(g).collect()}
+    assert got == {("fr", None), (None, "xsd:string")}
+
+
+def test_graph_iri_with_fragment_clears(spark, tmp_path):
+    """'#' is in Hive's partition-escape set: delete_graph/compact must
+    find the directory Spark actually wrote (data-resurrection guard)."""
+    store = TripleStore(spark, str(tmp_path / "t6"))
+    g = "http://example.org/ns#g1"
+    store.append(_quads(spark, [("a", "p", "1", g), ("b", "p", "2", "urn:ok")]))
+    assert store.read_graph(g).count() == 1
+    store.delete_graph(g)
+    assert store.read_graph(g).count() == 0
+    assert store.read_graph("urn:ok").count() == 1
+    # compact sees the escaped dir too
+    stats = store.compact(["urn:ok"])
+    assert stats["files_before"] > 0
+
+
+def test_null_graph_fails_loudly(spark, tmp_path):
+    """A NULL graph would silently land in Hive's default partition and
+    break merge pruning — the write must raise instead."""
+    import pytest as _pytest
+
+    store = TripleStore(spark, str(tmp_path / "t7"))
+    bad = spark.createDataFrame(
+        [("s", "p", "o", None, None, None, None)],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    )
+    with _pytest.raises(Exception, match="NULL graph"):
+        store.append(bad)
+
+
 def test_partition_pruning_in_plan(spark, tmp_path):
     """read_graph must prune to one partition (PartitionFilters in the
     scan, not a post-scan filter)."""
