@@ -94,6 +94,7 @@ def connected_components(
     max_iter: int = 20,
     salt: int = DEFAULT_SALT,
     num_partitions: int | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node id
     (lexicographic) in the component.
@@ -123,6 +124,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iter):
         # candidate labels flowing along edges
         neighbor_labels = sym.join(
@@ -141,7 +143,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        # partially-propagated labels split one component into several —
+        # silently returning them would be wrong canonicalization
+        # (strict=False is for diagnostics/benchmarks only)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_star (O(log² n) rounds)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -213,12 +225,21 @@ def connected_components_star(
         )
 
     prev_sig = _checksum(e)
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = _checksum(e)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # a non-star residual maps one node to several "components" and
+        # would fan out canonical_mapping's join — fail loudly instead
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
 
     # converged: stars (child → root). Roots label themselves.
     child = e.select(F.col("u").alias("node"), F.col("v").alias("component"))

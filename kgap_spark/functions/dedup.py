@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgap_spark.functions.textstats import fingerprint
+from kgap_spark.functions.textstats import fingerprint, ws_tokens as _ws_tokens
 
 
 def _shingles_from_toks(n: int):
@@ -34,11 +34,7 @@ def with_shingle_array(
     """docs → (doc, shingles: array<string>) with distinct word n-grams."""
     return (
         docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
-        .withColumn(
-            "_t",
-            F.filter(F.split(F.lower(F.col("_txt")), r"\s+"),
-                     lambda t: t != F.lit("")),
-        )
+        .withColumn("_t", _ws_tokens(F.col("_txt")))
         .withColumn("shingles", _shingles_from_toks(n))
         .select("doc", "shingles")
     )
@@ -49,6 +45,22 @@ def _with_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataF
         with_shingle_array(docs, id_col, text_col, n)
         .withColumn("shingle", F.explode("shingles"))
         .select("doc", "shingle")
+    )
+
+
+def _pairs_from_sorted_docs(docs_col: str = "_docs"):
+    """In-task (doc_a < doc_b) pair expansion from a sorted doc-id list
+    — the posting-list formulation shared by the jaccard and banding
+    paths (one definition: any fix to the expansion bound or slice
+    offset applies to both)."""
+    return F.flatten(
+        F.transform(
+            docs_col,
+            lambda x, i: F.transform(
+                F.slice(F.col(docs_col), i + 2, F.size(F.col(docs_col))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
 
 
@@ -112,15 +124,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
-    pair_array = F.flatten(
-        F.transform(
-            "_docs",
-            lambda x, i: F.transform(
-                F.slice(F.col("_docs"), i + 2, F.size(F.col("_docs"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_array = _pairs_from_sorted_docs()
     inter = (
         posting.select(F.explode(pair_array).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -174,15 +178,7 @@ def minhash_band_candidates(
     bucket = sig.groupBy("band", "band_sig").agg(
         F.sort_array(F.collect_list("doc")).alias("_docs")
     )
-    pair_array = F.flatten(
-        F.transform(
-            "_docs",
-            lambda x, i: F.transform(
-                F.slice(F.col("_docs"), i + 2, F.size(F.col("_docs"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_array = _pairs_from_sorted_docs()
     return (
         bucket.select(F.explode(pair_array).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -235,10 +231,7 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
         .select(
             "doc",
-            F.explode(
-                F.filter(F.split(F.lower(F.col("_txt")), r"\s+"),
-                         lambda t: t != F.lit(""))
-            ).alias("tok"),
+            F.explode(_ws_tokens(F.col("_txt"))).alias("tok"),
         )
         .groupBy("doc", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))

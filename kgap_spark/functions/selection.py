@@ -16,6 +16,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _hash_bucket(key_col: str, mod: int):
+    """The content-hash bucket recipe shared by every selection op (and
+    inlined into the SQL oracles): md5-prefix(key) as integer, mod N.
+    One definition — a drift between split and mixing hashing would
+    silently disagree with the oracle and with itself. NULL keys raise
+    inside the scan: a NULL bucket would silently drop the row from
+    every split/mixture."""
+    c = F.col(key_col)
+    guarded = F.when(
+        c.isNull(),
+        F.raise_error(F.lit(f"NULL {key_col} in content-hash bucketing"))
+        .cast("string"),
+    ).otherwise(c)
+    return F.pmod(
+        F.conv(F.substring(F.md5(guarded.cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(mod),
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_col: str,
@@ -47,11 +67,7 @@ def hash_split(
     total = sum(w for _, w in splits)
     if total != 100:
         raise ValueError(f"split weights must sum to 100, got {total}")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col(key_col).cast("binary")), 1, 8), 16, 10)
-        .cast("long"),
-        F.lit(100),
-    )
+    bucket = _hash_bucket(key_col, 100)
     expr = None
     lo = 0
     for name, w in splits:
@@ -74,11 +90,7 @@ def weighted_mix(
     at 1.0, crawl ×0.3): reproducible across runs/engines — no RNG —
     and a document's fate never depends on partitioning or row order.
     Pure filter: predicate-pushdown friendly, no shuffle."""
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col(key_col).cast("binary")), 1, 8), 16, 10)
-        .cast("long"),
-        F.lit(10000),
-    )
+    bucket = _hash_bucket(key_col, 10000)
     frac = None
     for src, f in fractions.items():
         cond = F.col(source_col) == src
@@ -104,10 +116,16 @@ def pack_documents(
 
     One window cumsum per group — groups (e.g. source/domain) bound the
     window partition, so no global sort: the packing parallelizes
-    across groups. Adds (start_offset, seq_id)."""
+    across groups. Adds (start_offset, seq_id). ``order_col`` ties are
+    broken by the column itself being unique OR by the secondary sort
+    below — without it, tied rows could swap offsets between runs,
+    breaking the byte-identical-rerun contract."""
     w = (
         Window.partitionBy(group_col)
-        .orderBy(order_col)
+        .orderBy(F.col(order_col),
+                 # deterministic tie-break: full-row fingerprint
+                 F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                             for c in df.columns])))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).alias(
@@ -129,8 +147,10 @@ def length_quantiles(
     drift monitoring wants reproducible numbers; at true corpus scale
     swap in ``percentile_approx`` with a documented error bound."""
     aggs = [
+        # round(), not int(): 0.29*100 is 28.999… in binary floating
+        # point and int() would label the column p28
         F.round(F.percentile(F.col(value_col), F.lit(q)), 4).alias(
-            f"p{int(q * 100)}"
+            f"p{round(q * 100)}"
         )
         for q in quantiles
     ]

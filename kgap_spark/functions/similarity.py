@@ -34,6 +34,21 @@ def _norm(a):
     )
 
 
+def _cosine(dot, norm_prod, dp: int):
+    """Cosine with a zero-norm guard: ANSI mode turns x/0 into a
+    job-killing DIVIDE_BY_ZERO, and an all-zeros embedding (padding /
+    missing vector) is a legal input. try_divide yields NULL — zero
+    vectors sort last in top-k and never pass a ≥-threshold filter."""
+    return F.round(F.try_divide(dot, norm_prod), dp)
+
+
+def _dim_of(embeddings: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from the first row; None for an empty
+    frame (callers short-circuit instead of crashing on None[...])."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else row["d"]
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -48,7 +63,7 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     emb = F.col(vec_col)
-    cos = F.round(_dot(emb, q) / (_norm(emb) * F.lit(qn)), 5)
+    cos = _cosine(_dot(emb, q), _norm(emb) * F.lit(qn), 5)
     return (
         embeddings.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col).asc())
@@ -123,7 +138,13 @@ def build_signature_table(
     `_sig IN (...)` filter into a directory listing, so a query touches
     ~(1+n_planes)/2^n_planes of the corpus instead of scanning it.
     Mirrors the posting-table pattern of ``index/fts.py``."""
-    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    dim = _dim_of(embeddings, vec_col)
+    if dim is None:  # empty corpus → empty (but valid) table
+        (
+            embeddings.withColumn("_sig", F.lit(0))
+            .write.mode("overwrite").partitionBy("_sig").parquet(out_path)
+        )
+        return
     planes = _hyperplanes(dim, n_planes, seed)
     (
         embeddings.withColumn("_sig", signature_col(F.col(vec_col), planes))
@@ -173,7 +194,11 @@ def embedding_near_dup_pairs(
     filters the candidates (rounded to 6 dp for cross-engine
     stability). Recall follows the LSH guarantee: cos θ ≥ τ ⇒ per-plane
     disagreement probability θ/π; multiprobe covers 1-bit misses."""
-    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    dim = _dim_of(embeddings, vec_col)
+    if dim is None:  # empty corpus → empty pair set
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     base = embeddings.select(
         F.col(id_col).alias("id"),
@@ -184,6 +209,13 @@ def embedding_near_dup_pairs(
     if multiprobe_hamming >= 1:
         probes += [
             F.col("_sig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ]
+    if multiprobe_hamming >= 2:
+        # same contract as probe_signatures: 2-bit neighbors too
+        probes += [
+            F.col("_sig").bitwiseXOR(F.lit((1 << x) ^ (1 << y)))
+            for x in range(n_planes)
+            for y in range(x + 1, n_planes)
         ]
     a = base.select(
         F.col("id").alias("id_a"),
@@ -201,9 +233,9 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "vec_a", "vec_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = F.round(
-        _dot(F.col("vec_a"), F.col("vec_b"))
-        / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
+    cos = _cosine(
+        _dot(F.col("vec_a"), F.col("vec_b")),
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b")),
         6,
     )
     return (

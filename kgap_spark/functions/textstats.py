@@ -21,7 +21,15 @@ STOPWORDS = {
     "es": ["el", "la", "los", "y", "es"],
 }
 
-_TOKENS = lambda c: F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))  # noqa: E731
+def ws_tokens(c: Column):
+    """Lowercased whitespace tokens of a text column — THE tokenizer
+    shared by text stats, shingling, and simhash (one definition, so
+    exact-dedup fingerprints and shingle dedup can't silently diverge
+    on e.g. a unicode-whitespace change)."""
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+_TOKENS = ws_tokens
 
 
 def token_count(text_col: Column) -> Column:

@@ -220,6 +220,59 @@ def test_fts_tfidf_downweights_stopwords(spark, tmp_path):
     assert [r.subj for r in via_index] == [r.subj for r in idf_hits]
 
 
+def test_cosine_zero_norm_and_empty_corpus(spark, tmp_path):
+    """A zero vector (padding/missing embedding) must not kill the job
+    with ANSI DIVIDE_BY_ZERO; empty corpora return empty results."""
+    from kgap_spark.functions.similarity import (
+        build_signature_table,
+        cosine_topk,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    assert rows[0].vec_id == 1 and rows[0].cosine == 1.0
+    assert all(r.cosine is None for r in rows[1:])  # zero-norm → NULL, last
+
+    # two zero vectors share a bucket: candidate pair must not crash,
+    # and NULL cosine never passes the threshold
+    pairs = embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    assert (2, 3) not in {(p.id_a, p.id_b) for p in pairs}
+
+    empty = emb.filter("vec_id < 0")
+    assert embedding_near_dup_pairs(empty).count() == 0
+    build_signature_table(empty, str(tmp_path / "sig"))  # no crash
+
+
+def test_cc_nonconvergence_raises(spark):
+    """Partially-propagated labels are wrong canonicalization — the
+    strict default must raise, not return a split component."""
+    from kgap_spark.canonicalize.connected_components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(30)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # diagnostics mode still returns the partial result
+    partial = connected_components(chain, max_iter=3, strict=False)
+    assert partial.count() == 31
+
+
+def test_length_quantile_labels():
+    """p-labels round instead of truncating (0.29*100 is 28.999… in
+    binary floating point)."""
+    from kgap_spark.functions.selection import length_quantiles  # noqa: F401
+
+    assert f"p{round(0.29 * 100)}" == "p29"
+    assert f"p{int(0.29 * 100)}" == "p28"  # the old bug
+
+
 def test_append_posting_table_incremental(spark, tmp_path):
     """Index maintenance: appending a new doc's postings (no rebuild)
     makes it searchable and bumps the corpus-size sidecar."""

@@ -43,7 +43,8 @@ def main() -> None:
         # label propagation capped at 25 rounds: diameter-bound, so on
         # deep chains it CANNOT converge — the point of the comparison
         t0 = time.monotonic()
-        label = connected_components(edges, max_iter=25, num_partitions=8)
+        label = connected_components(edges, max_iter=25, num_partitions=8,
+                                     strict=False)  # demonstrating the miss
         n_comp_label = label.select("component").distinct().count()
         t_label = time.monotonic() - t0
 
