@@ -87,18 +87,33 @@ class _Expander:
 
     # -- nodes ------------------------------------------------------------
     def node(self, obj: dict) -> str:
+        # JSON-LD scopes a node's @context to the node and its
+        # descendants — restore the outer context on exit, or a nested
+        # definition leaks into sibling/subsequent nodes
+        saved_ctx = None
         if "@context" in obj:
+            saved_ctx = dict(self.ctx)
             self.load_context(obj["@context"])
+        try:
+            return self._node_body(obj)
+        finally:
+            if saved_ctx is not None:
+                self.ctx = saved_ctx
+
+    def _node_body(self, obj: dict) -> str:
         raw_id = obj.get("@id")
         sid = self.expand_iri(raw_id, vocab=False) if raw_id else self.new_bnode()
 
         for t in _as_list(obj.get("@type", [])):
             self.emit(sid, RDF_TYPE, self.expand_iri(t))
 
-        if "@graph" in obj and raw_id is not None:
-            # named graph node: members land in graph <sid>
+        if "@graph" in obj:
+            # named graph node: members land in graph <sid>; an
+            # anonymous @graph (no @id) keeps the enclosing graph —
+            # previously its members were silently dropped
             prev = self.graph
-            self.graph = sid
+            if raw_id is not None:
+                self.graph = sid
             for member in _as_list(obj["@graph"]):
                 self.node(member)
             self.graph = prev
@@ -119,6 +134,8 @@ class _Expander:
                 self.emit(sid, pred, head)
             elif "@value" in v:
                 val = v["@value"]
+                if val is None:  # JSON-LD: null means value removal
+                    return
                 lang = v.get("@language")
                 dt = self.expand_iri(v["@type"]) if "@type" in v else None
                 lex, inferred = _scalar(val)
@@ -126,6 +143,8 @@ class _Expander:
             else:
                 child = self.node(v)
                 self.emit(sid, pred, child)
+        elif v is None:  # null property value: no triple
+            return
         elif isinstance(v, str) and term_def.get("@type") == "@id":
             self.emit(sid, pred, self.expand_iri(v, vocab=False))
         else:
@@ -216,8 +235,12 @@ def read_jsonld(
         for pdf in batches:
             rows = []
             for i, (text, src) in enumerate(zip(pdf["value"], pdf["src"])):
+                # hash the FULL line (a 64-char prefix collides for
+                # lines sharing a long @context/@id preamble, and the
+                # batch-local i resets per Arrow batch) and keep 64
+                # bits — 32 bits birthday-collides at ~77k inputs
                 pfx = (
-                    hashlib.md5(f"{src}:{text[:64]}:{i}".encode()).hexdigest()[:8]
+                    hashlib.md5(f"{src}:{i}:{text}".encode()).hexdigest()[:16]
                     + "-"
                 )
                 try:

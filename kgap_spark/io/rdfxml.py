@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kgap_spark.io.turtle import RDF_NS, RDF_TYPE
 
-_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+_XML_LANG = f"{{{_XML_NS}}}lang"
+_XML_BASE = f"{{{_XML_NS}}}base"
 _ABOUT = f"{{{RDF_NS}}}about"
 _ID = f"{{{RDF_NS}}}ID"
 _NODEID = f"{{{RDF_NS}}}nodeID"
@@ -55,11 +57,27 @@ def _iri_of(tag: str) -> str:
 
 
 class _Parser:
-    def __init__(self, default_graph: str | None, bnode_prefix: str):
+    def __init__(self, default_graph: str | None, bnode_prefix: str,
+                 base: str | None = None):
         self.graph = default_graph
         self.bnode_prefix = bnode_prefix
+        self.base = base
         self.bn = 0
         self.quads: list[tuple] = []
+
+    def resolve(self, ref: str) -> str:
+        """Resolve rdf:ID fragments / relative rdf:about against
+        xml:base — without it, '#item1' from two different files
+        collides on one subject (and isn't an absolute IRI at all)."""
+        if self.base is None or "://" in ref or ref.startswith(
+            ("urn:", "mailto:", "did:", "_:")
+        ):
+            return ref
+        if ref.startswith("#"):
+            return self.base.split("#")[0] + ref
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, ref)
 
     def new_bnode(self) -> str:
         self.bn += 1
@@ -71,9 +89,9 @@ class _Parser:
     def node(self, el: ET.Element, lang: str | None) -> str:
         lang = el.get(_XML_LANG, lang)
         if el.get(_ABOUT) is not None:
-            sid = el.get(_ABOUT)
+            sid = self.resolve(el.get(_ABOUT))
         elif el.get(_ID) is not None:
-            sid = "#" + el.get(_ID)
+            sid = self.resolve("#" + el.get(_ID))
         elif el.get(_NODEID) is not None:
             sid = f"_:{self.bnode_prefix}N{el.get(_NODEID)}"
         else:
@@ -82,9 +100,12 @@ class _Parser:
         if el.tag != _DESCRIPTION:  # typed node element
             self.emit(sid, RDF_TYPE, _iri_of(el.tag))
 
-        # property attributes (literal shorthand)
+        # property attributes (literal shorthand) — rdf:* and ANY
+        # xml:* attribute (xml:base, xml:lang, xml:space …) are syntax,
+        # not data; emitting them made garbage triples with predicates
+        # like …/namespacebase
         for attr, val in el.attrib.items():
-            if attr.startswith(f"{{{RDF_NS}}}") or attr == _XML_LANG:
+            if attr.startswith((f"{{{RDF_NS}}}", f"{{{_XML_NS}}}")):
                 continue
             if attr.startswith("{"):
                 self.emit(sid, _iri_of(attr), val, lang)
@@ -110,7 +131,7 @@ class _Parser:
             pred = _iri_of(prop.tag)
         lang = prop.get(_XML_LANG, lang)
         if prop.get(_RESOURCE) is not None:
-            self.emit(sid, pred, prop.get(_RESOURCE))
+            self.emit(sid, pred, self.resolve(prop.get(_RESOURCE)))
             return
         if prop.get(_NODEID) is not None:
             self.emit(sid, pred, f"_:{self.bnode_prefix}N{prop.get(_NODEID)}")
@@ -118,8 +139,9 @@ class _Parser:
         if prop.get(_PARSETYPE) == "Resource":
             inner = self.new_bnode()
             self.emit(sid, pred, inner)
+            inner_li = [0]  # shared: rdf:li inside → rdf:_1, rdf:_2, …
             for sub in prop:
-                self.property(inner, sub, lang)
+                self.property(inner, sub, lang, inner_li)
             return
         if prop.get(_PARSETYPE) == "Collection":
             # node-element sequence → rdf:first/rdf:rest chain
@@ -157,7 +179,7 @@ def parse_rdfxml(
     """RDF/XML document → [(subj, pred, obj, obj_lang, obj_datatype,
     graph)]."""
     root = ET.fromstring(text)
-    p = _Parser(default_graph, bnode_prefix)
+    p = _Parser(default_graph, bnode_prefix, base=root.get(_XML_BASE))
     if root.tag == _RDF_ROOT:
         for el in root:
             p.node(el, root.get(_XML_LANG))

@@ -140,6 +140,14 @@ def _tokenize(s: str) -> list[tuple[str, object]]:
                     j = s.find(quote * 3, j + 1)
                 if j < 0:
                     raise TurtleParseError(f"unterminated long literal at {i}")
+                # Turtle 1.1: content may END with up to two unescaped
+                # quotes ("""abc"""" is the literal abc") — the
+                # delimiter is the LAST three quotes of the closing run
+                run = 3
+                while j + run < n and s[j + run] == quote:
+                    run += 1
+                if run in (4, 5):
+                    j += run - 3
                 toks.append(("STRING", _unescape_string(s[i + 3:j])))
                 i = j + 3
                 continue
@@ -337,7 +345,7 @@ class _Parser:
             self.graph_block(self.default_graph)
             return
         # triples — or TriG "<label> { ... }"
-        if k in ("IRIREF", "PNAME"):
+        if k in ("IRIREF", "PNAME", "BNODE"):  # TriG: _:g { … } is legal
             save = self.pos
             label = self.graph_label()
             if self.peek() == ("PUNCT", "{"):
@@ -367,8 +375,13 @@ class _Parser:
         self.graph = label
         self.expect_punct("{")
         while self.peek() != ("PUNCT", "}"):
+            # same blankNodePropertyList statement form as statement():
+            # "[ :p :o ] ." may omit the predicateObjectList
+            from_bnode_list = self.peek() == ("PUNCT", "[")
             subj = self.subject()
-            self.predicate_object_list(subj)
+            if not (from_bnode_list
+                    and self.peek() in (("PUNCT", "."), ("PUNCT", "}"))):
+                self.predicate_object_list(subj)
             if self.peek() == ("PUNCT", "."):
                 self.next()
         self.expect_punct("}")

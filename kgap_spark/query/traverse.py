@@ -42,7 +42,8 @@ def recursive_dereference(
             "pred",
             F.col("obj").alias("node"),
             F.lit(depth).alias("depth"),
-        )
+        ).distinct()  # the same fact in two named graphs is ONE edge
+        # (without this, assemble_documents' collect_list doubles values)
         out = hop if out is None else out.unionByName(hop)
         nxt = hop.select("node").distinct()
         if uri_only:

@@ -448,3 +448,73 @@ def test_parse_rdfxml_li_containers():
     assert preds[f"{RDF_NS}_1"] == "first"
     assert preds[f"{RDF_NS}_2"] == f"{EX}x"
     assert preds[f"{RDF_NS}type"] == f"{RDF_NS}Seq"
+
+
+def test_parser_review_fixes(spark):
+    """Regression pins for the fourth review pass (block parsers)."""
+    from kgap_spark.io.jsonld import parse_jsonld
+    from kgap_spark.io.rdfxml import parse_rdfxml
+    from kgap_spark.io.turtle import parse_turtle
+
+    # 1. anonymous @graph keeps its members (was: silently dropped)
+    q = parse_jsonld(
+        '[{"@graph": [{"@id": "http://ex/a", "http://ex/p": "v"}]}]',
+        default_graph="urn:g",
+    )
+    assert [(s, p, o, g) for s, p, o, _l, _d, g in q] == [
+        ("http://ex/a", "http://ex/p", "v", "urn:g")
+    ]
+
+    # 2. nested @context no longer leaks into sibling nodes
+    q = parse_jsonld(
+        '[{"@id":"http://ex/a","http://ex/p":'
+        '{"@context":{"q":"http://inner/q"},"@id":"http://ex/b","q":"x"}},'
+        '{"@id":"http://ex/c","q":"y"}]',
+        default_graph="urn:g",
+    )
+    preds_c = {p for s, p, *_ in q if s == "http://ex/c"}
+    assert preds_c == {"q"}  # NOT http://inner/q
+
+    # 3. null @value / null property emit nothing (not "None" literals)
+    q = parse_jsonld(
+        '{"@id":"http://ex/a","http://ex/p":{"@value":null},'
+        '"http://ex/r":null}', default_graph="urn:g")
+    assert q == []
+
+    # 4. rdf:ID resolves against xml:base; xml:* attrs are not triples
+    xml = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xmlns:ex="http://ex/" xml:base="http://base.org/doc">'
+           '<rdf:Description rdf:ID="item1" ex:name="n"/></rdf:RDF>')
+    q = parse_rdfxml(xml, default_graph="urn:g")
+    assert q[0][0] == "http://base.org/doc#item1"
+    assert all("namespacebase" not in p for _s, p, *_ in q)
+
+    # 5. rdf:li inside parseType=Resource numbers _1, _2
+    xml2 = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:ex="http://ex/">'
+            '<rdf:Description rdf:about="http://ex/s">'
+            '<ex:seq rdf:parseType="Resource">'
+            '<rdf:li>a</rdf:li><rdf:li>b</rdf:li></ex:seq>'
+            '</rdf:Description></rdf:RDF>')
+    q = parse_rdfxml(xml2, default_graph="urn:g")
+    li_preds = sorted(p for _s, p, *_ in q if "_" in p.rsplit("#", 1)[-1])
+    assert li_preds[-2:] == [
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#_1",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#_2",
+    ]
+
+    # 6. TriG: bnode statement inside a graph block; bnode graph label
+    q = parse_turtle(
+        '<http://g> { [ <http://p> <http://o> ] . }', default_graph="urn:g")
+    assert len(q) == 1 and q[0][5] == "http://g"
+    q = parse_turtle(
+        '_:g { <http://s> <http://p> <http://o> . }', default_graph="urn:g")
+    assert q[0][5].startswith("_:")
+
+    # 7. long literal ending in a quote character
+    q = parse_turtle('<http://s> <http://p> """abc"""" .',
+                     default_graph="urn:g")
+    assert q[0][2] == 'abc"'
+    q = parse_turtle('<http://s> <http://p> """x""""" .',
+                     default_graph="urn:g")
+    assert q[0][2] == 'x""'
