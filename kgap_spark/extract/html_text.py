@@ -42,8 +42,17 @@ _DROP_SUBTREE = re.compile(
     rb"(?is)<(script|style|noscript|template|svg|nav|header|footer|aside)\b"
     rb".*?</\1\s*>"
 )
-# Elements explicitly marked as ads: <div class="ad ...">...</div>
-_DROP_AD = re.compile(rb'(?is)<div\b[^>]*class="[^"]*\bad[a-z]*\b[^"]*"[^>]*>.*?</div\s*>')
+# Elements explicitly marked as ads: <div class="ad ...">...</div>.
+# Exact ad-token alternation, NOT \bad[a-z]*\b — that matched
+# "address"/"admin-bar"/"adaptive" classes and deleted real content.
+# Known limitation (unchanged): the non-greedy close stops at the
+# first </div>, so an ad div containing nested divs truncates early —
+# balanced matching is beyond a deterministic regex pass, and the
+# byte-identical-extraction invariant pins current behavior.
+_DROP_AD = re.compile(
+    rb'(?is)<div\b[^>]*class="[^"]*\b(?:ad|ads|advert[a-z]*|adsense|'
+    rb'ad-[a-z0-9-]+)\b[^"]*"[^>]*>.*?</div\s*>'
+)
 _COMMENT = re.compile(rb"(?s)<!--.*?-->")
 
 _MAIN = re.compile(rb"(?is)<main\b[^>]*>(.*?)</main\s*>")

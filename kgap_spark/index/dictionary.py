@@ -35,7 +35,12 @@ def build_term_dictionary(triples: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    d = terms.withColumn("term_id", F.xxhash64("term"))
+    # materialize ONCE: the collision check is a full action over the
+    # union+distinct pipeline, and returning the lazy plan would make
+    # the caller's first action re-run that whole shuffle
+    d = terms.withColumn("term_id", F.xxhash64("term")).localCheckpoint(
+        eager=True
+    )
     # fail fast on hash collision rather than silently merging entities
     collisions = (
         d.groupBy("term_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)

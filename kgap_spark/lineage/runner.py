@@ -113,11 +113,16 @@ def run_pipeline_resumable(
         fail_df = spark.createDataFrame([(g,) for g in fail_graphs], "graph string")
         pending_pages = pending_pages.join(F.broadcast(fail_df), "graph", "left_anti")
 
-    pending_graphs = [r.graph for r in pending_pages.select("graph").distinct().collect()]
+    # one materialization serves the count-collect AND build_triples
+    # (previously three separate actions re-scanned pages + the
+    # anti-join each time — the dominant cost of a mostly-done resume);
+    # the groupBy keys double as the distinct graph list
+    pending_pages = pending_pages.localCheckpoint(eager=True)
     rows_in = {
         r.graph: r.n
         for r in pending_pages.groupBy("graph").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    pending_graphs = sorted(rows_in)
 
     metrics_rows: list[dict] = []
     n_triples_by_graph: dict[str, int] = {}

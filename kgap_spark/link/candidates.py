@@ -51,8 +51,11 @@ def fuzzy_candidates(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # NULL/empty strings would shingle to array(NULL) and crash
+    # HashingTF with a JVM NPE — drop them before vectorizing
     left = (
         surfaces.select(F.col(surface_col).alias("surface"))
+        .filter(F.col("surface").isNotNull() & (F.col("surface") != ""))
         .distinct()
         .withColumn("shingles", _shingle_col("surface"))
         .filter(F.size("shingles") > 0)
@@ -62,6 +65,7 @@ def fuzzy_candidates(
             "alias", "entity_id", "prior",
             F.col("lang").alias("alias_lang"),
         )
+        .filter(F.col("alias").isNotNull() & (F.col("alias") != ""))
         .withColumn("shingles", _shingle_col("alias"))
         .filter(F.size("shingles") > 0)
     )

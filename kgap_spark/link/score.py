@@ -57,7 +57,14 @@ def disambiguate(cands: DataFrame) -> DataFrame:
     """
     keys = ["url", "lang", "alias"]
     payload = [c for c in cands.columns if c not in keys]
+    # the scored path ranks by score FIRST (that's the context hook's
+    # whole purpose — previously the UDF's score was computed and then
+    # ignored); unscored candidates fall back to prior. entity_id keeps
+    # the result total either way.
+    lead = ([(-F.col("score")).alias("_ns")] if "score" in cands.columns
+            else [])
     sort_struct = F.struct(
+        *lead,
         (-F.col("prior")).alias("_np"),
         F.col("entity_id").alias("_eid"),
         *[F.col(c).alias(c) for c in payload],

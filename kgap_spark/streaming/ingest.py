@@ -43,6 +43,7 @@ def stream_pages_to_triples(
     ``TripleStore.merge`` (quad-level upsert), so replayed batches are
     idempotent — the reference's "no duplicate data ingestion"
     guarantee (ldes-consumer.md:589)."""
+    from kgap_spark.canonicalize import canonical_mapping
     from kgap_spark.triples.materialize import build_triples
 
     stream = (
@@ -51,10 +52,15 @@ def stream_pages_to_triples(
         .parquet(pages_path)
     )
 
+    # the dictionary is static for the query's lifetime: run the CC
+    # canonicalization ONCE here, not once per micro-batch (in FOLLOW
+    # mode that re-derived the whole mapping every 60 s)
+    canon = canonical_mapping(alias_dict).localCheckpoint(eager=True)
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        triples = build_triples(batch_df, alias_dict)
+        triples = build_triples(batch_df, alias_dict, canon=canon)
         store.merge(triples)
 
     writer = (

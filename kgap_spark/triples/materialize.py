@@ -99,12 +99,17 @@ def dict_graph_triples(alias_dict: DataFrame, canon: DataFrame) -> DataFrame:
 
 
 def build_triples(
-    pages: DataFrame, alias_dict: DataFrame
+    pages: DataFrame, alias_dict: DataFrame,
+    canon: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline: pages + dictionary → quad DataFrame (lazy).
 
     extract → detect → link → canonicalize → materialize. Each stage is
     a pure DataFrame transformation; nothing is collected driver-side.
+
+    ``canon``: a precomputed ``canonical_mapping(alias_dict)`` — pass it
+    when calling per micro-batch (streaming) so the CC iterations run
+    once per dictionary, not once per batch.
     """
     from kgap_spark.canonicalize import canonical_mapping
     from kgap_spark.extract import with_extracted_text
@@ -119,7 +124,8 @@ def build_triples(
     # branches of the output union (mention rewrite + dict triples);
     # materialize it once so a single write action doesn't run the CC
     # iterations twice.
-    canon = canonical_mapping(alias_dict).localCheckpoint(eager=True)
+    if canon is None:
+        canon = canonical_mapping(alias_dict).localCheckpoint(eager=True)
     linked_canon = linked.join(
         F.broadcast(canon), "entity_id", "left"
     ).withColumn(

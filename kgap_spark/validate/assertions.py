@@ -89,11 +89,32 @@ def cardinality_violations(triples: DataFrame, a: Assertion) -> DataFrame:
     )
 
 
+def _scoped_path(triples: DataFrame, a: Assertion,
+                 with_meta: bool = False) -> DataFrame:
+    """(entity, obj[, obj_lang, obj_datatype]) rows of ``a.path``,
+    restricted to focus_type subjects — range/in/datatype previously
+    ignored ``focus_type``, so a shape's targetClass scoping was
+    silently dropped and out-of-scope subjects raised false
+    violations (failing the commit gate). ``with_meta`` pulls the
+    literal-metadata columns (datatype assertions only — plain
+    (subj, pred, obj) frames stay accepted elsewhere)."""
+    cols = [F.col("subj").alias("entity"), F.col("obj")]
+    if with_meta:
+        cols += [F.col("obj_lang"), F.col("obj_datatype")]
+    rows = triples.filter(F.col("pred") == a.path).select(*cols)
+    if a.focus_type is not None:
+        rows = rows.join(
+            F.broadcast(_focus(triples, a.focus_type)), "entity", "left_semi"
+        )
+    return rows
+
+
 def value_range_violations(triples: DataFrame, a: Assertion) -> DataFrame:
     """numeric object of path within [min, max]
     (docs/advanced-topics.md:131-141, 412)."""
-    vals = triples.filter(F.col("pred") == a.path).select(
-        F.col("subj").alias("entity"),
+    vals = _scoped_path(triples, a).select(
+        "entity",
+        "obj",
         # try_cast: non-numeric literals become NULL violations instead
         # of failing the job under ANSI mode (Spark 4 default)
         F.col("obj").try_cast("double").alias("value"),
@@ -104,40 +125,43 @@ def value_range_violations(triples: DataFrame, a: Assertion) -> DataFrame:
     if a.max_value is not None:
         cond = cond | (F.col("value") > a.max_value)
     return vals.filter(cond).withColumn(
-        "issue", F.concat(F.lit(f"{a.path} out of range: "), F.col("value"))
+        "issue",
+        # the raw lexical form, not the cast value: a non-numeric
+        # literal casts to NULL and would null the whole message
+        F.concat(F.lit(f"{a.path} out of range: "), F.col("obj")),
     )
 
 
 def type_membership_violations(triples: DataFrame, a: Assertion) -> DataFrame:
     """object of path must be one of `values`
     (docs/advanced-topics.md:112-119) — left anti against allowed set."""
-    objs = triples.filter(F.col("pred") == a.path).select(
-        F.col("subj").alias("entity"), "obj"
-    )
+    objs = _scoped_path(triples, a)
     return objs.filter(~F.col("obj").isin(list(a.values))).withColumn(
         "issue", F.concat(F.lit(f"{a.path} value not allowed: "), F.col("obj"))
     )
 
 
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
 def datatype_violations(triples: DataFrame, a: Assertion) -> DataFrame:
     """object literals of path must carry the expected datatype
-    (SHACL sh:datatype). A plain literal (no datatype, no lang) counts
-    as xsd:string per RDF 1.1."""
+    (SHACL sh:datatype). Per RDF 1.1: a plain literal (no datatype, no
+    lang) is xsd:string; a language-tagged literal is rdf:langString."""
     expected = a.values[0] if a.values else None
     actual = F.coalesce(
         F.col("obj_datatype"),
-        F.when(F.col("obj_lang").isNull(),
-               F.lit("http://www.w3.org/2001/XMLSchema#string")),
+        F.when(F.col("obj_lang").isNotNull(), F.lit(_RDF_LANGSTRING))
+        .otherwise(F.lit("http://www.w3.org/2001/XMLSchema#string")),
     )
-    objs = triples.filter(F.col("pred") == a.path).select(
-        F.col("subj").alias("entity"), actual.alias("dt")
+    objs = _scoped_path(triples, a, with_meta=True).select(
+        "entity", actual.alias("dt")
     )
     return objs.filter(
         F.col("dt").isNull() | (F.col("dt") != expected)
     ).withColumn(
         "issue",
-        F.concat(F.lit(f"{a.path} datatype != {expected}: "),
-                 F.coalesce(F.col("dt"), F.lit("lang-tagged"))),
+        F.concat(F.lit(f"{a.path} datatype != {expected}: "), F.col("dt")),
     )
 
 

@@ -42,10 +42,16 @@ def _index(quads: list[tuple]) -> dict[str, dict[str, list]]:
 
 
 def _rdf_list(idx: dict, head: str) -> list[str]:
-    """Walk an rdf:first/rdf:rest chain into a Python list."""
+    """Walk an rdf:first/rdf:rest chain into a Python list. A seen-set
+    guards against malformed shapes whose rest chain loops — without it
+    the driver hangs forever at parse time."""
     out = []
     node = head
+    seen: set[str] = set()
     while node and node != RDF_NIL:
+        if node in seen:
+            raise ValueError(f"cyclic rdf:rest chain at {node!r} in shape")
+        seen.add(node)
         props = idx.get(node, {})
         first = props.get(RDF_FIRST)
         if first:
