@@ -30,14 +30,44 @@ class Var:
     name: str
 
 
+@dataclass(frozen=True)
+class PathNeg:
+    """A negated property set ``!p`` / ``!(p1|p2)``: any predicate NOT
+    in ``preds`` (SPARQL 1.1 §9.1). Valid only in predicate position."""
+
+    preds: tuple
+
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+@dataclass(frozen=True)
+class TypedLit:
+    """A pattern-position literal carrying its @lang / ^^datatype: the
+    slice must match the exact RDF term, not just the lexical form
+    ("Paris"@en must not match "Paris"@fr). RDF 1.1 folds plain
+    literals and ^^xsd:string into the same term, so an xsd:string
+    datatype also matches a NULL stored datatype."""
+
+    value: str
+    lang: str | None = None
+    datatype: str | None = None
+
+
 def _slice(
-    triples: DataFrame, pattern, idx: int, carry_meta: bool = False
+    triples: DataFrame, pattern, idx: int, carry_meta: bool = False,
+    graph_var: str | None = None,
 ) -> tuple[DataFrame, dict[str, str]]:
     """One triple pattern → filtered/projected slice + var→column map.
 
     ``carry_meta``: when the object is a variable, also project its
     literal metadata as ``{var}__lang`` / ``{var}__dt`` — the binding
-    the SPARQL front-end's LANG()/DATATYPE() filters read."""
+    the SPARQL front-end's LANG()/DATATYPE() filters read.
+
+    ``graph_var``: bind the quad's ``graph`` column as this variable
+    (the GRAPH ?var scope): only named-graph rows match, and because
+    every slice in the scope projects the same variable, the BGP's
+    shared-variable joins automatically enforce same-graph semantics."""
     s, p, o = pattern
     df = triples
     out_cols: dict[str, str] = {}
@@ -45,6 +75,24 @@ def _slice(
         if isinstance(term, Var):
             col = f"{term.name}"
             out_cols[term.name] = col
+        elif isinstance(term, PathNeg):
+            if field != "pred":
+                raise ValueError("negated property set only valid as predicate")
+            df = df.filter(~F.col("pred").isin(*term.preds))
+        elif isinstance(term, TypedLit):
+            if field != "obj":
+                raise ValueError("typed literal only valid in object position")
+            df = df.filter(F.col("obj") == F.lit(term.value))
+            if term.lang is not None:
+                df = df.filter(F.col("obj_lang") == F.lit(term.lang))
+            elif term.datatype == XSD_STRING:
+                df = df.filter(
+                    F.col("obj_lang").isNull()
+                    & (F.col("obj_datatype").isNull()
+                       | (F.col("obj_datatype") == XSD_STRING))
+                )
+            else:
+                df = df.filter(F.col("obj_datatype") == F.lit(term.datatype))
         elif isinstance(term, (tuple, frozenset, set)):
             # any-of constant (e.g. SPARQL's `a` matching both the full
             # rdf:type IRI and the compact store convention)
@@ -58,8 +106,15 @@ def _slice(
             if carry_meta and field == "obj":
                 sel.append(F.col("obj_lang").alias(f"{term.name}__lang"))
                 sel.append(F.col("obj_datatype").alias(f"{term.name}__dt"))
+    if graph_var is not None:
+        # GRAPH ?var matches named graphs only (SPARQL §13.3)
+        df = df.filter(F.col("graph").isNotNull())
+        sel.append(F.col("graph").alias(graph_var))
+        out_cols[graph_var] = graph_var
     # a variable used twice in one pattern (?x ?p ?x) needs a self-equality
     names = [t.name for t in (s, p, o) if isinstance(t, Var)]
+    if graph_var is not None:
+        names.append(graph_var)
     if len(set(names)) != len(names):  # pragma: no cover - rare
         raise ValueError("repeated variable within a single pattern unsupported")
     return df.select(*sel), out_cols
@@ -74,6 +129,7 @@ def bgp(
     patterns: list[tuple],
     graph: str | None = None,
     carry_meta: bool = False,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """Evaluate a basic graph pattern: list of (s, p, o) triples whose
     terms are ``Var`` or constants. Returns one column per variable
@@ -91,7 +147,8 @@ def bgp(
     acc: DataFrame | None = None
     bound: set[str] = set()
     for i, pattern in enumerate(patterns):
-        sl, _ = _slice(triples, pattern, i, carry_meta=carry_meta)
+        sl, _ = _slice(triples, pattern, i, carry_meta=carry_meta,
+                       graph_var=graph_var)
         if acc is None:
             acc = sl
         else:

@@ -22,12 +22,18 @@ and routed to the FTS module: the two virtual patterns leave the BGP
 and become a posting-table search over the store's literal objects,
 joined back on the entity variable.
 
-Known divergence from full SPARQL semantics: a variable left unbound
-by one OPTIONAL and then used as a join key by a LATER optional/group
-joins as SQL NULL (no match) rather than SPARQL's unbound-compatible
-join — the UNION compiler handles this case exactly (``_compat_join``),
-the optional chain does not. Queries in the reference docs never hit
-this shape.
+Unbound-compatible joins: the compiler tracks which variables may be
+unbound (NULL) — OPTIONAL bindings, arm-local UNION variables, BINDs
+over them — and every join touching such a variable (later OPTIONALs,
+group merges, UNION joins, MINUS/NOT EXISTS) uses SPARQL's
+unbound-is-compatible condition via ``_compat_join`` instead of SQL
+equality, so no solution is silently dropped. Fully-bound variables
+stay plain equi keys (hash-joinable).
+
+Known divergence from full SPARQL semantics: a PLAIN pattern-position
+literal ("Paris" with no tag) matches on lexical form only — it also
+matches tagged forms. Literals WITH @lang/^^datatype, and FILTER
+equality against them, match the exact RDF term.
 
 Term convention: prefixed names expand through the query's PREFIX
 declarations; a pname whose prefix is NOT declared stays compact
@@ -43,7 +49,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgap_spark.query.patterns import Var, bgp, _is_meta
+from kgap_spark.query.patterns import (
+    Var, bgp, _is_meta, PathNeg, TypedLit, XSD_STRING,
+)
 
 LUCENE_NS = "http://www.ontotext.com/owlim/lucene#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -73,7 +81,7 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*@/+\-])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*@/+\-|])
     """,
     re.VERBOSE,
 )
@@ -83,6 +91,7 @@ _KEYWORDS = {
     "OPTIONAL", "NOT", "EXISTS", "GRAPH", "GROUP", "BY", "HAVING",
     "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION", "BIND",
     "VALUES", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA",
+    "MINUS",
 }
 _AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG", "SAMPLE", "GROUP_CONCAT"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
@@ -184,10 +193,12 @@ class Group:
     filters: list = field(default_factory=list)       # Expr
     optionals: list = field(default_factory=list)     # Group
     not_exists: list = field(default_factory=list)    # Group
+    minus: list = field(default_factory=list)         # Group
     graph_scopes: list = field(default_factory=list)  # (term, Group)
     unions: list = field(default_factory=list)        # [Group, Group, …]
     binds: list = field(default_factory=list)         # (expr, Var)
     values: list = field(default_factory=list)        # ([Var], [rows])
+    subselects: list = field(default_factory=list)    # Query (form=select)
 
 
 @dataclass
@@ -287,6 +298,12 @@ class _Parser:
             if not q.describe_iris:
                 raise ValueError("DESCRIBE needs at least one IRI")
             return q
+        return self.parse_select_body()
+
+    def parse_select_body(self) -> Query:
+        """SELECT … WHERE { … } + solution modifiers — shared by the
+        top level and ``{ SELECT … }`` sub-queries (the docs'
+        limit-early staging pattern, advanced-topics.md:441-452)."""
         self.expect("KW", "SELECT")
         q = Query(form="select")
         if self.at_kw("DISTINCT"):
@@ -347,7 +364,23 @@ class _Parser:
             if self.at_kw("WHERE"):  # DELETE WHERE { g }: template = BGP
                 self.next()
                 u.where = self.group()
-                u.delete_template = [(s, p, o, None) for s, p, o in u.where.triples]
+                # the template mirrors the WHERE pattern, INCLUDING
+                # GRAPH-scoped triples (previously those compiled but
+                # produced an empty template → silent no-op delete)
+                tmpl = [(s, p, o, None) for s, p, o in u.where.triples]
+                for term, sub in u.where.graph_scopes:
+                    tmpl.extend((s, p, o, term) for s, p, o in sub.triples)
+                for s, p, o, _g in tmpl:
+                    if any(isinstance(t, (PathPlus, PathNeg))
+                           for t in (s, p, o)):
+                        raise ValueError(
+                            "DELETE WHERE cannot contain property paths"
+                        )
+                if not tmpl:
+                    raise ValueError(
+                        "DELETE WHERE has no deletable triple patterns"
+                    )
+                u.delete_template = tmpl
                 return u
             u.delete_template = self.template_group()
             if self.at_kw("INSERT"):
@@ -458,6 +491,10 @@ class _Parser:
                 self.next()
                 g.optionals.append(self.group())
                 continue
+            if t.kind == "KW" and t.text == "MINUS":
+                self.next()
+                g.minus.append(self.group())
+                continue
             if t.kind == "KW" and t.text == "GRAPH":
                 self.next()
                 term = self.term()
@@ -477,6 +514,14 @@ class _Parser:
                 g.values.append(self.values_block())
                 continue
             if t.kind == "OP" and t.text == "{":
+                nxt = self.peek(1)
+                if nxt is not None and nxt.kind == "KW" and nxt.text == "SELECT":
+                    # { SELECT … } sub-query (limit-early staging,
+                    # docs/advanced-topics.md:441-452)
+                    self.next()
+                    g.subselects.append(self.parse_select_body())
+                    self.expect("OP", "}")
+                    continue
                 # { A } UNION { B } [UNION { C } …]
                 arms = [self.group()]
                 while self.at_kw("UNION"):
@@ -545,11 +590,29 @@ class _Parser:
     _path_counter = 0
 
     def path(self):
-        """Property path subset: ``p``, ``p+`` (one-or-more), and
-        ``p1/p2/…`` sequences (each element optionally ``+``). Returns
-        a list of path elements [(pred, transitive), …]."""
+        """Property path subset: ``p``, ``p+`` (one-or-more),
+        ``p1/p2/…`` sequences (each element optionally ``+``), and
+        ``!p`` / ``!(p1|p2)`` negated property sets (not combinable
+        with ``+``). Returns a list of path elements
+        [(pred, transitive), …]."""
         parts = []
         while True:
+            t = self.peek()
+            if t and t.kind == "OP" and t.text == "!":
+                self.next()
+                pred = self.negated_property_set()
+                trans = False
+                t = self.peek()
+                if t and t.kind == "OP" and t.text == "+":
+                    raise ValueError(
+                        "transitive negated property set (!p)+ not supported"
+                    )
+                parts.append((pred, trans))
+                t = self.peek()
+                if t and t.kind == "OP" and t.text == "/":
+                    self.next()
+                    continue
+                return parts
             pred = self.term(as_predicate=True)
             trans = False
             t = self.peek()
@@ -562,6 +625,33 @@ class _Parser:
                 self.next()
                 continue
             return parts
+
+    def negated_property_set(self) -> PathNeg:
+        """After ``!``: a single IRI/pname, or ``(p1|p2|…)``. Any-of
+        constants (undeclared well-known pnames, ``a``) flatten into
+        the excluded set — !rdf:type must exclude both store forms."""
+        def flat(term) -> tuple:
+            if isinstance(term, tuple):
+                return term
+            if isinstance(term, (Var, Lit, Num)):
+                raise ValueError(
+                    "negated property set members must be IRIs"
+                )
+            return (term,)
+
+        preds: list = []
+        t = self.peek()
+        if t and t.kind == "OP" and t.text == "(":
+            self.next()
+            preds.extend(flat(self.term(as_predicate=True)))
+            while self.peek() and self.peek().kind == "OP" \
+                    and self.peek().text == "|":
+                self.next()
+                preds.extend(flat(self.term(as_predicate=True)))
+            self.expect("OP", ")")
+        else:
+            preds.extend(flat(self.term(as_predicate=True)))
+        return PathNeg(tuple(preds))
 
     def emit_path(self, g: Group, subj, parts, obj) -> None:
         """Rewrite a path into chained patterns through fresh vars."""
@@ -746,13 +836,35 @@ def parse_sparql(text: str) -> Query:
 # ---------------------------------------------------------------------------
 # Compiler: AST → DataFrame plan.
 
-def _const_of(term) -> str:
-    """Pattern-position constant: literals match on their lexical form."""
+def _const_of(term):
+    """Pattern-position constant. A plain literal matches on its
+    lexical form (documented divergence: an untagged "Paris" pattern
+    also matches tagged forms — the store predates RDF 1.1 simple-
+    literal folding); a literal WITH @lang/^^datatype becomes a
+    ``TypedLit`` so the slice matches the exact RDF term ("Paris"@en
+    must not match "Paris"@fr)."""
     if isinstance(term, Lit):
+        if term.lang is not None or term.datatype is not None:
+            return TypedLit(term.value, term.lang, term.datatype)
         return term.value
     if isinstance(term, Num):
         return term.text
     return term
+
+
+def _vars_of(e) -> set[str]:
+    """Variable names referenced anywhere in an expression AST."""
+    if isinstance(e, Var):
+        return {e.name}
+    if isinstance(e, BinOp):
+        return _vars_of(e.left) | _vars_of(e.right)
+    if isinstance(e, NotExpr):
+        return _vars_of(e.inner)
+    if isinstance(e, FnCall):
+        return set().union(*[_vars_of(a) for a in e.args]) if e.args else set()
+    if isinstance(e, Agg):
+        return _vars_of(e.arg) if isinstance(e.arg, Var) else set()
+    return set()
 
 
 def _compile_expr(e, df: DataFrame) -> Column:
@@ -791,6 +903,34 @@ def _compile_expr(e, df: DataFrame) -> Column:
                     raise ValueError(
                         "any-of constant only valid in = / != comparisons"
                     )
+            # RDF term equality for tagged literals ("Paris"@en):
+            # compare the variable's lang/datatype meta columns too,
+            # matching the quad identity the update layer keys on —
+            # "Paris"@en must not equal "Paris"@fr or plain "Paris".
+            # (A var without meta columns falls back to lexical
+            # comparison — same documented divergence as plain
+            # pattern-position literals.)
+            if e.op in ("=", "!="):
+                for a, b in ((e.left, e.right), (e.right, e.left)):
+                    if (isinstance(b, Lit)
+                            and (b.lang is not None or b.datatype is not None)
+                            and isinstance(a, Var)):
+                        eq = to(a) == F.lit(b.value)
+                        lang_col = f"{a.name}__lang"
+                        dt_col = f"{a.name}__dt"
+                        if b.lang is not None and lang_col in cols:
+                            eq = eq & (F.col(lang_col) == F.lit(b.lang))
+                        elif b.datatype == XSD_STRING and lang_col in cols \
+                                and dt_col in cols:
+                            eq = eq & F.col(lang_col).isNull() & (
+                                F.col(dt_col).isNull()
+                                | (F.col(dt_col) == XSD_STRING)
+                            )
+                        elif b.datatype is not None and dt_col in cols:
+                            eq = eq & (F.col(dt_col) == F.lit(b.datatype))
+                        return eq if e.op == "=" else ~F.coalesce(
+                            eq, F.lit(False)
+                        )
             l, r = to(e.left), to(e.right)
             # numeric comparison when either side is a number: SPARQL
             # compares by value, the store keeps lexical forms
@@ -965,12 +1105,14 @@ def _transitive_pairs(triples: DataFrame, pred, start: str | None,
 
 
 def _compat_join(df: DataFrame, right: DataFrame, total: list[str],
-                 partial: list[str]) -> DataFrame:
+                 partial: list[str], how: str = "inner") -> DataFrame:
     """SPARQL solution-compatibility join: ``total`` columns are bound
     on both sides (plain equi keys); ``partial`` columns may be NULL
-    (unbound) on the right — unbound matches anything, and the merged
+    (unbound) on either side — unbound matches anything, and the merged
     value is COALESCE of the two sides. The equi keys keep this a hash
-    join; the partial conditions ride along as join residuals."""
+    join; the partial conditions ride along as join residuals.
+    ``how='left'`` is the OPTIONAL form: unmatched outer rows survive
+    with the right side's variables unbound."""
     r = right
     for c in partial:
         r = r.withColumnRenamed(c, f"__r_{c}")
@@ -980,7 +1122,7 @@ def _compat_join(df: DataFrame, right: DataFrame, total: list[str],
     for c in partial:
         rc = r[f"__r_{c}"]
         cond = cond & (df[c].isNull() | rc.isNull() | (df[c] == rc))
-    out = df.join(r, cond, "inner")
+    out = df.join(r, cond, how)
     # merge partial bindings; drop the duplicated total columns
     merged = out
     for c in partial:
@@ -991,12 +1133,61 @@ def _compat_join(df: DataFrame, right: DataFrame, total: list[str],
     return merged
 
 
-def _compile_group(triples: DataFrame, g: Group,
-                   graph: str | None = None) -> DataFrame:
-    base_triples = triples
-    if graph is not None:
-        base_triples = base_triples.filter(F.col("graph") == graph)
+def _merge_inner(df: DataFrame | None, maybe: set,
+                 right: DataFrame, right_maybe: set,
+                 broadcast_right: bool = False):
+    """Join a sub-solution into the accumulated one with SPARQL
+    compatibility semantics. Columns that may be unbound (NULL) on
+    either side join via ``_compat_join``; fully-bound shared columns
+    stay plain equi keys (hash-joinable). Returns the joined frame and
+    the updated maybe-unbound set."""
+    if df is None:
+        return right, set(right_maybe)
+    right = right.drop(*[c for c in right.columns
+                         if _is_meta(c) and c in df.columns])
+    right_cols = {c for c in right.columns if not _is_meta(c)}
+    shared = sorted(set(df.columns) & right_cols)
+    partial = [c for c in shared if c in maybe or c in right_maybe]
+    total = [c for c in shared if c not in partial]
+    r = F.broadcast(right) if broadcast_right else right
+    if not shared:
+        out = df.crossJoin(r)
+    elif not partial:
+        out = df.join(r, on=shared, how="inner")
+    else:
+        out = _compat_join(df, r, total, partial)
+    # a partial key survives unbound only when BOTH sides can be NULL
+    new_maybe = {c for c in maybe if c not in shared}
+    new_maybe |= {c for c in right_cols - set(shared) if c in right_maybe}
+    new_maybe |= {c for c in partial if c in maybe and c in right_maybe}
+    return out, new_maybe
 
+
+def _compile_group(triples: DataFrame, g: Group,
+                   graph=None) -> DataFrame:
+    return _compile_group_ex(triples, g, graph)[0]
+
+
+def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
+    """Compile one group pattern. ``graph`` scopes the quad scan:
+    None (default graph union), a constant graph term, or a ``Var`` —
+    the GRAPH ?var form, which binds the quad table's ``graph`` column
+    as that variable in every pattern of the scope (same-graph
+    semantics fall out of the shared-variable joins).
+
+    Returns ``(df, maybe_unbound)`` where ``maybe_unbound`` is the set
+    of result columns that can be NULL (SPARQL unbound) — introduced by
+    OPTIONAL, arm-local UNION variables, or BINDs over them. Joins on
+    such columns use unbound-compatible conditions instead of SQL
+    equality (which would silently drop solutions)."""
+    graph_var = graph.name if isinstance(graph, Var) else None
+    base_triples = triples
+    if graph is not None and graph_var is None:
+        cond = (F.col("graph").isin(*graph) if isinstance(graph, tuple)
+                else F.col("graph") == graph)
+        base_triples = base_triples.filter(cond)
+
+    maybe: set[str] = set()
     patterns, searches = _split_lucene(g)
     path_patterns = [
         (s, p, o) for (s, p, o) in patterns if isinstance(p, PathPlus)
@@ -1005,10 +1196,16 @@ def _compile_group(triples: DataFrame, g: Group,
         (s, _const_of(p), _const_of(o)) for (s, p, o) in patterns
         if not isinstance(p, PathPlus)
     ]
+    if graph_var is not None and (searches or path_patterns):
+        raise ValueError(
+            "luc: search and transitive paths not supported inside "
+            "GRAPH ?var scopes; use a constant graph"
+        )
 
     df: DataFrame | None = None
     if patterns:
-        df = bgp(base_triples, patterns, carry_meta=True)
+        df = bgp(base_triples, patterns, carry_meta=True,
+                 graph_var=graph_var)
     for ent, q, score_var in searches:
         sr = _eval_lucene(base_triples, ent, q, score_var)
         df = sr if df is None else df.join(sr, on=ent, how="inner")
@@ -1042,66 +1239,64 @@ def _compile_group(triples: DataFrame, g: Group,
                 else df.crossJoin(pp)
         if "__hit" in df.columns:
             df = df.drop("__hit")
-    # graph-scoped subgroups join into the enclosing solution
+    # { SELECT … } sub-queries: compile + project + order/limit FIRST,
+    # then join into the enclosing solution — the docs' limit-early
+    # staging (advanced-topics.md:441-452) becomes a GlobalLimit BELOW
+    # the join in the physical plan.
+    for subq in g.subselects:
+        if graph_var is not None:
+            raise ValueError("sub-SELECT inside GRAPH ?var not supported")
+        inner_df, inner_maybe = _compile_group_ex(
+            triples, subq.where, graph=graph
+        )
+        sub_df = _select_result(subq, inner_df)
+        sub_maybe: set[str] = set()
+        for p in subq.projections:
+            if isinstance(p, Var):
+                if p.name in inner_maybe or p.name not in inner_df.columns:
+                    sub_maybe.add(p.name)
+            elif p == "*":
+                sub_maybe |= inner_maybe & set(sub_df.columns)
+            elif not isinstance(p[0], Agg) and _vars_of(p[0]) & inner_maybe:
+                sub_maybe.add(p[1].name)
+        df, maybe = _merge_inner(df, maybe, sub_df, sub_maybe)
+    # graph-scoped subgroups join into the enclosing solution; a Var
+    # term binds the graph column as that variable inside the scope
     for term, sub in g.graph_scopes:
-        if isinstance(term, Var):
-            raise ValueError("GRAPH ?var scoping not supported; use a constant")
-        sub_df = _compile_group(triples, sub, graph=term)
-        if df is None:
-            df = sub_df
-        else:
-            shared = sorted(
-                set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
-            )
-            sub_df = sub_df.drop(*[c for c in sub_df.columns
-                                   if _is_meta(c) and c in df.columns])
-            df = df.join(sub_df, on=shared, how="inner") if shared \
-                else df.crossJoin(sub_df)
+        sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=term)
+        df, maybe = _merge_inner(df, maybe, sub_df, sub_maybe)
     # { A } UNION { B }: evaluate each arm, align columns (a var bound
     # in one arm only → NULL in the other, per SPARQL), then join the
     # combined solution into the enclosing pattern. Variables bound in
-    # EVERY arm join as plain equi-keys; arm-local variables carry
-    # NULLs, and SQL NULL keys never match, so those use SPARQL's
-    # unbound-is-compatible condition (NULL on either side matches,
-    # output = coalesce) instead of silently dropping solutions.
+    # EVERY arm join as plain equi-keys; arm-local or maybe-unbound
+    # variables carry NULLs, and SQL NULL keys never match, so those
+    # use SPARQL's unbound-is-compatible condition (NULL on either side
+    # matches, output = coalesce) instead of silently dropping
+    # solutions.
     for arms in g.unions:
-        arm_dfs = [_compile_group(triples, arm, graph=graph) for arm in arms]
+        arm_results = [
+            _compile_group_ex(triples, arm, graph=graph) for arm in arms
+        ]
+        arm_dfs = [a for a, _ in arm_results]
         arm_cols = [
             {c for c in a.columns if not _is_meta(c)} for a in arm_dfs
         ]
-        total_cols = set.intersection(*arm_cols)
+        in_every = set.intersection(*arm_cols)
+        u_maybe = (set.union(*arm_cols) - in_every) | set().union(
+            *[m for _, m in arm_results]
+        )
         u = arm_dfs[0]
         for other in arm_dfs[1:]:
             u = u.unionByName(other, allowMissingColumns=True)
-        if df is None:
-            df = u
-        else:
-            u = u.drop(*[c for c in u.columns
-                         if _is_meta(c) and c in df.columns])
-            shared = sorted(
-                set(df.columns) & {c for c in u.columns if not _is_meta(c)}
-            )
-            partial = [c for c in shared if c not in total_cols]
-            if not shared:
-                df = df.crossJoin(u)
-            elif not partial:
-                df = df.join(u, on=shared, how="inner")
-            else:
-                df = _compat_join(
-                    df, u, [c for c in shared if c in total_cols], partial
-                )
+        df, maybe = _merge_inner(df, maybe, u, u_maybe)
     # inline VALUES: a broadcast-joined literal table
     for vars_, rows in g.values:
         names = [v.name for v in vars_]
         vdf = triples.sparkSession.createDataFrame(
             rows, ", ".join(f"{n} string" for n in names)
         )
-        if df is None:
-            df = vdf
-        else:
-            shared = sorted(set(df.columns) & set(names))
-            df = df.join(F.broadcast(vdf), on=shared, how="inner") if shared \
-                else df.crossJoin(F.broadcast(vdf))
+        df, maybe = _merge_inner(df, maybe, vdf, set(),
+                                 broadcast_right=True)
     if df is None:
         raise ValueError("SPARQL compiler: empty WHERE group")
     for e, v in g.binds:
@@ -1110,29 +1305,87 @@ def _compile_group(triples: DataFrame, g: Group,
             # overwriting it would fabricate solutions
             raise ValueError(f"BIND target ?{v.name} is already bound")
         df = df.withColumn(v.name, _compile_expr(e, df))
+        refs = _vars_of(e)
+        if (refs & maybe) or (refs - set(df.columns)):
+            maybe.add(v.name)
     for sub in g.optionals:
-        sub_df = _compile_group(triples, sub, graph=graph)
+        sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=graph)
         sub_df = sub_df.drop(*[c for c in sub_df.columns
                                if _is_meta(c) and c in df.columns])
+        sub_cols = {c for c in sub_df.columns if not _is_meta(c)}
+        shared = sorted(set(df.columns) & sub_cols)
+        partial = [c for c in shared if c in maybe or c in sub_maybe]
+        # no shared vars → SPARQL left-join-on-true: every outer row
+        # survives even when the optional side is empty
+        if not shared:
+            df = df.join(sub_df, F.lit(True), "left")
+        elif not partial:
+            df = df.join(sub_df, on=shared, how="left")
+        else:
+            # a key left unbound by an EARLIER optional joins with
+            # unbound-compatible semantics, not SQL NULL-never-matches
+            df = _compat_join(
+                df, sub_df, [c for c in shared if c not in partial],
+                partial, how="left",
+            )
+        maybe |= sub_cols - set(shared)
+    for sub in g.minus:
+        sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=graph)
         shared = sorted(
             set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
         )
-        # no shared vars → SPARQL left-join-on-true: every outer row
-        # survives even when the optional side is empty
-        df = df.join(sub_df, on=shared, how="left") if shared \
-            else df.join(sub_df, F.lit(True), "left")
+        if not shared:
+            # SPARQL MINUS: solutions with disjoint domains are never
+            # compatible — removes nothing (unlike NOT EXISTS)
+            continue
+        partial = [c for c in shared if c in maybe or c in sub_maybe]
+        rsub = sub_df.select(*shared).distinct()
+        if not partial:
+            df = df.join(rsub, on=shared, how="left_anti")
+        else:
+            r = rsub
+            for c in shared:
+                r = r.withColumnRenamed(c, f"__m_{c}")
+            cond = F.lit(True)
+            both_bound = F.lit(False)  # dom(μ)∩dom(μ') must be non-empty
+            for c in shared:
+                rc = r[f"__m_{c}"]
+                if c in partial:
+                    cond = cond & (df[c].isNull() | rc.isNull()
+                                   | (df[c] == rc))
+                else:
+                    cond = cond & (df[c] == rc)
+                both_bound = both_bound | (
+                    df[c].isNotNull() & rc.isNotNull()
+                )
+            df = df.join(r, cond & both_bound, "left_anti")
     for sub in g.not_exists:
-        sub_df = _compile_group(triples, sub, graph=graph)
+        sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=graph)
         shared = sorted(
             set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
         )
         if not shared:
             raise ValueError("FILTER NOT EXISTS with no shared variables")
-        df = df.join(sub_df.select(*shared).distinct(), on=shared,
-                     how="left_anti")
+        partial = [c for c in shared if c in maybe or c in sub_maybe]
+        rsub = sub_df.select(*shared).distinct()
+        if not partial:
+            df = df.join(rsub, on=shared, how="left_anti")
+        else:
+            r = rsub
+            for c in shared:
+                r = r.withColumnRenamed(c, f"__x_{c}")
+            cond = F.lit(True)
+            for c in shared:
+                rc = r[f"__x_{c}"]
+                if c in partial:
+                    cond = cond & (df[c].isNull() | rc.isNull()
+                                   | (df[c] == rc))
+                else:
+                    cond = cond & (df[c] == rc)
+            df = df.join(r, cond, "left_anti")
     for f_expr in g.filters:
         df = df.filter(_compile_expr(f_expr, df))
-    return df
+    return df, maybe
 
 
 def _is_internal(col: str) -> bool:
@@ -1346,6 +1599,14 @@ def _instantiate(template: list, sols: DataFrame) -> DataFrame:
             return F.lit(v).cast("string")
         return F.lit(None).cast("string")
 
+    def graph_term(g):
+        # GRAPH ?g { … } in DELETE WHERE: the graph binds per-solution
+        if isinstance(g, Var):
+            return F.col(g.name)
+        if g is not None:
+            return F.lit(_write_term(g))
+        return F.lit(None)
+
     outs = [
         sols.select(
             term(s).cast("string").alias("subj"),
@@ -1353,8 +1614,7 @@ def _instantiate(template: list, sols: DataFrame) -> DataFrame:
             term(o).cast("string").alias("obj"),
             meta(o, "lang").alias("obj_lang"),
             meta(o, "dt").alias("obj_datatype"),
-            (F.lit(_write_term(g)) if g is not None
-             else F.lit(None)).cast("string").alias("graph"),
+            graph_term(g).cast("string").alias("graph"),
         )
         for s, p, o, g in template
     ]

@@ -693,3 +693,205 @@ def test_parse_errors():
         parse_sparql("SELECT ?s WHERE { ?s ?p }")
     with pytest.raises(ValueError, match="trailing"):
         parse_sparql("SELECT ?s WHERE { ?s ?p ?o } BOGUS ?x")
+
+
+def test_graph_var_counts(kb):
+    # ldes-consumer.md:330-336 — the per-feed accounting query, verbatim
+    df = execute_sparql(kb, """
+        # Count triples per named graph (per feed)
+        SELECT ?graph (COUNT(*) as ?count)
+        WHERE {
+          GRAPH ?graph { ?s ?p ?o . }
+        }
+        GROUP BY ?graph
+        ORDER BY DESC(?count)
+    """)
+    rows = [(r.graph, r["count"]) for r in df.collect()]
+    assert rows == [("urn:g:obs", kb.count() - 1), ("urn:g:other", 1)]
+
+
+def test_graph_var_same_graph_join(kb):
+    # two patterns inside GRAPH ?g must come from the SAME graph, and
+    # ?g joins into the enclosing solution like any other variable
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?g ?obs WHERE {
+          GRAPH ?g {
+            ?obs rdf:type sosa:Observation .
+            ?obs sosa:hasResult ?r .
+          }
+        }
+    """)
+    got = {(r.g, r.obs) for r in df.collect()}
+    # urn:obs:100 (urn:g:other) has no hasResult → excluded
+    assert got == {("urn:g:obs", f"urn:obs:{i}") for i in range(4)}
+    # a graph-var ASK with an outer constraint on ?g
+    assert execute_sparql(kb, """
+        SELECT ?g WHERE { GRAPH ?g { ?s a ?t } FILTER (?g = "urn:g:other") }
+    """).distinct().count() == 1
+
+
+def test_subselect_limit_early(kb):
+    # advanced-topics.md:441-452 — the limit-early staging pattern,
+    # verbatim (prefix declared; the doc assumes it in scope)
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        # Good: Limit before processing
+        SELECT ?observation (COUNT(?property) AS ?propCount)
+        WHERE {
+          {
+            SELECT ?observation
+            WHERE {
+              ?observation a sosa:Observation .
+            }
+            LIMIT 1000
+          }
+          ?observation ?property ?value .
+        }
+        GROUP BY ?observation
+    """)
+    got = {r.observation: r.propCount for r in df.collect()}
+    assert got["urn:obs:0"] == 4
+    assert got["urn:obs:3"] == 5  # extra rdf:type Sample
+    assert got["urn:obs:100"] == 1
+
+
+def test_subselect_limit_applied_before_join(kb):
+    # a sub-select LIMIT 2 caps the join input, not the result: with 5
+    # observations, only 2 survive
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs ?p ?v WHERE {
+          { SELECT ?obs WHERE { ?obs a sosa:Observation } ORDER BY ?obs LIMIT 2 }
+          ?obs ?p ?v .
+        }
+    """)
+    assert {r.obs for r in df.collect()} == {"urn:obs:0", "urn:obs:1"}
+    # the physical plan stages the limit BELOW the join (plan toString
+    # lists children after parents): TakeOrderedAndProject(limit=2)
+    # feeds the join's build side
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject(limit=2" in final and "Join" in final
+    assert final.index("Join") < final.index("TakeOrderedAndProject")
+
+
+def test_minus(kb):
+    # MINUS removes compatible solutions …
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s WHERE {
+          ?s rdf:type sosa:Sensor .
+          MINUS { ?s rdfs:label ?l }
+        }
+    """)
+    assert [r.s for r in df.collect()] == ["urn:sensor:1"]
+    # … but with disjoint domains removes NOTHING (unlike NOT EXISTS)
+    df2 = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s WHERE {
+          ?s rdf:type sosa:Sensor .
+          MINUS { ?x a sosa:Observation }
+        }
+    """)
+    assert df2.count() == 2
+
+
+def test_negated_property_path(kb):
+    # !rdf:type — every edge of sensor 0 except its type
+    df = execute_sparql(kb, """
+        SELECT ?p ?o WHERE { <urn:sensor:0> !a ?o . <urn:sensor:0> ?p ?o }
+    """)
+    assert {r.p for r in df.collect()} == {RDFS + "label"}
+    # !(p1|p2) set form
+    df2 = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?o WHERE { <urn:obs:0> !(a|sosa:resultTime|sosa:hasResult) ?o }
+    """)
+    assert [r.o for r in df2.collect()] == ["urn:sensor:0"]
+
+
+def test_optional_chain_unbound_compatible(spark):
+    """A variable left unbound by one OPTIONAL then used as a join key
+    by a later one must join with SPARQL's unbound-compatible
+    semantics: the unbound row stays compatible with any binding."""
+    rows = [
+        ("urn:a", "p:name", "A", None, None, "urn:g", None),
+        ("urn:b", "p:name", "B", None, None, "urn:g", None),
+        # only a has a hub; both hubs have a city
+        ("urn:a", "p:hub", "urn:hub1", None, None, "urn:g", None),
+        ("urn:hub1", "p:city", "Ostend", None, None, "urn:g", None),
+        ("urn:hub2", "p:city", "Brugge", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?s ?hub ?city WHERE {
+          ?s <p:name> ?n .
+          OPTIONAL { ?s <p:hub> ?hub }
+          OPTIONAL { ?hub <p:city> ?city }
+        }
+    """)
+    got = {(r.s, r.hub, r.city) for r in df.collect()}
+    # urn:a: hub bound → city joins on it. urn:b: hub unbound → per
+    # SPARQL compatibility the second OPTIONAL matches EVERY city row
+    assert ("urn:a", "urn:hub1", "Ostend") in got
+    assert ("urn:b", "urn:hub1", "Ostend") in got
+    assert ("urn:b", "urn:hub2", "Brugge") in got
+    assert len(got) == 3
+
+
+def test_typed_literal_term_matching(kb):
+    # pattern position: "…"@en matches ONLY the @en form
+    df = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?s WHERE { ?s rdfs:label "marine sensor"@en }
+    """)
+    assert [r.s for r in df.collect()] == ["urn:sensor:0"]
+    assert execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?s WHERE { ?s rdfs:label "marine sensor"@fr }
+    """).count() == 0
+    # FILTER equality agrees with the pattern semantics
+    df2 = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?l WHERE { <urn:sensor:0> rdfs:label ?l
+                          FILTER (?l = "mariene sensor"@nl) }
+    """)
+    assert df2.count() == 1
+    assert execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?l WHERE { <urn:sensor:0> rdfs:label ?l
+                          FILTER (?l = "mariene sensor"@en) }
+    """).count() == 0
+
+
+def test_delete_where_graph_scoped(spark, tmp_path):
+    """ADVICE r3: DELETE WHERE { GRAPH <g> { … } } must delete the
+    scoped triples, not silently no-op on an empty template."""
+    from kgap_spark.query.sparql import execute_sparql_update
+    from kgap_spark.triples.writer import TripleStore
+
+    store = TripleStore(spark, str(tmp_path / "store"))
+    rows = [
+        ("urn:x", "p:v", "1", None, None, "urn:g:a", None),
+        ("urn:y", "p:v", "2", None, None, "urn:g:b", None),
+    ]
+    store.merge(spark.createDataFrame(rows, S.TRIPLES))
+    stats = execute_sparql_update(
+        store, 'DELETE WHERE { GRAPH <urn:g:a> { ?s ?p ?o } }'
+    )
+    assert stats["deleted"] == 1
+    left = store.read().select("subj", "graph").collect()
+    assert [(r.subj, r.graph) for r in left] == [("urn:y", "urn:g:b")]
+    # graph-VAR scoped delete: every named graph's matching rows go
+    store.merge(spark.createDataFrame(rows[:1], S.TRIPLES))
+    stats = execute_sparql_update(
+        store, 'DELETE WHERE { GRAPH ?g { ?s <p:v> ?o } }'
+    )
+    assert stats["deleted"] == 2
+    assert store.read().count() == 0
