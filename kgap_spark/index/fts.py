@@ -81,15 +81,33 @@ def write_posting_table(posting: DataFrame, path: str, n_docs: int | None = None
 
 
 def append_posting_table(posting: DataFrame, path: str,
-                         n_new_docs: int = 0) -> None:
+                         n_new_docs: int | None = None) -> None:
     """Incremental index maintenance: append NEW documents' postings
     into the existing bucket-partitioned index (no rebuild — the
     Lucene segment-add analog). Token bucketing is content-hashed, so
     new rows land in the same bucket scheme; the `_doc_count` sidecar
-    is bumped by ``n_new_docs``. Searches need no change — a token's
-    postings just span more files until the next compaction
-    (`posting.repartition` keeps the per-append file count at one per
-    touched bucket)."""
+    is bumped by ``n_new_docs`` (pass None to derive it from the
+    appended postings' distinct subjects — an extra pass over
+    ``posting``, so callers that know the count should pass it).
+    Searches need no change — a token's postings just span more files
+    until the next compaction (`posting.repartition` keeps the
+    per-append file count at one per touched bucket).
+
+    The sidecar is validated BEFORE the data write: appending first
+    and then discovering a missing `_doc_count` would leave the index
+    and its corpus size permanently inconsistent (silently inverted
+    tf-idf rankings)."""
+    spark = posting.sparkSession
+    current = read_doc_count(spark, path)
+    if current is None:
+        # treating an unknown N as 0 would write a tiny corpus size
+        # and silently invert tf-idf rankings
+        raise ValueError(
+            f"{path} has no _doc_count sidecar; rebuild with "
+            "write_posting_table before appending"
+        )
+    if n_new_docs is None:
+        n_new_docs = posting.select("subj").distinct().count()
     (
         posting.withColumn("_bucket", bucket_of(F.col("token")))
         .repartition("_bucket")
@@ -97,22 +115,12 @@ def append_posting_table(posting: DataFrame, path: str,
         .partitionBy("_bucket")
         .parquet(path)
     )
-    if n_new_docs:
-        spark = posting.sparkSession
-        current = read_doc_count(spark, path)
-        if current is None:
-            # treating an unknown N as 0 would write a tiny corpus size
-            # and silently invert tf-idf rankings
-            raise ValueError(
-                f"{path} has no _doc_count sidecar; rebuild with "
-                "write_posting_table before appending"
-            )
-        from kgap_spark.io.fs import write_text_file
+    from kgap_spark.io.fs import write_text_file
 
-        write_text_file(
-            spark, path.rstrip("/") + "/_doc_count",
-            str(current + n_new_docs),
-        )
+    write_text_file(
+        spark, path.rstrip("/") + "/_doc_count",
+        str(current + n_new_docs),
+    )
 
 
 def read_doc_count(spark, path: str) -> int | None:

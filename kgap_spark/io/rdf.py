@@ -70,29 +70,52 @@ def _unescape(col):
     ``\\uXXXX`` UCHAR escapes (Jena/Serd ASCII-escape non-ASCII this
     way) take a guarded slow path through the JVM's full Java-string
     unescape (same ECHAR semantics, plus \\u) — previously they were
-    silently left as 9 literal characters. ``\\U`` 8-hex escapes raise:
-    Java strings can't express them and dropping the backslash would be
-    silent corruption (the block-format readers via mapInPandas are the
-    fallback for such files)."""
+    silently left as 9 literal characters. ``\\U`` 8-hex escapes (how
+    Jena ASCII-escapes supplementary-plane chars) are first rewritten
+    to their UTF-16 surrogate pair as two ``\\u`` escapes — all
+    JVM-side (conv/shiftright/pmod inside an ``aggregate`` fold over
+    the extracted escapes, with ``\\\\`` sentinel-protected so a
+    literal backslash before ``U`` is never misread) — then decoded by
+    the same slow path."""
     nul = chr(0)  # control chars cannot appear raw in N-Triples
     fast = F.regexp_replace(col, r"\\\\", nul)
     for esc, ch in ((r"\\n", "\n"), (r"\\t", "\t"),
                     (r"\\r", "\r"), (r'\\"', '"')):
         fast = F.regexp_replace(fast, esc, ch)
     fast = F.regexp_replace(fast, nul, r"\\")
-    slow = F.reflect(
-        F.lit("org.apache.commons.lang3.StringEscapeUtils"),
-        F.lit("unescapeJava"),
-        col,
+
+    def unescape_java(c):
+        return F.reflect(
+            F.lit("org.apache.commons.lang3.StringEscapeUtils"),
+            F.lit("unescapeJava"),
+            c,
+        )
+
+    def u16(n):  # codepoint number → \uXXXX escape text
+        return F.concat(F.lit("\\u"), F.lpad(F.lower(F.hex(n)), 4, "0"))
+
+    def surrogates(esc):  # "\UXXXXXXXX" → "\uDXXX\uDXXX" (or one \u for BMP)
+        cp = F.conv(F.substring(esc, 3, 8), 16, 10).cast("long")
+        hi = F.shiftright(cp - 0x10000, 10) + F.lit(0xD800)
+        lo = F.pmod(cp - 0x10000, F.lit(1024)) + F.lit(0xDC00)
+        return F.when(cp <= 0xFFFF, u16(cp)).otherwise(
+            F.concat(u16(hi), u16(lo))
+        )
+
+    protected = F.regexp_replace(col, r"\\\\", nul)
+    big_u = F.regexp_extract_all(
+        protected, F.lit(r"\\U[0-9A-Fa-f]{8}"), 0
+    )
+    rewritten = F.regexp_replace(
+        F.aggregate(
+            F.array_distinct(big_u), protected,
+            lambda acc, esc: F.replace(acc, esc, surrogates(esc)),
+        ),
+        nul, r"\\\\",
     )
     return (
-        F.when(
-            col.rlike(r"\\U[0-9A-Fa-f]{8}"),
-            F.raise_error(F.concat(
-                F.lit(r"\U escapes unsupported in the line reader: "), col
-            )).cast("string"),
-        )
-        .when(col.rlike(r"\\u[0-9A-Fa-f]{4}"), slow)
+        F.when(col.rlike(r"\\U[0-9A-Fa-f]{8}"), unescape_java(rewritten))
+        .when(col.rlike(r"\\u[0-9A-Fa-f]{4}"), unescape_java(col))
         .otherwise(fast)
     )
 

@@ -70,13 +70,20 @@ def _nullsafe_anti(left: DataFrame, right: DataFrame, cols: list[str]) -> DataFr
 
 class TripleStore:
     def __init__(
-        self, spark: SparkSession, path: str, files_per_graph: int | None = None
+        self, spark: SparkSession, path: str,
+        files_per_graph: int | None = None,
+        compact_threshold: int | None = 64,
     ):
         self.spark = spark
         self.path = path
         # write-partition count; None → session default parallelism so
         # the encode stage uses every core
         self.files_per_graph = files_per_graph
+        # append-only merges grow a graph's file count by one delta per
+        # Sync cycle; when a merged graph exceeds this many parquet
+        # files it is auto-compacted after the merge (None disables —
+        # callers then schedule compact() themselves)
+        self.compact_threshold = compact_threshold
 
     # -- reads --------------------------------------------------------
     def exists(self) -> bool:
@@ -176,18 +183,69 @@ class TripleStore:
         update = df.select([f.name for f in S.TRIPLES.fields]).dropDuplicates(
             QUAD_KEY
         )
+        graphs = None
         if self.exists():
-            # driver-side graph list (bounded by the number of feeds) →
-            # static partition pruning on the existing-side scan
             update = update.localCheckpoint(eager=True)  # O(update), reused 2×
-            graphs = [r.graph for r in update.select("graph").distinct().collect()]
-            existing_keys = self.read().filter(
-                F.col("graph").isin(graphs)
-            ).select(*QUAD_KEY)
+            graphs = self._graph_list(update)
+            existing_keys = self._graph_pruned_scan(update, graphs).select(
+                *QUAD_KEY
+            )
             new_quads = _nullsafe_anti(update, existing_keys, QUAD_KEY)
         else:
             new_quads = update
         self.append(new_quads)
+        # compaction trigger: each Sync delta appends files; past the
+        # threshold a graph's scan fans out over tiny fragments, so
+        # auto-compact it now (cheap check: one fs listing per affected
+        # graph; skipped on the >MAX_GRAPH_LIST fallback path where
+        # per-graph driver work is exactly what we're avoiding)
+        if graphs is not None and self.compact_threshold:
+            over = [
+                g for g in graphs
+                if self._n_graph_files(g) > self.compact_threshold
+            ]
+            if over:
+                self.compact(over)
+
+    # beyond this many distinct graphs, a driver-side isin list stops
+    # being "static pruning" and becomes an unbounded collect + a huge
+    # In-list plan — switch to a broadcast semi-join (graceful at
+    # graph-per-source-file imports)
+    MAX_GRAPH_LIST = 1000
+
+    def _graph_list(self, update: DataFrame) -> list | None:
+        """``update``'s distinct graphs as a driver list, or None when
+        there are more than MAX_GRAPH_LIST (bounded collect)."""
+        graphs = [
+            r.graph
+            for r in update.select("graph").distinct()
+            .limit(self.MAX_GRAPH_LIST + 1).collect()
+        ]
+        return graphs if len(graphs) <= self.MAX_GRAPH_LIST else None
+
+    def _graph_pruned_scan(self, update: DataFrame,
+                           graphs: list | None = ...) -> DataFrame:
+        """The existing-store scan restricted to ``update``'s graphs:
+        a driver-side isin list (static partition pruning) while the
+        distinct-graph count stays feed-bounded; past MAX_GRAPH_LIST,
+        a broadcast left-semi join (dynamic pruning, bounded driver
+        memory)."""
+        if graphs is ...:
+            graphs = self._graph_list(update)
+        if graphs is not None:
+            return self.read().filter(F.col("graph").isin(graphs))
+        return self.read().join(
+            F.broadcast(update.select("graph").distinct()), "graph",
+            "left_semi",
+        )
+
+    def _n_graph_files(self, graph: str) -> int:
+        """Parquet file count of one graph partition (one fs listing)."""
+        part = fs.join(self.path, f"graph={_escape_partition(graph)}")
+        return sum(
+            1 for name in fs.list_names(self.spark, part)
+            if name.endswith(".parquet")
+        )
 
     def delete_quads(self, quads: DataFrame) -> None:
         """U2: DELETE DATA — remove specific quads
@@ -200,19 +258,22 @@ class TripleStore:
         plans re-evaluated after the overwrite would read files the
         overwrite just deleted."""
         dels = quads.select(*QUAD_KEY).distinct().localCheckpoint(eager=True)
-        graphs = [r.graph for r in dels.select("graph").distinct().collect()]
-        # driver-side graph list → static partition pruning on the scan
-        existing = self.read().filter(F.col("graph").isin(graphs))
+        existing = self._graph_pruned_scan(dels)
         remaining = _nullsafe_anti(existing, dels, QUAD_KEY).localCheckpoint(
             eager=True
         )
-        kept_graphs = {r.graph for r in remaining.select("graph").distinct().collect()}
         self.overwrite_graphs(remaining)
         # graphs whose every quad was deleted produce no output
-        # partition under dynamic overwrite — drop them explicitly
-        for g in graphs:
-            if g not in kept_graphs:
-                self.delete_graph(g)
+        # partition under dynamic overwrite — drop them explicitly.
+        # Collect only the EMPTIED graphs (anti join), not every
+        # affected graph — bounded by the work actually done
+        emptied = [
+            r.graph for r in dels.select("graph").distinct()
+            .join(remaining.select("graph").distinct(), "graph", "left_anti")
+            .collect()
+        ]
+        for g in emptied:
+            self.delete_graph(g)
 
     def rewrite(self, match_pred: str, new_pred: str) -> None:
         """U3: DELETE { ?s old ?o } INSERT { ?s new ?o } WHERE —
@@ -246,14 +307,7 @@ class TripleStore:
             return {"graphs": 0, "files_before": 0, "files_after": 0}
 
         def n_files() -> int:
-            total = 0
-            for g in graphs:
-                part = fs.join(self.path, f"graph={_escape_partition(g)}")
-                total += sum(
-                    1 for name in fs.list_names(self.spark, part)
-                    if name.endswith(".parquet")
-                )
-            return total
+            return sum(self._n_graph_files(g) for g in graphs)
 
         before = n_files()
         df = self.read().filter(F.col("graph").isin(graphs)).localCheckpoint(

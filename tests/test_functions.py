@@ -303,6 +303,23 @@ def test_append_posting_table_incremental(spark, tmp_path):
     beta = fts_search_indexed(spark, idx, "beta", k=5, scoring="tfidf")
     assert {r.subj for r in beta.collect()} == {0, 1, 2}
 
+    # n_new_docs omitted → derived from the postings (never silently 0)
+    more = spark.createDataFrame([(3, "delta")], "doc_id long, text string")
+    append_posting_table(build_posting_table(more, "doc_id", "text"), idx)
+    assert read_doc_count(spark, idx) == 4
+
+    # a sidecar-less index refuses BEFORE any data lands
+    import pytest
+
+    bare = str(tmp_path / "bare")
+    build_posting_table(base, "doc_id", "text").write.parquet(bare)
+    files_before = set((tmp_path / "bare").rglob("*.parquet"))
+    with pytest.raises(ValueError, match="_doc_count"):
+        append_posting_table(
+            build_posting_table(more, "doc_id", "text"), bare, n_new_docs=1
+        )
+    assert set((tmp_path / "bare").rglob("*.parquet")) == files_before
+
 
 def test_cosine_topk_and_lsh_recall(spark):
     from kgap_spark.functions.similarity import cosine_topk, lsh_bucketed_topk

@@ -161,7 +161,9 @@ def test_ntriples_turtle_cross_format_bnodes(spark, tmp_path):
 
 def test_uchar_escapes(spark, tmp_path):
     """\\uXXXX UCHAR escapes (Jena/Serd ASCII-escaped output) decode to
-    their characters; \\U 8-hex raises instead of silently corrupting."""
+    their characters; \\U 8-hex decodes via UTF-16 surrogate-pair
+    rewriting (legal N-Triples — Jena emits supplementary-plane chars
+    this way; previously these raised even under on_error='skip')."""
     p = tmp_path / "u.nt"
     p.write_text(
         '<urn:s:1> <urn:p:1> "caf\\u00E9 d\\u00E9j\\u00E0" .\n'
@@ -174,9 +176,17 @@ def test_uchar_escapes(spark, tmp_path):
     assert objs["urn:s:2"] == 'mix A\\u0042 "q"'
 
     p2 = tmp_path / "u8.nt"
-    p2.write_text('<urn:s:3> <urn:p:1> "emoji \\U0001F600" .\n')
-    with pytest.raises(Exception, match="U escapes unsupported"):
-        read_ntriples(spark, str(p2), "urn:g").collect()
+    p2.write_text(
+        '<urn:s:3> <urn:p:1> "emoji \\U0001F600" .\n'
+        '<urn:s:4> <urn:p:1> "bmp-via-U \\U000000E9 twice \\U0001F913\\U0001F913" .\n'
+        '<urn:s:5> <urn:p:1> "literal \\\\U0001F600 kept" .\n'
+    )
+    objs = {r.subj: r.obj for r in
+            read_ntriples(spark, str(p2), "urn:g").collect()}
+    assert objs["urn:s:3"] == "emoji \U0001F600"
+    assert objs["urn:s:4"] == "bmp-via-U é twice \U0001F913\U0001F913"
+    # escaped backslash before U stays literal (sentinel protection)
+    assert objs["urn:s:5"] == "literal \\U0001F600 kept"
 
 
 def test_escape_roundtrip_cr_and_schemes(spark, tmp_path):

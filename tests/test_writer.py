@@ -238,3 +238,48 @@ def test_write_layout_splits_hub_graph_bounds_files(spark, tmp_path):
     assert len(hub_files) > 1                       # hub is split
     assert len(all_files) <= 21 + n_tasks           # bounded, not tasks*graphs
     assert store.read().count() == 101_000
+
+
+def test_merge_many_graphs_broadcast_fallback(spark, tmp_path, monkeypatch):
+    """ADVICE r3: past MAX_GRAPH_LIST distinct graphs the merge/delete
+    scan pruning switches from a driver-side In-list to a broadcast
+    semi-join — same results, bounded driver memory."""
+    store = TripleStore(spark, str(tmp_path / "t"))
+    monkeypatch.setattr(TripleStore, "MAX_GRAPH_LIST", 3)
+    rows = [(f"s{i}", "p", str(i), f"urn:g:{i}") for i in range(8)]
+    store.merge(_quads(spark, rows))
+    # second merge over >MAX graphs: fallback path, still idempotent
+    store.merge(_quads(spark, rows + [("s8", "p", "8", "urn:g:8")]))
+    assert store.read().count() == 9
+    # delete across >MAX graphs drives the same fallback + emptied-graph
+    # cleanup collects only emptied graphs
+    dels = _quads(spark, [(f"s{i}", "p", str(i), f"urn:g:{i}")
+                          for i in range(5)])
+    store.delete_quads(dels.select(
+        "subj", "pred", "obj", "obj_lang", "obj_datatype", "graph"
+    ))
+    left = {r.graph for r in store.read().select("graph").distinct().collect()}
+    assert left == {f"urn:g:{i}" for i in range(5, 9)}
+
+
+def test_merge_auto_compacts_past_threshold(spark, tmp_path):
+    """VERDICT r3 #7: repeated small merges fragment a graph; once its
+    file count passes compact_threshold the merge auto-compacts it —
+    file count drops back to ~tasks, results unchanged."""
+    store = TripleStore(spark, str(tmp_path / "t"), files_per_graph=2,
+                        compact_threshold=5)
+    g = "urn:g:feed"
+    for i in range(8):
+        store.merge(_quads(spark, [(f"s{i}", "p", str(i), g)]))
+    # every merge appended ≥1 file; the trigger compacted back to the
+    # canonical 2-file layout whenever the count passed 5
+    assert store._n_graph_files(g) <= 6
+    got = {(r.subj, r.obj) for r in store.read_graph(g).collect()}
+    assert got == {(f"s{i}", str(i)) for i in range(8)}
+
+    # threshold=None disables the trigger: fragments accumulate
+    store2 = TripleStore(spark, str(tmp_path / "t2"), files_per_graph=2,
+                         compact_threshold=None)
+    for i in range(8):
+        store2.merge(_quads(spark, [(f"s{i}", "p", str(i), g)]))
+    assert store2._n_graph_files(g) >= 7
