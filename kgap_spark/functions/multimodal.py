@@ -2,16 +2,21 @@
 columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery — schemas, batch iteration, partition sizing,
-UDF signatures — is real and tested; the actual media decode is stubbed
-behind ``KGAP_FAKE_DECODE`` (the image/audio libraries are not in this
-container). The stub is a deterministic pure function of the bytes, so
-tests exercise the full distributed path with stable outputs; swapping
-in a real decoder (PIL / torchaudio / pyav) changes only `_decode_*`.
+UDF signatures — is real and tested. Image decode is REAL for PNG: a
+pure-stdlib (zlib + struct) decoder handles 8-bit gray/RGB/±alpha
+non-interlaced PNGs end-to-end, including all five scanline filters —
+no PIL needed. Other formats (JPEG/audio/video) stay stubbed behind
+``KGAP_FAKE_DECODE`` (their codec libraries are not in this
+container); the stub is a deterministic pure function of the bytes, so
+tests exercise the full distributed path with stable outputs. Swapping
+in a full decoder (PIL / torchaudio / pyav) changes only `_decode_*`.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,12 +38,122 @@ FEATURE_DIM = 16
 KGAP_FAKE_DECODE = True  # flip off when real media libs are installed
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Minimal pure-stdlib PNG decoder: 8-bit depth, color types
+    0 (gray) / 2 (RGB) / 4 (gray+alpha) / 6 (RGBA), non-interlaced,
+    all five scanline filters (None/Sub/Up/Average/Paeth — RFC 2083
+    §6). Returns ``(width, height, channels, pixel_bytes)`` with
+    pixels row-major. Palette and 16-bit PNGs raise (rare in web
+    corpora; a PIL-backed decoder slots in for those)."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack(">I4s", data[pos:pos + 8])
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            (width, height, depth, color_type,
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", chunk)
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            if color_type not in (0, 2, 4, 6):
+                raise ValueError(f"palette PNG unsupported (type={color_type})")
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT size mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out += line
+        prev = line
+    return width, height, ch, bytes(out)
+
+
+def _image_features(w: int, h: int, ch: int, px: bytes) -> list[float]:
+    """Decoded pixels → FEATURE_DIM pooled features, deterministic:
+    [w, h normalized, mean R/G/B/A, luma std, 3×3 grid-pooled luma]."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    arr = arr.astype(np.float64) / 255.0
+    if ch == 1:
+        r = g = b = arr[:, :, 0]
+        a = np.ones_like(r)
+    elif ch == 2:
+        r = g = b = arr[:, :, 0]
+        a = arr[:, :, 1]
+    elif ch == 3:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        a = np.ones_like(r)
+    else:
+        r, g, b, a = (arr[:, :, i] for i in range(4))
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    feats = [
+        min(w, 4096) / 4096.0,
+        min(h, 4096) / 4096.0,
+        float(r.mean()), float(g.mean()), float(b.mean()), float(a.mean()),
+        float(luma.std()),
+    ]
+    for rows in np.array_split(luma, 3, axis=0):
+        for cell in np.array_split(rows, 3, axis=1):
+            feats.append(float(cell.mean()) if cell.size else 0.0)
+    return feats[:FEATURE_DIM]
+
+
 def _decode_image(payload: bytes) -> list[float]:
-    """STUB: real impl = PIL.Image.open → resize → pooled features.
-    The fake is a deterministic pure function of the bytes."""
+    """PNG → REAL decode (pure-stdlib ``decode_png``) → pooled
+    features. Other formats: deterministic fake under
+    ``KGAP_FAKE_DECODE`` (their codecs aren't in this container)."""
+    data = payload or b""
+    if data.startswith(_PNG_SIG):
+        return _image_features(*decode_png(data))
     if not KGAP_FAKE_DECODE:  # pragma: no cover
-        raise NotImplementedError("real image decode requires PIL — not in this image")
-    digest = hashlib.sha256(payload or b"").digest()
+        raise NotImplementedError(
+            "non-PNG image decode requires PIL — not in this image"
+        )
+    digest = hashlib.sha256(data).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 

