@@ -64,8 +64,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # both registries: the driver's 50-entry core window AND the
+    # stable overflow (extra_queries) — full coverage locally
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    qs.update(entrymod.extra_queries())
+    oracles.update(entrymod.extra_oracle_sql())
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
