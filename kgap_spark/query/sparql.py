@@ -771,12 +771,58 @@ class _Parser:
         return self.rel_expr()
 
     def rel_expr(self):
-        left = self.primary()
+        left = self.additive_expr()
         t = self.peek()
         if t and t.kind == "OP" and t.text in ("=", "!=", "<", ">", "<=", ">="):
             op = self.next().text
-            return BinOp(op, left, self.primary())
+            return BinOp(op, left, self.additive_expr())
         return left
+
+    def _signed_num_split(self) -> str | None:
+        """The tokenizer lexes ``?x+1`` / ``?x -2`` as a SIGNED number
+        token (NUM swallows the +/-). In binary-operator position that
+        sign IS the operator: split it off, push the bare number back,
+        return the operator."""
+        t = self.peek()
+        if t and t.kind == "NUM" and t.text[0] in "+-":
+            op = t.text[0]
+            self.toks[self.i] = Tok("NUM", t.text[1:])
+            return op
+        return None
+
+    def additive_expr(self):
+        left = self.mult_expr()
+        while True:
+            t = self.peek()
+            if t and t.kind == "OP" and t.text in ("+", "-"):
+                op = self.next().text
+                left = BinOp(op, left, self.mult_expr())
+                continue
+            op = self._signed_num_split()
+            if op is not None:
+                left = BinOp(op, left, self.mult_expr())
+                continue
+            return left
+
+    def mult_expr(self):
+        left = self.neg_primary()
+        while True:
+            t = self.peek()
+            if t and t.kind == "OP" and t.text in ("*", "/"):
+                op = self.next().text
+                left = BinOp(op, left, self.neg_primary())
+                continue
+            return left
+
+    def neg_primary(self):
+        t = self.peek()
+        if t and t.kind == "OP" and t.text == "-":
+            self.next()
+            return BinOp("-", Num(0.0, "0"), self.neg_primary())
+        if t and t.kind == "OP" and t.text == "+":
+            self.next()
+            return self.neg_primary()
+        return self.primary()
 
     def primary(self):
         t = self.peek()
@@ -798,7 +844,7 @@ class _Parser:
                 self.next()
                 arg = "*"
             else:
-                arg = self.primary()
+                arg = self.expr()  # aggregates over expressions: SUM(?a*?b)
             self.expect("OP", ")")
             return Agg(t.text, arg, distinct)
         if t.kind == "KW" and t.text in _FUNCS:
@@ -863,7 +909,7 @@ def _vars_of(e) -> set[str]:
     if isinstance(e, FnCall):
         return set().union(*[_vars_of(a) for a in e.args]) if e.args else set()
     if isinstance(e, Agg):
-        return _vars_of(e.arg) if isinstance(e.arg, Var) else set()
+        return set() if e.arg == "*" else _vars_of(e.arg)
     return set()
 
 
@@ -893,6 +939,15 @@ def _compile_expr(e, df: DataFrame) -> Column:
                 return to(e.left) & to(e.right)
             if e.op == "||":
                 return to(e.left) | to(e.right)
+            if e.op in ("+", "-", "*", "/"):
+                # SPARQL numeric operators; the store keeps lexical
+                # forms, so operands cast by value (try_cast → NULL,
+                # i.e. SPARQL type error, on non-numeric strings;
+                # try_divide keeps /0 an unbound, not an ANSI crash)
+                l = to(e.left).try_cast("double")
+                r = to(e.right).try_cast("double")
+                return {"+": l + r, "-": l - r, "*": l * r,
+                        "/": F.try_divide(l, r)}[e.op]
             # any-of constant (undeclared well-known pname): = → isin
             for a, b in ((e.left, e.right), (e.right, e.left)):
                 if isinstance(b, tuple):
@@ -990,17 +1045,24 @@ def _compile_expr(e, df: DataFrame) -> Column:
     return to(e)
 
 
-def _agg_col(agg: Agg) -> Column:
-    if agg.arg != "*" and not isinstance(agg.arg, Var):
-        raise ValueError(
-            f"{agg.fn}() supports a variable or * argument, got {agg.arg!r}"
-        )
+def _agg_col(agg: Agg, df: DataFrame | None = None) -> Column:
+    """Aggregate expression → Column. The argument is a variable, ``*``,
+    or (with ``df`` for name resolution) any expression — SUM(?a*?b)."""
+    def arg_col() -> Column:
+        if isinstance(agg.arg, Var):
+            return F.col(agg.arg.name)
+        if df is None:
+            raise ValueError(
+                f"{agg.fn}() over an expression needs solution context"
+            )
+        return _compile_expr(agg.arg, df)
+
     if agg.fn == "COUNT":
         if agg.arg == "*":
             return F.count(F.lit(1))
-        c = F.col(agg.arg.name)
+        c = arg_col()
         return F.countDistinct(c) if agg.distinct else F.count(c)
-    c = F.col(agg.arg.name)
+    c = arg_col()
     if agg.fn == "MAX":
         return F.max(c)
     if agg.fn == "MIN":
@@ -1431,7 +1493,7 @@ def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFram
         else:
             e, alias = p
             if isinstance(e, Agg):
-                aggs.append(_agg_col(e).alias(alias.name))
+                aggs.append(_agg_col(e, df).alias(alias.name))
                 post_sel.append(F.col(alias.name))
             else:
                 raise ValueError("non-aggregate projection expression "
@@ -1447,7 +1509,7 @@ def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFram
         # column, filter after the agg
         h = q.having
         if isinstance(h, BinOp) and isinstance(h.left, Agg):
-            aggs.append(_agg_col(h.left).alias("__having"))
+            aggs.append(_agg_col(h.left, df).alias("__having"))
             rhs = h.right.value if isinstance(h.right, Num) else h.right
             having_col = ("__having", h.op, rhs)
         else:

@@ -895,3 +895,38 @@ def test_delete_where_graph_scoped(spark, tmp_path):
     )
     assert stats["deleted"] == 2
     assert store.read().count() == 0
+
+
+def test_arithmetic_expressions(kb):
+    """SPARQL numeric operators in BIND/FILTER/aggregates, including
+    the tokenizer's signed-number ambiguity (?x+1 lexes the sign into
+    the NUM token) and unary minus."""
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs ?double WHERE {
+          ?obs sosa:hasResult ?r .
+          BIND(?r * 2 AS ?double)
+          FILTER(?r + 10 <= 30)
+        } ORDER BY ?obs
+    """)
+    rows = [(r.obs, r.double) for r in df.collect()]
+    assert rows == [("urn:obs:0", 20.0), ("urn:obs:1", 40.0)]
+    # no-space signed form + unary minus + division
+    df2 = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs WHERE {
+          ?obs sosa:hasResult ?r .
+          FILTER(?r/2 -5 = 5 || -?r = -40)
+        } ORDER BY ?obs
+    """)
+    assert [r.obs for r in df2.collect()] == ["urn:obs:1", "urn:obs:3"]
+    # aggregate over an expression; division by zero is unbound, not a crash
+    df3 = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT (SUM(?r * ?r) AS ?ss) (MAX(?r / 0) AS ?z) WHERE {
+          ?obs sosa:hasResult ?r .
+        }
+    """)
+    row = df3.collect()[0]
+    assert row.ss == 100.0 + 400.0 + 900.0 + 1600.0
+    assert row.z is None
