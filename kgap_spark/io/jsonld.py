@@ -73,12 +73,20 @@ class _Expander:
                 self.ctx[term] = {"@id": defn}
             elif isinstance(defn, dict) and "@id" in defn:
                 self.ctx[term] = defn
+            elif isinstance(defn, dict) and "@reverse" in defn:
+                # reverse term (JSON-LD 1.1 §4.8): values of this term
+                # become (value, iri, node) triples
+                self.ctx[term] = {"@id": defn["@reverse"],
+                                  "@reverse": True}
 
     def expand_iri(self, value: str, vocab: bool = True) -> str:
         if value.startswith("@") or value.startswith("_:"):
             return value
         if vocab and value in self.ctx:
-            return self.ctx[value]["@id"]
+            iri = self.ctx[value]["@id"]
+            # a term definition may itself hold a compact IRI
+            # ("childOf": {"@reverse": "ex:parentOf"}) — expand once
+            return self.expand_iri(iri, vocab=False) if iri != value else iri
         if ":" in value:
             pfx, _, local = value.partition(":")
             if pfx in self.ctx and not local.startswith("//"):
@@ -118,14 +126,43 @@ class _Expander:
                 self.node(member)
             self.graph = prev
 
+        if "@reverse" in obj:
+            # {"@reverse": {p: nodes}}: each value is the SUBJECT of a
+            # (value, p, sid) triple (JSON-LD 1.1 §4.8)
+            for key, values in obj["@reverse"].items():
+                pred = self.expand_iri(key)
+                for v in _as_list(values):
+                    self.reverse_value(sid, pred, v)
+
         for key, values in obj.items():
             if key.startswith("@"):
                 continue
             pred = self.expand_iri(key)
             term_def = self.ctx.get(key, {})
+            if term_def.get("@reverse"):
+                for v in _as_list(values):
+                    self.reverse_value(sid, pred, v)
+                continue
             for v in _as_list(values):
                 self.value(sid, pred, v, term_def)
         return sid
+
+    def reverse_value(self, sid: str, pred: str, v) -> None:
+        """A reverse-property value: must be a node (IRI string or node
+        object — literals cannot be subjects), emitted pointing AT sid."""
+        if isinstance(v, dict):
+            if "@value" in v or "@list" in v:
+                raise JsonLdError(
+                    "@reverse value must be a node, not a literal/list"
+                )
+            child = self.node(v)
+            self.emit(child, pred, sid)
+        elif isinstance(v, str):
+            self.emit(self.expand_iri(v, vocab=False), pred, sid)
+        else:
+            raise JsonLdError(
+                "@reverse value must be a node, not a literal/list"
+            )
 
     def value(self, sid: str, pred: str, v, term_def: dict) -> None:
         if isinstance(v, dict):

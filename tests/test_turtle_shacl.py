@@ -518,3 +518,39 @@ def test_parser_review_fixes(spark):
     q = parse_turtle('<http://s> <http://p> """x""""" .',
                      default_graph="urn:g")
     assert q[0][2] == 'x""'
+
+
+def test_parse_jsonld_reverse():
+    """JSON-LD 1.1 §4.8 @reverse: node-level maps and reverse term
+    definitions both emit (value, p, node) triples."""
+    import pytest as _pytest
+
+    from kgap_spark.io.jsonld import JsonLdError, parse_jsonld
+
+    doc = """{
+      "@context": {
+        "ex": "http://example.org/",
+        "childOf": {"@reverse": "ex:parentOf"}
+      },
+      "@id": "ex:alice",
+      "@reverse": {
+        "ex:knows": [{"@id": "ex:bob"}, "ex:carol"]
+      },
+      "childOf": {"@id": "ex:dad", "ex:name": "Dad"}
+    }"""
+    quads = parse_jsonld(doc, default_graph="urn:g")
+    trips = {(s, p, o) for (s, p, o, _l, _d, _g) in quads}
+    # node-level @reverse: bob/carol point AT alice
+    assert ("http://example.org/bob", "http://example.org/knows",
+            "http://example.org/alice") in trips
+    assert ("http://example.org/carol", "http://example.org/knows",
+            "http://example.org/alice") in trips
+    # reverse term: alice childOf dad → dad parentOf alice
+    assert ("http://example.org/dad", "http://example.org/parentOf",
+            "http://example.org/alice") in trips
+    # the nested reverse node's own properties still emit forward
+    assert ("http://example.org/dad", "http://example.org/name",
+            "Dad") in trips
+    # literals cannot be reverse values
+    with _pytest.raises(JsonLdError, match="@reverse value"):
+        parse_jsonld('{"@id": "ex:a", "@reverse": {"ex:p": 5}}')
