@@ -1366,10 +1366,10 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             # SPARQL forbids BIND onto an in-scope variable; silently
             # overwriting it would fabricate solutions
             raise ValueError(f"BIND target ?{v.name} is already bound")
-        df = df.withColumn(v.name, _compile_expr(e, df))
         refs = _vars_of(e)
         if (refs & maybe) or (refs - set(df.columns)):
             maybe.add(v.name)
+        df = df.withColumn(v.name, _compile_expr(e, df))
     for sub in g.optionals:
         sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=graph)
         sub_df = sub_df.drop(*[c for c in sub_df.columns

@@ -693,6 +693,34 @@ def test_parse_errors():
         parse_sparql("SELECT ?s WHERE { ?s ?p }")
     with pytest.raises(ValueError, match="trailing"):
         parse_sparql("SELECT ?s WHERE { ?s ?p ?o } BOGUS ?x")
+    # round-4 grammar: loud failures for the unsupported corners
+    with pytest.raises(ValueError, match="property paths"):
+        parse_sparql("DELETE WHERE { ?s <p:a>+ ?o }")
+    with pytest.raises(ValueError, match="no deletable"):
+        parse_sparql("DELETE WHERE { FILTER(?x > 1) }")
+    with pytest.raises(ValueError, match="negated property set"):
+        parse_sparql("SELECT ?s WHERE { ?s !(?v) ?o }")
+    with pytest.raises(ValueError, match="not supported"):
+        parse_sparql("SELECT ?s WHERE { ?s !<p:a>+ ?o }")
+
+
+def test_minus_and_subselect_parse_shapes():
+    q = parse_sparql("""
+        SELECT ?s WHERE {
+          ?s <p:a> ?o .
+          MINUS { ?s <p:b> ?x }
+          { SELECT ?s WHERE { ?s <p:c> ?y } LIMIT 5 }
+        }
+    """)
+    assert len(q.where.minus) == 1
+    assert len(q.where.subselects) == 1
+    assert q.where.subselects[0].limit == 5
+    # negated path parses into a PathNeg predicate with both `a` forms
+    from kgap_spark.query.patterns import PathNeg
+
+    q2 = parse_sparql("SELECT ?s WHERE { ?s !(a|<p:x>) ?o }")
+    (_, p, _), = q2.where.triples
+    assert isinstance(p, PathNeg) and "p:x" in p.preds and len(p.preds) == 3
 
 
 def test_graph_var_counts(kb):
