@@ -44,7 +44,7 @@ declarations; a pname whose prefix is NOT declared stays compact
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -913,10 +913,17 @@ def _vars_of(e) -> set[str]:
     return set()
 
 
-def _compile_expr(e, df: DataFrame) -> Column:
-    cols = set(df.columns)
+def _compile_expr(e, df: DataFrame,
+                  resolver: dict[str, Column] | None = None) -> Column:
+    """Expression AST → Column over ``df``. ``resolver`` maps variable
+    names to explicit Column references for cross-frame contexts (an
+    OPTIONAL filter hoisted into a join condition, where names must be
+    frame-qualified to avoid ambiguity)."""
+    cols = set(df.columns) | set(resolver or ())
 
     def col_or_null(name: str) -> Column:
+        if resolver and name in resolver:
+            return resolver[name]
         return F.col(name) if name in cols else F.lit(None).cast("string")
 
     def to(e):
@@ -974,15 +981,15 @@ def _compile_expr(e, df: DataFrame) -> Column:
                         lang_col = f"{a.name}__lang"
                         dt_col = f"{a.name}__dt"
                         if b.lang is not None and lang_col in cols:
-                            eq = eq & (F.col(lang_col) == F.lit(b.lang))
+                            eq = eq & (col_or_null(lang_col) == F.lit(b.lang))
                         elif b.datatype == XSD_STRING and lang_col in cols \
                                 and dt_col in cols:
-                            eq = eq & F.col(lang_col).isNull() & (
-                                F.col(dt_col).isNull()
-                                | (F.col(dt_col) == XSD_STRING)
+                            eq = eq & col_or_null(lang_col).isNull() & (
+                                col_or_null(dt_col).isNull()
+                                | (col_or_null(dt_col) == XSD_STRING)
                             )
                         elif b.datatype is not None and dt_col in cols:
-                            eq = eq & (F.col(dt_col) == F.lit(b.datatype))
+                            eq = eq & (col_or_null(dt_col) == F.lit(b.datatype))
                         return eq if e.op == "=" else ~F.coalesce(
                             eq, F.lit(False)
                         )
@@ -1001,13 +1008,13 @@ def _compile_expr(e, df: DataFrame) -> Column:
                 v = e.args[0]
                 meta = f"{v.name}__lang" if isinstance(v, Var) else None
                 if meta and meta in cols:
-                    return F.coalesce(F.col(meta), F.lit(""))
+                    return F.coalesce(col_or_null(meta), F.lit(""))
                 return F.lit("")
             if e.name == "DATATYPE":
                 v = e.args[0]
                 meta = f"{v.name}__dt" if isinstance(v, Var) else None
                 if meta and meta in cols:
-                    return F.col(meta)
+                    return col_or_null(meta)
                 return F.lit(None).cast("string")
             if e.name == "STR":
                 return a[0].cast("string")
@@ -1371,15 +1378,65 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             maybe.add(v.name)
         df = df.withColumn(v.name, _compile_expr(e, df))
     for sub in g.optionals:
-        sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=graph)
+        # SPARQL LeftJoin(Ω1, Ω2, expr): a FILTER at the top level of
+        # an OPTIONAL group that references variables bound only in
+        # the OUTER pattern is part of the JOIN CONDITION — evaluating
+        # it on the optional side alone would read the outer variable
+        # as NULL and silently drop every optional binding. Filters
+        # over inner-only variables stay on the optional side
+        # (equivalent, and they prune before the join).
+        sub_inner = _dc_replace(sub, filters=[])
+        sub_df, sub_maybe = _compile_group_ex(triples, sub_inner,
+                                              graph=graph)
+        local_filters, join_filters = [], []
+        for fx in sub.filters:
+            outer_only = _vars_of(fx) - set(sub_df.columns)
+            (join_filters if outer_only & set(df.columns)
+             else local_filters).append(fx)
+        for fx in local_filters:  # before meta dedup: LANG(?shared)
+            sub_df = sub_df.filter(_compile_expr(fx, sub_df))
         sub_df = sub_df.drop(*[c for c in sub_df.columns
                                if _is_meta(c) and c in df.columns])
         sub_cols = {c for c in sub_df.columns if not _is_meta(c)}
         shared = sorted(set(df.columns) & sub_cols)
         partial = [c for c in shared if c in maybe or c in sub_maybe]
+        if join_filters:
+            # conditional left join: equi/compat keys + the hoisted
+            # filter exprs, with the optional side's columns renamed
+            # so the expr can reference both frames unambiguously
+            ren = {c: f"__opt_{c}" for c in sub_df.columns}
+            r = sub_df
+            for c, rc in ren.items():
+                r = r.withColumnRenamed(c, rc)
+            cond = F.lit(True)
+            for c in shared:
+                rc = F.col(ren[c])
+                if c in partial:
+                    cond = cond & (df[c].isNull() | rc.isNull()
+                                   | (df[c] == rc))
+                else:
+                    cond = cond & (df[c] == rc)
+            resolver = {
+                c: (F.coalesce(df[c], F.col(ren[c])) if c in shared
+                    else F.col(ren[c]))
+                for c in sub_df.columns
+            }
+            for fx in join_filters:
+                cond = cond & _compile_expr(fx, df, resolver)
+            out = df.join(r, cond, "left")
+            for c in sub_df.columns:
+                if c in shared:
+                    if c in partial:
+                        out = out.withColumn(
+                            c, F.coalesce(F.col(c), F.col(ren[c]))
+                        )
+                    out = out.drop(ren[c])
+                else:
+                    out = out.withColumnRenamed(ren[c], c)
+            df = out
         # no shared vars → SPARQL left-join-on-true: every outer row
         # survives even when the optional side is empty
-        if not shared:
+        elif not shared:
             df = df.join(sub_df, F.lit(True), "left")
         elif not partial:
             df = df.join(sub_df, on=shared, how="left")

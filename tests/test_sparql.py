@@ -958,3 +958,38 @@ def test_arithmetic_expressions(kb):
     row = df3.collect()[0]
     assert row.ss == 100.0 + 400.0 + 900.0 + 1600.0
     assert row.z is None
+
+
+def test_optional_filter_on_outer_variable(kb):
+    """SPARQL LeftJoin(Ω1, Ω2, expr): an OPTIONAL's FILTER referencing
+    an outer variable joins conditionally — previously the outer var
+    read as NULL on the optional side and every binding vanished."""
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs ?r ?other ?r2 WHERE {
+          ?obs sosa:hasResult ?r .
+          OPTIONAL {
+            ?other sosa:hasResult ?r2 .
+            FILTER(?r2 > ?r)
+          }
+        }
+    """)
+    got = {(r.obs, r.other) for r in df.collect()}
+    # obs:0 (r=10) pairs with the three larger results
+    assert ("urn:obs:0", "urn:obs:1") in got
+    assert ("urn:obs:0", "urn:obs:3") in got
+    # obs:3 (r=40) has no larger result → survives with ?other unbound
+    assert ("urn:obs:3", None) in got
+    # filters over inner-only vars still prune before the join
+    df2 = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s ?label WHERE {
+          ?s rdf:type sosa:Sensor .
+          OPTIONAL { ?s rdfs:label ?label FILTER(LANG(?label) = "nl") }
+        }
+    """)
+    got2 = {(r.s, r.label) for r in df2.collect()}
+    assert got2 == {("urn:sensor:0", "mariene sensor"),
+                    ("urn:sensor:1", None)}
