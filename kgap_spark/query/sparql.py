@@ -193,6 +193,7 @@ class Group:
     filters: list = field(default_factory=list)       # Expr
     optionals: list = field(default_factory=list)     # Group
     not_exists: list = field(default_factory=list)    # Group
+    exists: list = field(default_factory=list)        # Group
     minus: list = field(default_factory=list)         # Group
     graph_scopes: list = field(default_factory=list)  # (term, Group)
     unions: list = field(default_factory=list)        # [Group, Group, …]
@@ -478,6 +479,9 @@ class _Parser:
                     self.next()
                     self.expect("KW", "EXISTS")
                     g.not_exists.append(self.group())
+                elif self.at_kw("EXISTS"):
+                    self.next()
+                    g.exists.append(self.group())
                 elif self.peek() and self.peek().kind == "KW" \
                         and self.peek().text in _FUNCS:
                     # FILTER CONTAINS(...) — bracketless builtin call
@@ -570,12 +574,13 @@ class _Parser:
         self.next()
         return (vars_, rows)
 
-    def value_term(self) -> str:
+    def value_term(self) -> str | None:
         nxt = self.peek()
         if nxt and nxt.kind == "PNAME" and nxt.text == "UNDEF":
-            raise ValueError(
-                "VALUES UNDEF is not supported (unbound-compatible joins)"
-            )
+            # UNDEF = unbound in that row; compiles to NULL + an
+            # unbound-compatible join (matches anything)
+            self.next()
+            return None
         t = self.term()
         if isinstance(t, Lit):
             return t.value
@@ -1358,13 +1363,17 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
         for other in arm_dfs[1:]:
             u = u.unionByName(other, allowMissingColumns=True)
         df, maybe = _merge_inner(df, maybe, u, u_maybe)
-    # inline VALUES: a broadcast-joined literal table
+    # inline VALUES: a broadcast-joined literal table; a column with
+    # any UNDEF row is maybe-unbound → unbound-compatible join
     for vars_, rows in g.values:
         names = [v.name for v in vars_]
         vdf = triples.sparkSession.createDataFrame(
             rows, ", ".join(f"{n} string" for n in names)
         )
-        df, maybe = _merge_inner(df, maybe, vdf, set(),
+        v_maybe = {
+            n for i, n in enumerate(names) if any(r[i] is None for r in rows)
+        }
+        df, maybe = _merge_inner(df, maybe, vdf, v_maybe,
                                  broadcast_right=True)
     if df is None:
         raise ValueError("SPARQL compiler: empty WHERE group")
@@ -1478,30 +1487,36 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
                     df[c].isNotNull() & rc.isNotNull()
                 )
             df = df.join(r, cond & both_bound, "left_anti")
-    for sub in g.not_exists:
-        sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=graph)
-        shared = sorted(
-            set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
-        )
-        if not shared:
-            raise ValueError("FILTER NOT EXISTS with no shared variables")
-        partial = [c for c in shared if c in maybe or c in sub_maybe]
-        rsub = sub_df.select(*shared).distinct()
-        if not partial:
-            df = df.join(rsub, on=shared, how="left_anti")
-        else:
-            r = rsub
-            for c in shared:
-                r = r.withColumnRenamed(c, f"__x_{c}")
-            cond = F.lit(True)
-            for c in shared:
-                rc = r[f"__x_{c}"]
-                if c in partial:
-                    cond = cond & (df[c].isNull() | rc.isNull()
-                                   | (df[c] == rc))
-                else:
-                    cond = cond & (df[c] == rc)
-            df = df.join(r, cond, "left_anti")
+    # FILTER EXISTS → semi join; FILTER NOT EXISTS → anti join. Same
+    # compatibility condition either way.
+    for how, subs in (("left_semi", g.exists), ("left_anti", g.not_exists)):
+        for sub in subs:
+            sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=graph)
+            shared = sorted(
+                set(df.columns)
+                & {c for c in sub_df.columns if not _is_meta(c)}
+            )
+            if not shared:
+                raise ValueError(
+                    "FILTER [NOT] EXISTS with no shared variables"
+                )
+            partial = [c for c in shared if c in maybe or c in sub_maybe]
+            rsub = sub_df.select(*shared).distinct()
+            if not partial:
+                df = df.join(rsub, on=shared, how=how)
+            else:
+                r = rsub
+                for c in shared:
+                    r = r.withColumnRenamed(c, f"__x_{c}")
+                cond = F.lit(True)
+                for c in shared:
+                    rc = r[f"__x_{c}"]
+                    if c in partial:
+                        cond = cond & (df[c].isNull() | rc.isNull()
+                                       | (df[c] == rc))
+                    else:
+                        cond = cond & (df[c] == rc)
+                df = df.join(r, cond, how)
     for f_expr in g.filters:
         df = df.filter(_compile_expr(f_expr, df))
     return df, maybe

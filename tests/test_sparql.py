@@ -993,3 +993,38 @@ def test_optional_filter_on_outer_variable(kb):
     got2 = {(r.s, r.label) for r in df2.collect()}
     assert got2 == {("urn:sensor:0", "mariene sensor"),
                     ("urn:sensor:1", None)}
+
+
+def test_filter_exists_positive(kb):
+    """FILTER EXISTS → semi join (the positive twin of NOT EXISTS)."""
+    df = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s WHERE {
+          ?s rdf:type sosa:Sensor .
+          FILTER EXISTS { ?s rdfs:label ?l }
+        }
+    """)
+    assert [r.s for r in df.collect()] == ["urn:sensor:0"]
+
+
+def test_values_undef(kb):
+    """VALUES rows with UNDEF: the unbound cell matches anything
+    (unbound-compatible join), bound cells constrain."""
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs ?sensor ?r WHERE {
+          ?obs sosa:madeBySensor ?sensor ; sosa:hasResult ?r .
+          VALUES (?sensor ?r) {
+            (<urn:sensor:0> UNDEF)
+            (UNDEF "20")
+          }
+        }
+    """)
+    got = {(r.obs, r.sensor) for r in df.collect()}
+    # sensor:0 row matches its two observations regardless of result;
+    # the UNDEF-sensor row matches the single r=20 observation
+    assert got == {("urn:obs:0", "urn:sensor:0"),
+                   ("urn:obs:2", "urn:sensor:0"),
+                   ("urn:obs:1", "urn:sensor:1")}
