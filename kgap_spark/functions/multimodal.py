@@ -72,10 +72,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    if not (0 < width <= 16384 and 0 < height <= 16384
+            and width * height <= 64 * 1024 * 1024):
+        raise ValueError(f"PNG dimensions out of range ({width}x{height})")
     ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: a decompression-bomb IDAT can expand no further
+    # than the dimensioned size before we reject it
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("PNG IDAT size mismatch")
     out = bytearray()
     prev = bytearray(stride)
@@ -142,13 +149,20 @@ def _image_features(w: int, h: int, ch: int, px: bytes) -> list[float]:
     return feats[:FEATURE_DIM]
 
 
-def _decode_image(payload: bytes) -> list[float]:
+def _decode_image(payload: bytes) -> list[float] | None:
     """PNG → REAL decode (pure-stdlib ``decode_png``) → pooled
-    features. Other formats: deterministic fake under
-    ``KGAP_FAKE_DECODE`` (their codecs aren't in this container)."""
+    features. A PNG-signature payload that fails to decode (corrupt,
+    palette/16-bit/interlaced, truncated) yields NULL features —
+    per-row error isolation; one bad image in a 10¹²-doc corpus must
+    not fail the whole extract job. Other formats: deterministic fake
+    under ``KGAP_FAKE_DECODE`` (their codecs aren't in this
+    container)."""
     data = payload or b""
     if data.startswith(_PNG_SIG):
-        return _image_features(*decode_png(data))
+        try:
+            return _image_features(*decode_png(data))
+        except Exception:
+            return None
     if not KGAP_FAKE_DECODE:  # pragma: no cover
         raise NotImplementedError(
             "non-PNG image decode requires PIL — not in this image"

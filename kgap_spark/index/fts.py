@@ -86,9 +86,11 @@ def append_posting_table(posting: DataFrame, path: str,
     into the existing bucket-partitioned index (no rebuild — the
     Lucene segment-add analog). Token bucketing is content-hashed, so
     new rows land in the same bucket scheme; the `_doc_count` sidecar
-    is bumped by ``n_new_docs`` (pass None to derive it from the
-    appended postings' distinct subjects — an extra pass over
-    ``posting``, so callers that know the count should pass it).
+    is bumped by ``n_new_docs`` (pass None to derive it as the
+    appended postings' distinct subjects NOT already in the index —
+    re-appended updated documents must not inflate the corpus size;
+    the derivation anti-joins against one index scan, so callers that
+    know the count should pass it).
     Searches need no change — a token's postings just span more files
     until the next compaction (`posting.repartition` keeps the
     per-append file count at one per touched bucket).
@@ -107,7 +109,11 @@ def append_posting_table(posting: DataFrame, path: str,
             "write_posting_table before appending"
         )
     if n_new_docs is None:
-        n_new_docs = posting.select("subj").distinct().count()
+        existing = spark.read.parquet(path).select("subj").distinct()
+        n_new_docs = (
+            posting.select("subj").distinct()
+            .join(existing, "subj", "left_anti").count()
+        )
     (
         posting.withColumn("_bucket", bucket_of(F.col("token")))
         .repartition("_bucket")

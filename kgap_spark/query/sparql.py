@@ -372,7 +372,13 @@ class _Parser:
                 for term, sub in u.where.graph_scopes:
                     tmpl.extend((s, p, o, term) for s, p, o in sub.triples)
                 for s, p, o, _g in tmpl:
+                    # sequence paths (p1/p2) were already rewritten by
+                    # emit_path into chained triples through __path
+                    # vars — those count as paths too, or the rewrite
+                    # would silently delete the component triples
                     if any(isinstance(t, (PathPlus, PathNeg))
+                           or (isinstance(t, Var)
+                               and t.name.startswith("__path"))
                            for t in (s, p, o)):
                         raise ValueError(
                             "DELETE WHERE cannot contain property paths"
@@ -403,14 +409,22 @@ class _Parser:
         tg = self.group()
         if tg.filters or tg.optionals or tg.not_exists or tg.unions:
             raise ValueError("template must contain only triples")
-        out = [(s, p, o, None) for s, p, o in tg.triples]
+
+        def check(s, p, o):
+            if any(isinstance(t, (PathPlus, PathNeg))
+                   or (isinstance(t, Var) and t.name.startswith("__path"))
+                   for t in (s, p, o)):
+                raise ValueError("templates cannot contain property paths")
+            return (s, p, o)
+
+        out = [(*check(s, p, o), None) for s, p, o in tg.triples]
         for term, sub in tg.graph_scopes:
             if isinstance(term, Var):
                 raise ValueError("GRAPH ?var not allowed in a template")
             if (sub.filters or sub.optionals or sub.not_exists
                     or sub.unions or sub.graph_scopes):
                 raise ValueError("template must contain only triples")
-            out.extend((s, p, o, term) for s, p, o in sub.triples)
+            out.extend((*check(s, p, o), term) for s, p, o in sub.triples)
         if not out:
             raise ValueError("empty template")
         return out
@@ -422,8 +436,11 @@ class _Parser:
 
         def add(triples, graph):
             for s, p, o in triples:
-                if any(isinstance(t, (Var, PathPlus)) for t in (s, p, o)):
-                    raise ValueError("DATA blocks must be ground (no variables)")
+                if any(isinstance(t, (Var, PathPlus, PathNeg))
+                       for t in (s, p, o)):
+                    raise ValueError(
+                        "DATA blocks must be ground (no variables or paths)"
+                    )
                 out.append((s, p, o, graph))
 
         add(g.triples, None)
@@ -982,11 +999,22 @@ def _compile_expr(e, df: DataFrame,
                     if (isinstance(b, Lit)
                             and (b.lang is not None or b.datatype is not None)
                             and isinstance(a, Var)):
+                        # value equality keeps SQL NULL semantics (an
+                        # unbound var → NULL → the row drops under =
+                        # AND !=, matching SPARQL's type error and the
+                        # plain-literal path); the META conjuncts are
+                        # coalesced to false so a bound-but-untagged
+                        # value compares as a definite term MISMATCH
+                        # ("Paris" plain != "Paris"@en is TRUE),
+                        # never as NULL
                         eq = to(a) == F.lit(b.value)
                         lang_col = f"{a.name}__lang"
                         dt_col = f"{a.name}__dt"
                         if b.lang is not None and lang_col in cols:
-                            eq = eq & (col_or_null(lang_col) == F.lit(b.lang))
+                            eq = eq & F.coalesce(
+                                col_or_null(lang_col) == F.lit(b.lang),
+                                F.lit(False),
+                            )
                         elif b.datatype == XSD_STRING and lang_col in cols \
                                 and dt_col in cols:
                             eq = eq & col_or_null(lang_col).isNull() & (
@@ -994,10 +1022,17 @@ def _compile_expr(e, df: DataFrame,
                                 | (col_or_null(dt_col) == XSD_STRING)
                             )
                         elif b.datatype is not None and dt_col in cols:
-                            eq = eq & (col_or_null(dt_col) == F.lit(b.datatype))
-                        return eq if e.op == "=" else ~F.coalesce(
-                            eq, F.lit(False)
-                        )
+                            eq = eq & F.coalesce(
+                                col_or_null(dt_col) == F.lit(b.datatype),
+                                F.lit(False),
+                            )
+                        # three-valued AND turns (NULL & false) into
+                        # false, which != would invert into TRUE for
+                        # an UNBOUND variable — force NULL there so
+                        # the row drops under both = and != (SPARQL
+                        # type error), like the plain-literal path
+                        eq = F.when(to(a).isNotNull(), eq)
+                        return eq if e.op == "=" else ~eq
             l, r = to(e.left), to(e.right)
             # numeric comparison when either side is a number: SPARQL
             # compares by value, the store keeps lexical forms
@@ -1207,6 +1242,27 @@ def _compat_join(df: DataFrame, right: DataFrame, total: list[str],
     return merged
 
 
+def _renamed_compat(df: DataFrame, sub_df: DataFrame, shared: list[str],
+                    partial: list[str], prefix: str):
+    """Shared builder for the semi/anti-join forms: the sub-pattern's
+    ``shared`` columns renamed with ``prefix`` + the SPARQL
+    compatibility condition (equi on fully-bound keys, NULL-matches-
+    anything on ``partial`` ones). Returns (renamed_frame, condition,
+    {name: renamed_Column})."""
+    r = sub_df.select(*shared)
+    for c in shared:
+        r = r.withColumnRenamed(c, f"{prefix}{c}")
+    rcols = {c: r[f"{prefix}{c}"] for c in shared}
+    cond = F.lit(True)
+    for c in shared:
+        rc = rcols[c]
+        if c in partial:
+            cond = cond & (df[c].isNull() | rc.isNull() | (df[c] == rc))
+        else:
+            cond = cond & (df[c] == rc)
+    return r, cond, rcols
+
+
 def _merge_inner(df: DataFrame | None, maybe: set,
                  right: DataFrame, right_maybe: set,
                  broadcast_right: bool = False):
@@ -1292,7 +1348,9 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
         def _match(col, term):
             if isinstance(term, tuple):  # any-of constant
                 return col.isin(*term)
-            return col == F.lit(_const_of(term))
+            # path endpoints match on lexical form (the closure does
+            # not carry literal meta)
+            return col == F.lit(_write_term(term))
 
         sel = []
         if isinstance(s, Var):
@@ -1467,24 +1525,16 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             # compatible — removes nothing (unlike NOT EXISTS)
             continue
         partial = [c for c in shared if c in maybe or c in sub_maybe]
-        rsub = sub_df.select(*shared).distinct()
         if not partial:
-            df = df.join(rsub, on=shared, how="left_anti")
+            df = df.join(sub_df.select(*shared), on=shared,
+                         how="left_anti")
         else:
-            r = rsub
-            for c in shared:
-                r = r.withColumnRenamed(c, f"__m_{c}")
-            cond = F.lit(True)
+            r, cond, rcols = _renamed_compat(df, sub_df, shared,
+                                             partial, "__m_")
             both_bound = F.lit(False)  # dom(μ)∩dom(μ') must be non-empty
             for c in shared:
-                rc = r[f"__m_{c}"]
-                if c in partial:
-                    cond = cond & (df[c].isNull() | rc.isNull()
-                                   | (df[c] == rc))
-                else:
-                    cond = cond & (df[c] == rc)
                 both_bound = both_bound | (
-                    df[c].isNotNull() & rc.isNotNull()
+                    df[c].isNotNull() & rcols[c].isNotNull()
                 )
             df = df.join(r, cond & both_bound, "left_anti")
     # FILTER EXISTS → semi join; FILTER NOT EXISTS → anti join. Same
@@ -1501,21 +1551,12 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
                     "FILTER [NOT] EXISTS with no shared variables"
                 )
             partial = [c for c in shared if c in maybe or c in sub_maybe]
-            rsub = sub_df.select(*shared).distinct()
+            # no distinct(): semi/anti joins are set-semantics already
             if not partial:
-                df = df.join(rsub, on=shared, how=how)
+                df = df.join(sub_df.select(*shared), on=shared, how=how)
             else:
-                r = rsub
-                for c in shared:
-                    r = r.withColumnRenamed(c, f"__x_{c}")
-                cond = F.lit(True)
-                for c in shared:
-                    rc = r[f"__x_{c}"]
-                    if c in partial:
-                        cond = cond & (df[c].isNull() | rc.isNull()
-                                       | (df[c] == rc))
-                    else:
-                        cond = cond & (df[c] == rc)
+                r, cond, _ = _renamed_compat(df, sub_df, shared,
+                                             partial, "__x_")
                 df = df.join(r, cond, how)
     for f_expr in g.filters:
         df = df.filter(_compile_expr(f_expr, df))
@@ -1658,7 +1699,9 @@ def _construct(q: Query, sols: DataFrame) -> DataFrame:
             return F.col(t.name)
         if isinstance(t, tuple):  # any-of: emit the full-IRI form
             return F.lit(t[0])
-        return F.lit(_const_of(t))
+        # lexical form only — a template Lit's @lang/^^dt go through
+        # meta(), not the value (TypedLit is pattern-side only)
+        return F.lit(_write_term(t))
 
     cols = set(sols.columns)
 
@@ -1696,10 +1739,17 @@ def _construct(q: Query, sols: DataFrame) -> DataFrame:
 def _write_term(t) -> str:
     """Constant term → the string written into the store. An any-of
     tuple (undeclared well-known pname) writes the form as typed —
-    compact, matching the repo's store convention."""
+    compact, matching the repo's store convention. A literal writes
+    its LEXICAL form — its @lang/^^datatype travel in the meta
+    columns, never inside the value (``_const_of``'s TypedLit wrapper
+    is a pattern-matching construct only)."""
     if isinstance(t, tuple):
         return t[1]
-    return _const_of(t)
+    if isinstance(t, Lit):
+        return t.value
+    if isinstance(t, Num):
+        return t.text
+    return t
 
 
 def _ground_rows(data: list, default_graph: str | None):

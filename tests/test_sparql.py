@@ -1028,3 +1028,90 @@ def test_values_undef(kb):
     assert got == {("urn:obs:0", "urn:sensor:0"),
                    ("urn:obs:2", "urn:sensor:0"),
                    ("urn:obs:1", "urn:sensor:1")}
+
+
+def test_review_fixes_round4(spark, kb, tmp_path):
+    """Regression pins for the round-4 code-review findings."""
+    from kgap_spark.query.sparql import execute_sparql_update
+    from kgap_spark.triples.writer import TripleStore
+
+    # 1) tagged/typed literals in updates and templates (TypedLit must
+    # never leak into string sinks)
+    store = TripleStore(spark, str(tmp_path / "rf"))
+    execute_sparql_update(store, '''
+        INSERT DATA { GRAPH <urn:g> {
+          <urn:s> <urn:name> "Paris"@en .
+          <urn:s> <urn:pop> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        } }
+    ''')
+    rows = {(r.obj, r.obj_lang, r.obj_datatype) for r in store.read().collect()}
+    assert ("Paris", "en", None) in rows
+    assert ("42", None, "http://www.w3.org/2001/XMLSchema#integer") in rows
+    execute_sparql_update(store, '''
+        DELETE DATA { GRAPH <urn:g> { <urn:s> <urn:name> "Paris"@en . } }
+    ''')
+    assert store.read().count() == 1
+    # CONSTRUCT with a tagged-literal constant in the template
+    out = execute_sparql(kb, '''
+        CONSTRUCT { ?s <urn:tagged> "ja"@nl } WHERE { ?s a <urn:x> }
+    ''')
+    assert out.count() == 0  # no match, but the plan must build
+
+    # 2) sequence paths cannot slip through DELETE WHERE / templates
+    with pytest.raises(ValueError, match="property paths"):
+        parse_sparql("DELETE WHERE { ?s <urn:p1>/<urn:p2> ?o }")
+    with pytest.raises(ValueError, match="property paths"):
+        parse_sparql(
+            "DELETE { ?s <urn:p1>/<urn:p2> ?o } WHERE { ?s ?p ?o }"
+        )
+    # 3) negated paths cannot slip into DATA blocks
+    with pytest.raises(ValueError, match="ground"):
+        parse_sparql("INSERT DATA { <urn:s> !<urn:p> <urn:o> . }")
+
+    # 4) != against a tagged literal with an UNBOUND var drops the row
+    # (same as the plain-literal path), while plain-vs-tagged is TRUE
+    df = execute_sparql(kb, '''
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s ?l WHERE {
+          ?s rdf:type sosa:Sensor .
+          OPTIONAL { ?s rdfs:label ?l }
+          FILTER(?l != "marine sensor"@en)
+        }
+    ''')
+    got = {(r.s, r.l) for r in df.collect()}
+    # sensor:1's ?l is unbound → dropped; sensor:0's @nl label differs
+    assert got == {("urn:sensor:0", "mariene sensor")}
+
+
+def test_png_corrupt_payload_isolated(spark):
+    """One corrupt/unsupported PNG must not fail the extract job —
+    its features come back NULL; good rows still decode."""
+    import struct
+    import zlib
+
+    from kgap_spark.functions.multimodal import extract_features
+    from tests.test_functions import _encode_png
+
+    good = _encode_png(2, 2, bytes([255, 0, 0] * 4))
+    truncated = good[:20]                      # signature + partial IHDR
+    # interlaced flag set → unsupported → NULL, not a crash
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+                  + chunk(b"IDAT", zlib.compress(b"\x00\xff\x00\x00"))
+                  + chunk(b"IEND", b""))
+    media = spark.createDataFrame(
+        [("ok", "image", "image/png", bytearray(good), {}),
+         ("trunc", "image", "image/png", bytearray(truncated), {}),
+         ("inter", "image", "image/png", bytearray(interlaced), {})],
+        "media_id string, kind string, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    feats = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert feats["ok"] is not None and feats["ok"][2] == 1.0
+    assert feats["trunc"] is None
+    assert feats["inter"] is None
