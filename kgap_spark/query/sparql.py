@@ -91,11 +91,14 @@ _KEYWORDS = {
     "OPTIONAL", "NOT", "EXISTS", "GRAPH", "GROUP", "BY", "HAVING",
     "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION", "BIND",
     "VALUES", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA",
-    "MINUS",
+    "MINUS", "IN",
 }
 _AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG", "SAMPLE", "GROUP_CONCAT"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
-          "DATATYPE", "STRSTARTS", "STRENDS", "LCASE", "UCASE"}
+          "DATATYPE", "STRSTARTS", "STRENDS", "LCASE", "UCASE",
+          "COALESCE", "STRBEFORE", "STRAFTER", "REPLACE", "SUBSTR",
+          "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+          "ABS", "ROUND", "CEIL", "FLOOR"}
 
 
 @dataclass
@@ -200,6 +203,12 @@ class Group:
     binds: list = field(default_factory=list)         # (expr, Var)
     values: list = field(default_factory=list)        # ([Var], [rows])
     subselects: list = field(default_factory=list)    # Query (form=select)
+    # BIND and OPTIONAL interact order-sensitively (a BIND written
+    # after an OPTIONAL must see its bindings — COALESCE over an
+    # optional var is the canonical shape), so their relative textual
+    # order is recorded here as ("bind"|"optional", payload) and the
+    # compiler replays it
+    seq: list = field(default_factory=list)
 
 
 @dataclass
@@ -510,7 +519,9 @@ class _Parser:
                 continue
             if t.kind == "KW" and t.text == "OPTIONAL":
                 self.next()
-                g.optionals.append(self.group())
+                sub = self.group()
+                g.optionals.append(sub)
+                g.seq.append(("optional", sub))
                 continue
             if t.kind == "KW" and t.text == "MINUS":
                 self.next()
@@ -529,6 +540,7 @@ class _Parser:
                 v = Var(self.expect("VAR").text[1:])
                 self.expect("OP", ")")
                 g.binds.append((e, v))
+                g.seq.append(("bind", (e, v)))
                 continue
             if t.kind == "KW" and t.text == "VALUES":
                 self.next()
@@ -798,7 +810,33 @@ class _Parser:
         if t and t.kind == "OP" and t.text in ("=", "!=", "<", ">", "<=", ">="):
             op = self.next().text
             return BinOp(op, left, self.additive_expr())
+        if self.at_kw("IN"):
+            self.next()
+            return self.in_list(left, negated=False)
+        if self.at_kw("NOT"):
+            nxt = self.peek(1)
+            if nxt is not None and nxt.kind == "KW" and nxt.text == "IN":
+                self.next()
+                self.next()
+                return self.in_list(left, negated=True)
         return left
+
+    def in_list(self, left, negated: bool):
+        """``?x [NOT] IN (t1, t2, …)`` → FnCall("IN"/"NOT IN", …)."""
+        self.expect("OP", "(")
+        items = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise ValueError("SPARQL parser: unterminated IN list")
+            if t.kind == "OP" and t.text == ")":
+                self.next()
+                break
+            items.append(self.term())
+            t = self.peek()
+            if t and t.kind == "OP" and t.text == ",":
+                self.next()
+        return FnCall("NOT IN" if negated else "IN", [left] + items)
 
     def _signed_num_split(self) -> str | None:
         """The tokenizer lexes ``?x+1`` / ``?x -2`` as a SIGNED number
@@ -1043,6 +1081,17 @@ def _compile_expr(e, df: DataFrame,
                 ">": l > r, "<=": l <= r, ">=": l >= r,
             }[e.op]
         if isinstance(e, FnCall):
+            if e.name in ("IN", "NOT IN"):
+                # flatten any-of constants (undeclared well-known
+                # pnames) into the membership set
+                vals = []
+                for item in e.args[1:]:
+                    c = _const_of(item)
+                    if isinstance(c, TypedLit):
+                        c = c.value
+                    vals.extend(c if isinstance(c, tuple) else (c,))
+                cond = to(e.args[0]).isin(*vals)
+                return cond if e.name == "IN" else ~cond
             a = [to(x) for x in e.args]
             if e.name == "LANG":
                 v = e.args[0]
@@ -1072,6 +1121,82 @@ def _compile_expr(e, df: DataFrame,
                 return F.upper(a[0])
             if e.name == "BOUND":
                 return a[0].isNotNull()
+            if e.name == "COALESCE":
+                return F.coalesce(*a)
+            if e.name in ("STRBEFORE", "STRAFTER"):
+                if not isinstance(e.args[1], Lit):
+                    raise ValueError(
+                        f"{e.name} separator must be a string literal"
+                    )
+                sep = e.args[1].value
+                if e.name == "STRBEFORE":
+                    # part before the FIRST occurrence; "" when absent
+                    return F.when(
+                        F.instr(a[0], sep) > 0,
+                        F.substring_index(a[0], sep, 1),
+                    ).otherwise(F.lit(""))
+                return F.when(
+                    F.instr(a[0], sep) > 0,
+                    F.substring(
+                        a[0], F.instr(a[0], sep) + len(sep),
+                        F.lit(1 << 30),
+                    ),
+                ).otherwise(F.lit(""))
+            if e.name == "REPLACE":
+                if not isinstance(e.args[1], Lit):
+                    raise ValueError("REPLACE pattern must be a string literal")
+                pat = e.args[1].value
+                if len(e.args) > 3:
+                    if not isinstance(e.args[3], Lit):
+                        raise ValueError(
+                            "REPLACE flags must be a string literal"
+                        )
+                    flags = e.args[3].value
+                    bad = set(flags) - set("ism")
+                    if bad:
+                        raise ValueError(f"unsupported REPLACE flags {flags!r}")
+                    if flags:
+                        pat = f"(?{flags})" + pat
+                return F.regexp_replace(a[0], pat, a[2])
+            if e.name == "SUBSTR":
+                # SPARQL substr is 1-based; length optional
+                length = a[2].cast("int") if len(a) > 2 else F.lit(1 << 30)
+                return F.substring(a[0], a[1].cast("int"), length)
+            if e.name in ("ISIRI", "ISURI"):
+                # store convention: IRIs are scheme-prefixed or compact
+                # pnames; blank nodes start with "_:"; tagged/typed
+                # values are literals regardless of shape
+                v = e.args[0]
+                c = a[0]
+                iri_like = c.rlike(
+                    r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+                ) & ~c.startswith("_:")
+                if isinstance(v, Var) and f"{v.name}__lang" in cols:
+                    iri_like = iri_like \
+                        & col_or_null(f"{v.name}__lang").isNull() \
+                        & col_or_null(f"{v.name}__dt").isNull()
+                return F.when(c.isNotNull(), iri_like)
+            if e.name == "ISBLANK":
+                return F.when(a[0].isNotNull(), a[0].startswith("_:"))
+            if e.name == "ISLITERAL":
+                v = e.args[0]
+                c = a[0]
+                lit_like = ~c.rlike(
+                    r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+                ) & ~c.startswith("_:")
+                if isinstance(v, Var) and f"{v.name}__lang" in cols:
+                    lit_like = lit_like \
+                        | col_or_null(f"{v.name}__lang").isNotNull() \
+                        | col_or_null(f"{v.name}__dt").isNotNull()
+                return F.when(c.isNotNull(), lit_like)
+            if e.name == "ABS":
+                return F.abs(a[0].try_cast("double"))
+            if e.name == "ROUND":
+                return F.round(a[0].try_cast("double"), 0)
+            if e.name == "CEIL":
+                return F.ceil(a[0].try_cast("double")).cast("double")
+            if e.name == "FLOOR":
+                return F.floor(a[0].try_cast("double")).cast("double")
             if e.name == "REGEX":
                 if not isinstance(e.args[1], Lit):
                     raise ValueError("REGEX pattern must be a string literal")
@@ -1435,16 +1560,22 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
                                  broadcast_right=True)
     if df is None:
         raise ValueError("SPARQL compiler: empty WHERE group")
-    for e, v in g.binds:
-        if v.name in df.columns:
-            # SPARQL forbids BIND onto an in-scope variable; silently
-            # overwriting it would fabricate solutions
-            raise ValueError(f"BIND target ?{v.name} is already bound")
-        refs = _vars_of(e)
-        if (refs & maybe) or (refs - set(df.columns)):
-            maybe.add(v.name)
-        df = df.withColumn(v.name, _compile_expr(e, df))
-    for sub in g.optionals:
+    # BIND and OPTIONAL replay in textual order (g.seq): a BIND after
+    # an OPTIONAL sees its bindings, an OPTIONAL after a BIND can join
+    # on the bound variable
+    for _kind, _payload in g.seq:
+        if _kind == "bind":
+            e, v = _payload
+            if v.name in df.columns:
+                # SPARQL forbids BIND onto an in-scope variable;
+                # silently overwriting it would fabricate solutions
+                raise ValueError(f"BIND target ?{v.name} is already bound")
+            refs = _vars_of(e)
+            if (refs & maybe) or (refs - set(df.columns)):
+                maybe.add(v.name)
+            df = df.withColumn(v.name, _compile_expr(e, df))
+            continue
+        sub = _payload
         # SPARQL LeftJoin(Ω1, Ω2, expr): a FILTER at the top level of
         # an OPTIONAL group that references variables bound only in
         # the OUTER pattern is part of the JOIN CONDITION — evaluating

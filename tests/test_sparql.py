@@ -1115,3 +1115,74 @@ def test_png_corrupt_payload_isolated(spark):
     assert feats["ok"] is not None and feats["ok"][2] == 1.0
     assert feats["trunc"] is None
     assert feats["inter"] is None
+
+
+def test_sparql11_builtins(kb):
+    """IN/NOT IN, COALESCE, STRBEFORE/STRAFTER, REPLACE, SUBSTR,
+    isIRI/isLiteral/isBlank, numeric ABS/ROUND/CEIL/FLOOR."""
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs WHERE {
+          ?obs sosa:madeBySensor ?s .
+          FILTER(?s IN (<urn:sensor:0>))
+        } ORDER BY ?obs
+    """)
+    assert [r.obs for r in df.collect()] == ["urn:obs:0", "urn:obs:2"]
+    df2 = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs WHERE {
+          ?obs sosa:madeBySensor ?s .
+          FILTER(?s NOT IN (<urn:sensor:0>, <urn:sensor:9>))
+        } ORDER BY ?obs
+    """)
+    assert [r.obs for r in df2.collect()] == ["urn:obs:1", "urn:obs:3"]
+    # string builtins via BIND
+    df3 = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?b ?af ?rep ?sub WHERE {
+          <urn:sensor:0> rdfs:label ?l . FILTER(LANG(?l) = "en")
+          BIND(STRBEFORE(?l, " ") AS ?b)
+          BIND(STRAFTER(?l, " ") AS ?af)
+          BIND(REPLACE(?l, "mar[a-z]*", "SEA") AS ?rep)
+          BIND(SUBSTR(?l, 1, 3) AS ?sub)
+        }
+    """)
+    r = df3.collect()[0]
+    assert (r.b, r.af, r.rep, r.sub) == ("marine", "sensor", "SEA sensor", "mar")
+    # STRBEFORE/AFTER miss → empty string per SPARQL
+    df4 = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?b WHERE {
+          <urn:sensor:0> rdfs:label ?l . FILTER(LANG(?l) = "en")
+          BIND(STRBEFORE(?l, "zzz") AS ?b)
+        }
+    """)
+    assert df4.collect()[0].b == ""
+    # term-kind tests + COALESCE over an optional + numerics
+    df5 = execute_sparql(kb, """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?s ?lab ?isi ?isl WHERE {
+          ?s rdf:type sosa:Sensor .
+          OPTIONAL { ?s rdfs:label ?l FILTER(LANG(?l) = "en") }
+          BIND(COALESCE(?l, "unlabeled") AS ?lab)
+          BIND(ISIRI(?s) AS ?isi)
+          BIND(ISLITERAL(?l) AS ?isl)
+        } ORDER BY ?s
+    """)
+    rows = [(r.s, r.lab, r.isi, r.isl) for r in df5.collect()]
+    assert rows == [("urn:sensor:0", "marine sensor", True, True),
+                    ("urn:sensor:1", "unlabeled", True, None)]
+    df6 = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?f ?c ?r2 ?ab WHERE {
+          <urn:obs:0> sosa:hasResult ?r .
+          BIND(FLOOR(?r / 3) AS ?f)
+          BIND(CEIL(?r / 3) AS ?c)
+          BIND(ROUND(?r / 3) AS ?r2)
+          BIND(ABS(0 - ?r) AS ?ab)
+        }
+    """)
+    r = df6.collect()[0]
+    assert (r.f, r.c, r.r2, r.ab) == (3.0, 4.0, 3.0, 10.0)
