@@ -207,7 +207,10 @@ class Group:
     # after an OPTIONAL must see its bindings — COALESCE over an
     # optional var is the canonical shape), so their relative textual
     # order is recorded here as ("bind"|"optional", payload) and the
-    # compiler replays it
+    # compiler replays THIS list for those two kinds; the `binds` /
+    # `optionals` lists above stay populated for the template/DATA
+    # validators (_has_nontriple_features) — keep both in sync when
+    # adding entries
     seq: list = field(default_factory=list)
 
 
@@ -224,6 +227,27 @@ class Query:
     offset: int | None = None
     template: list = field(default_factory=list)     # CONSTRUCT triples
     describe_iris: list = field(default_factory=list)
+
+
+def _is_path_term(t) -> bool:
+    """A property-path construct: PathPlus/PathNeg nodes, or the fresh
+    ``__path`` variables emit_path introduces when rewriting sequence
+    paths — all of them invalid wherever only plain triples belong
+    (DATA blocks, templates, DELETE WHERE)."""
+    return isinstance(t, (PathPlus, PathNeg)) or (
+        isinstance(t, Var) and t.name.startswith("__path")
+    )
+
+
+def _has_nontriple_features(g: Group) -> bool:
+    """Any group feature beyond plain triples (+ graph scopes, which
+    the callers validate separately) — used to reject templates/DATA
+    blocks that smuggle in pattern constructs, which would otherwise
+    be silently discarded."""
+    return bool(
+        g.filters or g.optionals or g.not_exists or g.exists or g.minus
+        or g.unions or g.binds or g.values or g.subselects
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -381,14 +405,10 @@ class _Parser:
                 for term, sub in u.where.graph_scopes:
                     tmpl.extend((s, p, o, term) for s, p, o in sub.triples)
                 for s, p, o, _g in tmpl:
-                    # sequence paths (p1/p2) were already rewritten by
-                    # emit_path into chained triples through __path
-                    # vars — those count as paths too, or the rewrite
-                    # would silently delete the component triples
-                    if any(isinstance(t, (PathPlus, PathNeg))
-                           or (isinstance(t, Var)
-                               and t.name.startswith("__path"))
-                           for t in (s, p, o)):
+                    # incl. the __path vars emit_path introduced for
+                    # sequence paths — deleting those would silently
+                    # remove the chain's component triples
+                    if any(_is_path_term(t) for t in (s, p, o)):
                         raise ValueError(
                             "DELETE WHERE cannot contain property paths"
                         )
@@ -416,13 +436,11 @@ class _Parser:
         quads; GRAPH <g> { … } blocks scope their triples' graph term
         (previously these were silently discarded)."""
         tg = self.group()
-        if tg.filters or tg.optionals or tg.not_exists or tg.unions:
+        if _has_nontriple_features(tg):
             raise ValueError("template must contain only triples")
 
         def check(s, p, o):
-            if any(isinstance(t, (PathPlus, PathNeg))
-                   or (isinstance(t, Var) and t.name.startswith("__path"))
-                   for t in (s, p, o)):
+            if any(_is_path_term(t) for t in (s, p, o)):
                 raise ValueError("templates cannot contain property paths")
             return (s, p, o)
 
@@ -430,8 +448,7 @@ class _Parser:
         for term, sub in tg.graph_scopes:
             if isinstance(term, Var):
                 raise ValueError("GRAPH ?var not allowed in a template")
-            if (sub.filters or sub.optionals or sub.not_exists
-                    or sub.unions or sub.graph_scopes):
+            if _has_nontriple_features(sub) or sub.graph_scopes:
                 raise ValueError("template must contain only triples")
             out.extend((*check(s, p, o), term) for s, p, o in sub.triples)
         if not out:
@@ -456,11 +473,10 @@ class _Parser:
         for term, sub in g.graph_scopes:
             if isinstance(term, Var):
                 raise ValueError("GRAPH ?var not allowed in DATA blocks")
-            if (sub.filters or sub.optionals or sub.not_exists
-                    or sub.unions or sub.graph_scopes):
+            if _has_nontriple_features(sub) or sub.graph_scopes:
                 raise ValueError("DATA blocks must contain only triples")
             add(sub.triples, term)
-        if g.filters or g.optionals or g.not_exists or g.unions:
+        if _has_nontriple_features(g):
             raise ValueError("DATA blocks must contain only triples")
         return out
 
@@ -986,6 +1002,39 @@ def _compile_expr(e, df: DataFrame,
             return resolver[name]
         return F.col(name) if name in cols else F.lit(None).cast("string")
 
+    def tagged_eq(a, b) -> Column:
+        """RDF term equality of a variable against a tagged/typed
+        literal ("Paris"@en): the lang/datatype meta columns compare
+        too, matching the quad identity the update layer keys on.
+        Value equality keeps SQL NULL semantics (unbound var → NULL →
+        the row drops under = AND !=, SPARQL's type error); the META
+        conjuncts are coalesced to false so a bound-but-untagged value
+        is a definite term MISMATCH ("Paris" plain != "Paris"@en is
+        TRUE), never NULL — and the whole thing is forced NULL for an
+        unbound variable (three-valued NULL & false would otherwise
+        collapse to false and invert under !=). A var without meta
+        columns falls back to lexical comparison (same documented
+        divergence as plain pattern-position literals)."""
+        val = to(a)
+        eq = val == F.lit(b.value)
+        lang_col = f"{a.name}__lang"
+        dt_col = f"{a.name}__dt"
+        if b.lang is not None and lang_col in cols:
+            eq = eq & F.coalesce(
+                col_or_null(lang_col) == F.lit(b.lang), F.lit(False)
+            )
+        elif b.datatype == XSD_STRING and lang_col in cols \
+                and dt_col in cols:
+            eq = eq & col_or_null(lang_col).isNull() & (
+                col_or_null(dt_col).isNull()
+                | (col_or_null(dt_col) == XSD_STRING)
+            )
+        elif b.datatype is not None and dt_col in cols:
+            eq = eq & F.coalesce(
+                col_or_null(dt_col) == F.lit(b.datatype), F.lit(False)
+            )
+        return F.when(val.isNotNull(), eq)
+
     def to(e):
         if isinstance(e, Var):
             return col_or_null(e.name)
@@ -1037,39 +1086,7 @@ def _compile_expr(e, df: DataFrame,
                     if (isinstance(b, Lit)
                             and (b.lang is not None or b.datatype is not None)
                             and isinstance(a, Var)):
-                        # value equality keeps SQL NULL semantics (an
-                        # unbound var → NULL → the row drops under =
-                        # AND !=, matching SPARQL's type error and the
-                        # plain-literal path); the META conjuncts are
-                        # coalesced to false so a bound-but-untagged
-                        # value compares as a definite term MISMATCH
-                        # ("Paris" plain != "Paris"@en is TRUE),
-                        # never as NULL
-                        eq = to(a) == F.lit(b.value)
-                        lang_col = f"{a.name}__lang"
-                        dt_col = f"{a.name}__dt"
-                        if b.lang is not None and lang_col in cols:
-                            eq = eq & F.coalesce(
-                                col_or_null(lang_col) == F.lit(b.lang),
-                                F.lit(False),
-                            )
-                        elif b.datatype == XSD_STRING and lang_col in cols \
-                                and dt_col in cols:
-                            eq = eq & col_or_null(lang_col).isNull() & (
-                                col_or_null(dt_col).isNull()
-                                | (col_or_null(dt_col) == XSD_STRING)
-                            )
-                        elif b.datatype is not None and dt_col in cols:
-                            eq = eq & F.coalesce(
-                                col_or_null(dt_col) == F.lit(b.datatype),
-                                F.lit(False),
-                            )
-                        # three-valued AND turns (NULL & false) into
-                        # false, which != would invert into TRUE for
-                        # an UNBOUND variable — force NULL there so
-                        # the row drops under both = and != (SPARQL
-                        # type error), like the plain-literal path
-                        eq = F.when(to(a).isNotNull(), eq)
+                        eq = tagged_eq(a, b)
                         return eq if e.op == "=" else ~eq
             l, r = to(e.left), to(e.right)
             # numeric comparison when either side is a number: SPARQL
@@ -1082,15 +1099,38 @@ def _compile_expr(e, df: DataFrame,
             }[e.op]
         if isinstance(e, FnCall):
             if e.name in ("IN", "NOT IN"):
-                # flatten any-of constants (undeclared well-known
-                # pnames) into the membership set
-                vals = []
+                # SPARQL defines IN as a chain of = comparisons ORed
+                # together, so each item keeps =-semantics: tagged
+                # literals compare the meta columns, numbers compare
+                # by value; plain IRI/string items batch into isin.
+                # Any-of constants (undeclared well-known pnames)
+                # flatten into the membership set.
+                left = e.args[0]
+                conds, plain = [], []
                 for item in e.args[1:]:
-                    c = _const_of(item)
-                    if isinstance(c, TypedLit):
-                        c = c.value
-                    vals.extend(c if isinstance(c, tuple) else (c,))
-                cond = to(e.args[0]).isin(*vals)
+                    if isinstance(item, Var):
+                        raise ValueError(
+                            "variables in IN lists not supported"
+                        )
+                    if isinstance(item, Lit) and (
+                            item.lang is not None
+                            or item.datatype is not None):
+                        if isinstance(left, Var):
+                            conds.append(tagged_eq(left, item))
+                        else:
+                            conds.append(to(left) == F.lit(item.value))
+                    elif isinstance(item, Num):
+                        conds.append(
+                            to(left).try_cast("double") == item.value
+                        )
+                    else:
+                        c = _const_of(item)
+                        plain.extend(c if isinstance(c, tuple) else (c,))
+                if plain:
+                    conds.append(to(left).isin(*plain))
+                cond = conds[0] if conds else F.lit(False)
+                for extra in conds[1:]:
+                    cond = cond | extra
                 return cond if e.name == "IN" else ~cond
             a = [to(x) for x in e.args]
             if e.name == "LANG":
@@ -1192,7 +1232,11 @@ def _compile_expr(e, df: DataFrame,
             if e.name == "ABS":
                 return F.abs(a[0].try_cast("double"))
             if e.name == "ROUND":
-                return F.round(a[0].try_cast("double"), 0)
+                # fn:round rounds ties toward +inf (round(-2.5) = -2),
+                # not Spark's HALF_UP away-from-zero: floor(x + 0.5)
+                return F.floor(
+                    a[0].try_cast("double") + 0.5
+                ).cast("double")
             if e.name == "CEIL":
                 return F.ceil(a[0].try_cast("double")).cast("double")
             if e.name == "FLOOR":

@@ -1186,3 +1186,46 @@ def test_sparql11_builtins(kb):
     """)
     r = df6.collect()[0]
     assert (r.f, r.c, r.r2, r.ab) == (3.0, 4.0, 3.0, 10.0)
+
+
+def test_review_fixes_round4_pass2(spark, kb):
+    """Second review-pass pins: term-aware IN, template validation for
+    the new group kinds, fn:round tie-break."""
+    # IN respects lang tags and numeric value-comparison
+    df = execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?l WHERE { <urn:sensor:0> rdfs:label ?l
+                          FILTER(?l IN ("marine sensor"@en, "nope")) }
+    """)
+    assert [r.l for r in df.collect()] == ["marine sensor"]
+    assert execute_sparql(kb, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?l WHERE { <urn:sensor:0> rdfs:label ?l
+                          FILTER(?l IN ("marine sensor"@fr)) }
+    """).count() == 0
+    # numeric item: "20" stored lexically must match IN (20.0)
+    df2 = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        SELECT ?obs WHERE { ?obs sosa:hasResult ?r FILTER(?r IN (20.0, 40)) }
+        ORDER BY ?obs
+    """)
+    assert [r.obs for r in df2.collect()] == ["urn:obs:1", "urn:obs:3"]
+    # variables in IN lists raise cleanly, not deep in Spark
+    with pytest.raises(ValueError, match="IN lists"):
+        execute_sparql(kb, "SELECT ?x WHERE { ?x ?p ?o FILTER(?x IN (?o)) }")
+    # FILTER EXISTS / MINUS / sub-selects cannot hide in templates or
+    # DATA blocks (previously silently discarded)
+    with pytest.raises(ValueError, match="only triples"):
+        parse_sparql('INSERT DATA { <urn:s> <urn:p> "x" . '
+                     'FILTER EXISTS { ?a ?b ?c } }')
+    with pytest.raises(ValueError, match="only triples"):
+        parse_sparql("CONSTRUCT { ?s <urn:p> ?o . "
+                     "MINUS { ?s <urn:q> ?z } } WHERE { ?s ?p ?o }")
+    # fn:round ties go toward +inf
+    df3 = execute_sparql(kb, """
+        SELECT ?a ?b WHERE {
+          ?s ?p ?o . BIND(ROUND(0 - 2.5) AS ?a) BIND(ROUND(2.5) AS ?b)
+        } LIMIT 1
+    """)
+    r = df3.collect()[0]
+    assert (r.a, r.b) == (-2.0, 3.0)
