@@ -81,7 +81,7 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*@/+\-|])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().;,=<>!*@/+\-|^?])
     """,
     re.VERBOSE,
 )
@@ -152,9 +152,27 @@ class FnCall:
 
 @dataclass(frozen=True)
 class PathPlus:
-    """A one-or-more property path: ``pred+``."""
+    """A one-or-more property path: ``pred+`` (``pred`` may be an
+    any-of tuple for ``(p1|p2)+`` alternations)."""
 
-    pred: str
+    pred: object
+
+
+@dataclass(frozen=True)
+class PathStar:
+    """A zero-or-more property path: ``pred*`` — the one-or-more
+    closure plus the zero-length path (every graph term matches
+    itself, SPARQL 1.1 §18.4 ZeroLengthPath)."""
+
+    pred: object
+
+
+@dataclass(frozen=True)
+class PathOpt:
+    """A zero-or-one property path: ``pred?`` — a single edge plus
+    the zero-length path."""
+
+    pred: object
 
 
 @dataclass
@@ -203,14 +221,16 @@ class Group:
     binds: list = field(default_factory=list)         # (expr, Var)
     values: list = field(default_factory=list)        # ([Var], [rows])
     subselects: list = field(default_factory=list)    # Query (form=select)
-    # BIND and OPTIONAL interact order-sensitively (a BIND written
-    # after an OPTIONAL must see its bindings — COALESCE over an
-    # optional var is the canonical shape), so their relative textual
-    # order is recorded here as ("bind"|"optional", payload) and the
-    # compiler replays THIS list for those two kinds; the `binds` /
-    # `optionals` lists above stay populated for the template/DATA
-    # validators (_has_nontriple_features) — keep both in sync when
-    # adding entries
+    # BIND, OPTIONAL and MINUS interact order-sensitively (a BIND
+    # written after an OPTIONAL must see its bindings; SPARQL folds
+    # MINUS left-to-right, so a MINUS before an OPTIONAL must NOT see
+    # the optional's bindings as shared variables), so their relative
+    # textual order is recorded here as
+    # ("bind"|"optional"|"minus", payload) and the compiler replays
+    # THIS list for those kinds; the `binds` / `optionals` / `minus`
+    # lists above stay populated for the template/DATA validators
+    # (_has_nontriple_features) — keep both in sync when adding
+    # entries
     seq: list = field(default_factory=list)
 
 
@@ -230,11 +250,11 @@ class Query:
 
 
 def _is_path_term(t) -> bool:
-    """A property-path construct: PathPlus/PathNeg nodes, or the fresh
-    ``__path`` variables emit_path introduces when rewriting sequence
-    paths — all of them invalid wherever only plain triples belong
-    (DATA blocks, templates, DELETE WHERE)."""
-    return isinstance(t, (PathPlus, PathNeg)) or (
+    """A property-path construct: PathPlus/PathStar/PathOpt/PathNeg
+    nodes, or the fresh ``__path`` variables emit_path introduces when
+    rewriting sequence paths — all of them invalid wherever only plain
+    triples belong (DATA blocks, templates, DELETE WHERE)."""
+    return isinstance(t, (PathPlus, PathStar, PathOpt, PathNeg)) or (
         isinstance(t, Var) and t.name.startswith("__path")
     )
 
@@ -398,6 +418,20 @@ class _Parser:
             if self.at_kw("WHERE"):  # DELETE WHERE { g }: template = BGP
                 self.next()
                 u.where = self.group()
+                # strict SPARQL limits DELETE WHERE to a QuadPattern:
+                # any pattern feature (FILTER/OPTIONAL/UNION/BIND/
+                # VALUES/MINUS/EXISTS/sub-SELECT) or doubly-nested
+                # GRAPH would make the mirrored template a silent
+                # subset of the matched solutions — reject loudly,
+                # matching the template/DATA validators
+                if _has_nontriple_features(u.where) or any(
+                    _has_nontriple_features(sub) or sub.graph_scopes
+                    for _, sub in u.where.graph_scopes
+                ):
+                    raise ValueError(
+                        "DELETE WHERE must be a quad pattern (triples "
+                        "and single-level GRAPH blocks only)"
+                    )
                 # the template mirrors the WHERE pattern, INCLUDING
                 # GRAPH-scoped triples (previously those compiled but
                 # produced an empty template → silent no-op delete)
@@ -462,7 +496,8 @@ class _Parser:
 
         def add(triples, graph):
             for s, p, o in triples:
-                if any(isinstance(t, (Var, PathPlus, PathNeg))
+                if any(isinstance(t, (Var, PathPlus, PathStar,
+                                      PathOpt, PathNeg))
                        for t in (s, p, o)):
                     raise ValueError(
                         "DATA blocks must be ground (no variables or paths)"
@@ -541,7 +576,9 @@ class _Parser:
                 continue
             if t.kind == "KW" and t.text == "MINUS":
                 self.next()
-                g.minus.append(self.group())
+                sub = self.group()
+                g.minus.append(sub)
+                g.seq.append(("minus", sub))
                 continue
             if t.kind == "KW" and t.text == "GRAPH":
                 self.next()
@@ -628,7 +665,11 @@ class _Parser:
             return None
         t = self.term()
         if isinstance(t, Lit):
-            return t.value
+            # tagged/typed literals keep their term identity (compared
+            # against the binding's meta columns at compile time, same
+            # semantics as pattern-position TypedLit); plain literals
+            # stay lexical strings
+            return t if (t.lang or t.datatype) else t.value
         if isinstance(t, Num):
             return t.text
         if isinstance(t, Var):
@@ -640,41 +681,89 @@ class _Parser:
     _path_counter = 0
 
     def path(self):
-        """Property path subset: ``p``, ``p+`` (one-or-more),
-        ``p1/p2/…`` sequences (each element optionally ``+``), and
-        ``!p`` / ``!(p1|p2)`` negated property sets (not combinable
-        with ``+``). Returns a list of path elements
-        [(pred, transitive), …]."""
-        parts = []
-        while True:
-            t = self.peek()
-            if t and t.kind == "OP" and t.text == "!":
+        """Property path subset (SPARQL 1.1 §9): elements with
+        modifiers ``+`` (one-or-more), ``*`` (zero-or-more), ``?``
+        (zero-or-one); inverse ``^elt``; sequences ``p1/p2``; negated
+        sets ``!p`` / ``!(p1|p2)``; and alternation — bare ``p1|p2``
+        over simple IRIs, or parenthesized ``(p1|p2)`` with an
+        optional modifier — compiling to an any-of predicate set.
+        Returns a list of path elements [(pred, mod, inverse), …]."""
+        parts = self.path_sequence()
+
+        def simple(ps) -> tuple:
+            if len(ps) != 1 or ps[0][1] is not None or ps[0][2]:
+                raise ValueError(
+                    "path alternation over sequence/modified/inverse "
+                    "elements needs parentheses: (p1|p2)+"
+                )
+            pred = ps[0][0]
+            if isinstance(pred, PathNeg):
+                raise ValueError(
+                    "negated sets cannot join a path alternation"
+                )
+            return pred if isinstance(pred, tuple) else (pred,)
+
+        t = self.peek()
+        if t and t.kind == "OP" and t.text == "|":
+            preds = list(simple(parts))
+            while self.peek() and self.peek().kind == "OP" \
+                    and self.peek().text == "|":
                 self.next()
-                pred = self.negated_property_set()
-                trans = False
-                t = self.peek()
-                if t and t.kind == "OP" and t.text == "+":
-                    raise ValueError(
-                        "transitive negated property set (!p)+ not supported"
-                    )
-                parts.append((pred, trans))
-                t = self.peek()
-                if t and t.kind == "OP" and t.text == "/":
-                    self.next()
-                    continue
-                return parts
-            pred = self.term(as_predicate=True)
-            trans = False
-            t = self.peek()
-            if t and t.kind == "OP" and t.text == "+":
+                preds.extend(simple(self.path_sequence()))
+            return [(tuple(dict.fromkeys(preds)), None, False)]
+        return parts
+
+    def path_sequence(self) -> list:
+        parts = [self.path_elt()]
+        while self.peek() and self.peek().kind == "OP" \
+                and self.peek().text == "/":
+            self.next()
+            parts.append(self.path_elt())
+        return parts
+
+    def path_elt(self):
+        """One element: ``[^] (IRI | (p1|p2|…) | !negset) [+*?]`` →
+        (pred, mod, inverse)."""
+        inv = False
+        t = self.peek()
+        if t and t.kind == "OP" and t.text == "^":
+            self.next()
+            inv = True
+        t = self.peek()
+        if t and t.kind == "OP" and t.text == "!":
+            self.next()
+            pred = self.negated_property_set()
+            if self.path_mod() is not None:
+                raise ValueError(
+                    "modified negated property set (!p)+/*/? not supported"
+                )
+            return (pred, None, inv)
+        if t and t.kind == "OP" and t.text == "(":
+            self.next()
+            preds = list(self._alt_member())
+            while self.peek() and self.peek().kind == "OP" \
+                    and self.peek().text == "|":
                 self.next()
-                trans = True
-            parts.append((pred, trans))
-            t = self.peek()
-            if t and t.kind == "OP" and t.text == "/":
-                self.next()
-                continue
-            return parts
+                preds.extend(self._alt_member())
+            self.expect("OP", ")")
+            return (tuple(dict.fromkeys(preds)), self.path_mod(), inv)
+        pred = self.term(as_predicate=True)
+        return (pred, self.path_mod(), inv)
+
+    def _alt_member(self) -> tuple:
+        """One IRI/pname inside a parenthesized alternation; any-of
+        constants (``a``, well-known pnames) flatten into the set."""
+        t = self.term(as_predicate=True)
+        if isinstance(t, (Var, Lit, Num)):
+            raise ValueError("path alternation members must be IRIs")
+        return t if isinstance(t, tuple) else (t,)
+
+    def path_mod(self) -> str | None:
+        t = self.peek()
+        if t and t.kind == "OP" and t.text in ("+", "*", "?"):
+            self.next()
+            return t.text
+        return None
 
     def negated_property_set(self) -> PathNeg:
         """After ``!``: a single IRI/pname, or ``(p1|p2|…)``. Any-of
@@ -703,16 +792,20 @@ class _Parser:
             preds.extend(flat(self.term(as_predicate=True)))
         return PathNeg(tuple(preds))
 
+    _PATH_WRAP = {"+": PathPlus, "*": PathStar, "?": PathOpt}
+
     def emit_path(self, g: Group, subj, parts, obj) -> None:
-        """Rewrite a path into chained patterns through fresh vars."""
+        """Rewrite a path into chained patterns through fresh vars.
+        An inverse element swaps its endpoints (``a ^p b`` is
+        ``b p a``); a modifier wraps the predicate in its Path node."""
         node = subj
-        for i, (pred, trans) in enumerate(parts):
+        for i, (pred, mod, inv) in enumerate(parts):
             last = i == len(parts) - 1
             nxt = obj if last else Var(f"__path{_Parser._path_counter}")
             if not last:
                 _Parser._path_counter += 1
-            p = PathPlus(pred) if trans else pred
-            g.triples.append((node, p, nxt))
+            p = _Parser._PATH_WRAP[mod](pred) if mod else pred
+            g.triples.append((nxt, p, node) if inv else (node, p, nxt))
             node = nxt
 
     def triples_same_subject(self, g: Group) -> None:
@@ -721,7 +814,8 @@ class _Parser:
             parts = self.path()
             while True:
                 obj = self.term()
-                if len(parts) == 1 and not parts[0][1]:
+                if len(parts) == 1 and parts[0][1] is None \
+                        and not parts[0][2]:
                     g.triples.append((subj, parts[0][0], obj))
                 else:
                     self.emit_path(g, subj, parts, obj)
@@ -779,7 +873,14 @@ class _Parser:
             dt = self.next()
             if dt.kind == "IRI":
                 return Lit(value, datatype=dt.text[1:-1])
-            return Lit(value, datatype=self.expand_pname(dt.text))
+            dtv = self.expand_pname(dt.text)
+            if isinstance(dtv, tuple):
+                # well-known undeclared prefix (xsd: without a PREFIX
+                # line): datatypes are stored as full IRIs, so the
+                # full form is the term identity — an any-of tuple
+                # here would leak into F.lit() sinks downstream
+                dtv = dtv[0]
+            return Lit(value, datatype=dtv)
         return Lit(value)
 
     def expand_pname(self, pname: str):
@@ -1343,23 +1444,34 @@ def _eval_lucene(triples: DataFrame, ent: str, query: str,
     return out if score_var else out.drop("__score")
 
 
+def _pred_cond(pred) -> Column:
+    return (
+        F.col("pred").isin(*pred) if isinstance(pred, (tuple, set, frozenset))
+        else F.col("pred") == pred
+    )
+
+
 def _transitive_pairs(triples: DataFrame, pred, start: str | None,
-                      max_depth: int = 12) -> DataFrame:
+                      max_depth: int = 12,
+                      graph_var: str | None = None) -> DataFrame:
     """Closure of ``pred+``: (a, b) pairs connected by 1..max_depth
     hops. With a constant subject the frontier starts there (bounded
     expansion, the ``recursive_dereference`` shape); var-var paths
     compute the bounded full closure. Iterations are joins on the
     edge relation — each round is one shuffle, O(log-ish) rounds for
-    typical shallow hierarchies."""
-    cond = (
-        F.col("pred").isin(*pred) if isinstance(pred, (tuple, set, frozenset))
-        else F.col("pred") == pred
-    )
-    edges = (
-        triples.filter(cond)
-        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
-        .distinct()
-    )
+    typical shallow hierarchies.
+
+    ``graph_var``: per-named-graph closure (the GRAPH ?var scope) —
+    edges carry the graph column aliased to the variable, every hop
+    joins on it too (a path never crosses graphs), and the result is
+    (a, b, graph_var) triples."""
+    gcols = [graph_var] if graph_var else []
+    t = triples
+    sel = [F.col("subj").alias("a"), F.col("obj").alias("b")]
+    if graph_var:
+        t = t.filter(F.col("graph").isNotNull())
+        sel.append(F.col("graph").alias(graph_var))
+    edges = t.filter(_pred_cond(pred)).select(*sel).distinct()
     if start is not None:
         frontier = edges.filter(F.col("a") == start)
     else:
@@ -1368,18 +1480,74 @@ def _transitive_pairs(triples: DataFrame, pred, start: str | None,
     for _ in range(max_depth - 1):
         nxt = (
             frontier.withColumnRenamed("b", "_m")
-            .join(edges.withColumnRenamed("a", "_m"), "_m")
-            .select("a", "b")
+            .join(edges.withColumnRenamed("a", "_m"), ["_m", *gcols])
+            .select("a", "b", *gcols)
             .distinct()
         )
-        new = nxt.join(result, ["a", "b"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        new = nxt.join(result, ["a", "b", *gcols], "left_anti") \
+            .localCheckpoint(eager=True)
         if not new.head(1):
             break
         result = result.unionByName(new)
         frontier = new
     return result
+
+
+def _path_pairs(triples: DataFrame, p, s_term, o_term,
+                graph_var: str | None = None) -> DataFrame:
+    """Endpoint pairs of a modified path: PathPlus → the 1..n closure,
+    PathStar → closure ∪ zero-length, PathOpt → single edge ∪
+    zero-length. The zero-length path matches every term in the
+    (scoped) graph PLUS any constant endpoint itself (SPARQL 1.1
+    §18.4: ZeroLengthPath(term) = {(term, term)} regardless of graph
+    membership). With ``graph_var`` the pairs carry the graph column
+    and stay within one named graph."""
+    start = s_term if isinstance(s_term, str) else None
+    if isinstance(p, PathPlus):
+        return _transitive_pairs(triples, p.pred, start,
+                                 graph_var=graph_var)
+    gcols = [graph_var] if graph_var else []
+    t = triples.filter(F.col("graph").isNotNull()) if graph_var else triples
+    gsel = [F.col("graph").alias(graph_var)] if graph_var else []
+    if isinstance(p, PathOpt):
+        step = t.filter(_pred_cond(p.pred)).select(
+            F.col("subj").alias("a"), F.col("obj").alias("b"), *gsel
+        ).distinct()
+        if start is not None:
+            step = step.filter(F.col("a") == start)
+    else:  # PathStar
+        step = _transitive_pairs(triples, p.pred, start,
+                                 graph_var=graph_var)
+    spark = triples.sparkSession
+    graphs_df = (
+        t.select(F.col("graph").alias(graph_var)).distinct()
+        if graph_var else None
+    )
+    if start is not None:
+        # constant subject: zero-length yields exactly (start, start)
+        nodes = spark.createDataFrame([(start,)], "n string")
+        if graph_var:
+            nodes = nodes.crossJoin(graphs_df)
+    else:
+        nodes = (
+            t.select(F.col("subj").alias("n"), *gsel)
+            .unionByName(t.select(F.col("obj").alias("n"), *gsel))
+            .distinct()
+        )
+        consts = [c for c in (s_term, o_term) if isinstance(c, str)]
+        for c in (s_term, o_term):
+            if isinstance(c, tuple):
+                consts.extend(x for x in c if isinstance(x, str))
+        if consts:
+            extra = spark.createDataFrame(
+                [(c,) for c in sorted(set(consts))], "n string"
+            )
+            if graph_var:
+                extra = extra.crossJoin(graphs_df)
+            nodes = nodes.unionByName(extra)
+    ident = nodes.select(F.col("n").alias("a"), F.col("n").alias("b"),
+                         *gcols)
+    return step.unionByName(ident).distinct()
 
 
 def _compat_join(df: DataFrame, right: DataFrame, total: list[str],
@@ -1462,6 +1630,129 @@ def _merge_inner(df: DataFrame | None, maybe: set,
     return out, new_maybe
 
 
+def _apply_minus(triples: DataFrame, df: DataFrame, maybe: set,
+                 sub: Group, graph) -> DataFrame:
+    """SPARQL MINUS: remove solutions compatible with the sub-group on
+    a NON-EMPTY shared domain — an anti join when all shared keys are
+    fully bound, else the unbound-compatible condition plus the
+    dom(μ)∩dom(μ')≠∅ guard. Replayed in textual order via ``g.seq``."""
+    sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=graph)
+    shared = sorted(
+        set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
+    )
+    if not shared:
+        # SPARQL MINUS: solutions with disjoint domains are never
+        # compatible — removes nothing (unlike NOT EXISTS)
+        return df
+    partial = [c for c in shared if c in maybe or c in sub_maybe]
+    if not partial:
+        return df.join(sub_df.select(*shared), on=shared,
+                       how="left_anti")
+    r, cond, rcols = _renamed_compat(df, sub_df, shared,
+                                     partial, "__m_")
+    both_bound = F.lit(False)  # dom(μ)∩dom(μ') must be non-empty
+    for c in shared:
+        both_bound = both_bound | (
+            df[c].isNotNull() & rcols[c].isNotNull()
+        )
+    return df.join(r, cond & both_bound, "left_anti")
+
+
+def _apply_values(triples: DataFrame, df: DataFrame | None, maybe: set,
+                  vars_: list, rows: list):
+    """Inline VALUES → broadcast-joined literal table. A column with
+    any UNDEF row is maybe-unbound (unbound-compatible join). Rows may
+    carry tagged/typed literals (``Lit`` with @lang/^^datatype): those
+    compare as exact RDF terms against the binding's meta columns —
+    the same semantics as ``tagged_eq`` / pattern-position TypedLit —
+    instead of silently matching on lexical form alone. A var bound
+    only by the VALUES table keeps its row's @lang/^^dt as its
+    ``__lang``/``__dt`` meta binding. A shared var WITHOUT meta
+    columns falls back to lexical comparison (the documented
+    plain-literal divergence)."""
+    names = [v.name for v in vars_]
+    v_maybe = {n for i, n in enumerate(names)
+               if any(r[i] is None for r in rows)}
+    tagged = {n for i, n in enumerate(names)
+              if any(isinstance(r[i], Lit) for r in rows)}
+    spark = triples.sparkSession
+    if not tagged:
+        vdf = spark.createDataFrame(
+            [tuple(r) for r in rows],
+            ", ".join(f"{n} string" for n in names),
+        )
+        return _merge_inner(df, maybe, vdf, v_maybe,
+                            broadcast_right=True)
+    fields, out_rows = [], []
+    for n in names:
+        fields.append(f"{n} string")
+        if n in tagged:
+            fields += [f"{n}__lang string", f"{n}__dt string"]
+    for r in rows:
+        row = []
+        for i, n in enumerate(names):
+            t = r[i]
+            row.append(t.value if isinstance(t, Lit) else t)
+            if n in tagged:
+                row.append(t.lang if isinstance(t, Lit) else None)
+                row.append(t.datatype if isinstance(t, Lit) else None)
+        out_rows.append(tuple(row))
+    vdf = spark.createDataFrame(out_rows, ", ".join(fields))
+    if df is None:
+        # the VALUES table IS the solution; tagged columns' meta rides
+        # along as the binding's {var}__lang/{var}__dt
+        return vdf, set(v_maybe)
+    ren = {c: f"__v_{c}" for c in vdf.columns}
+    r = vdf
+    for c, rc in ren.items():
+        r = r.withColumnRenamed(c, rc)
+    r = F.broadcast(r)
+    shared = [n for n in names if n in df.columns]
+    cond = F.lit(True)
+    for n in shared:
+        rv = F.col(ren[n])
+        dv = df[n]
+        c_val = dv == rv
+        if n in maybe or n in v_maybe:
+            c_val = dv.isNull() | rv.isNull() | c_val
+        cond = cond & c_val
+        if n in tagged and f"{n}__lang" in df.columns \
+                and f"{n}__dt" in df.columns:
+            rlang, rdt = F.col(ren[f"{n}__lang"]), F.col(ren[f"{n}__dt"])
+            dlang, ddt = df[f"{n}__lang"], df[f"{n}__dt"]
+            meta = (
+                F.when(rlang.isNotNull(),
+                       F.coalesce(dlang == rlang, F.lit(False)))
+                .when(rdt == F.lit(XSD_STRING),
+                      dlang.isNull()
+                      & (ddt.isNull() | (ddt == XSD_STRING)))
+                .when(rdt.isNotNull(),
+                      F.coalesce(ddt == rdt, F.lit(False)))
+                .otherwise(F.lit(True))  # plain-literal row: lexical
+            )
+            # an unbound side matches anything, meta included
+            cond = cond & F.when(dv.isNotNull() & rv.isNotNull(),
+                                 meta).otherwise(F.lit(True))
+    out = df.join(r, cond, "inner") if shared else df.crossJoin(r)
+    for n in names:
+        if n in df.columns:
+            if n in maybe or n in v_maybe:
+                out = out.withColumn(n, F.coalesce(df[n], F.col(ren[n])))
+            out = out.drop(ren[n])
+        else:
+            out = out.withColumnRenamed(ren[n], n)
+            if n in tagged:
+                for kind in ("lang", "dt"):
+                    mc = f"{n}__{kind}"
+                    out = (out.drop(ren[mc]) if mc in df.columns
+                           else out.withColumnRenamed(ren[mc], mc))
+    out = out.drop(*[c for c in out.columns if c.startswith("__v_")])
+    new_maybe = {c for c in maybe if c not in shared}
+    new_maybe |= {n for n in names if n not in shared and n in v_maybe}
+    new_maybe |= {c for c in shared if c in maybe and c in v_maybe}
+    return out, new_maybe
+
+
 def _compile_group(triples: DataFrame, g: Group,
                    graph=None) -> DataFrame:
     return _compile_group_ex(triples, g, graph)[0]
@@ -1488,17 +1779,20 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
 
     maybe: set[str] = set()
     patterns, searches = _split_lucene(g)
+    _PATHS = (PathPlus, PathStar, PathOpt)
     path_patterns = [
-        (s, p, o) for (s, p, o) in patterns if isinstance(p, PathPlus)
+        (s, p, o) for (s, p, o) in patterns if isinstance(p, _PATHS)
     ]
     patterns = [
         (s, _const_of(p), _const_of(o)) for (s, p, o) in patterns
-        if not isinstance(p, PathPlus)
+        if not isinstance(p, _PATHS)
     ]
-    if graph_var is not None and (searches or path_patterns):
+    if graph_var is not None and searches:
+        # the FTS posting table is corpus-global, not per-graph — a
+        # per-graph score would need per-graph document frequencies
         raise ValueError(
-            "luc: search and transitive paths not supported inside "
-            "GRAPH ?var scopes; use a constant graph"
+            "luc: search not supported inside GRAPH ?var scopes; "
+            "use a constant graph"
         )
 
     df: DataFrame | None = None
@@ -1509,10 +1803,7 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
         sr = _eval_lucene(base_triples, ent, q, score_var)
         df = sr if df is None else df.join(sr, on=ent, how="inner")
     for s, p, o in path_patterns:
-        pairs = _transitive_pairs(
-            base_triples, p.pred,
-            start=s if isinstance(s, str) else None,
-        )
+        pairs = _path_pairs(base_triples, p, s, o, graph_var=graph_var)
 
         def _match(col, term):
             if isinstance(term, tuple):  # any-of constant
@@ -1527,9 +1818,16 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
         else:
             pairs = pairs.filter(_match(F.col("a"), s))
         if isinstance(o, Var):
-            sel.append(F.col("b").alias(o.name))
+            if isinstance(s, Var) and o.name == s.name:
+                # same variable at both endpoints (?x p* ?x): the
+                # path must loop back — one column, filtered
+                pairs = pairs.filter(F.col("a") == F.col("b"))
+            else:
+                sel.append(F.col("b").alias(o.name))
         else:
             pairs = pairs.filter(_match(F.col("b"), o))
+        if graph_var is not None:
+            sel.append(F.col(graph_var))
         # no variables → pure existence constraint on the group
         pp = pairs.select(*sel) if sel else pairs.select(F.lit(1).alias("__hit")).limit(1)
         if df is None:
@@ -1545,20 +1843,31 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
     # staging (advanced-topics.md:441-452) becomes a GlobalLimit BELOW
     # the join in the physical plan.
     for subq in g.subselects:
-        if graph_var is not None:
-            raise ValueError("sub-SELECT inside GRAPH ?var not supported")
         inner_df, inner_maybe = _compile_group_ex(
             triples, subq.where, graph=graph
         )
-        sub_df = _select_result(subq, inner_df)
+        if graph_var is None:
+            sub_df = _select_result(subq, inner_df)
+            eff_projs = subq.projections
+        else:
+            sub_df, eff_projs = _select_result_scoped(
+                subq, inner_df, graph_var
+            )
         sub_maybe: set[str] = set()
-        for p in subq.projections:
+        for p in eff_projs:
             if isinstance(p, Var):
                 if p.name in inner_maybe or p.name not in inner_df.columns:
                     sub_maybe.add(p.name)
             elif p == "*":
                 sub_maybe |= inner_maybe & set(sub_df.columns)
-            elif not isinstance(p[0], Agg) and _vars_of(p[0]) & inner_maybe:
+            elif isinstance(p[0], Agg):
+                # MAX/MIN/SUM/AVG/SAMPLE/GROUP_CONCAT over a
+                # maybe-unbound variable can be NULL per group (COUNT
+                # never is) → the alias must join unbound-compatibly
+                # downstream, not on a NULL-never-matches equi key
+                if p[0].fn != "COUNT" and _vars_of(p[0]) & inner_maybe:
+                    sub_maybe.add(p[1].name)
+            elif _vars_of(p[0]) & inner_maybe:
                 sub_maybe.add(p[1].name)
         df, maybe = _merge_inner(df, maybe, sub_df, sub_maybe)
     # graph-scoped subgroups join into the enclosing solution; a Var
@@ -1591,22 +1900,17 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             u = u.unionByName(other, allowMissingColumns=True)
         df, maybe = _merge_inner(df, maybe, u, u_maybe)
     # inline VALUES: a broadcast-joined literal table; a column with
-    # any UNDEF row is maybe-unbound → unbound-compatible join
+    # any UNDEF row is maybe-unbound → unbound-compatible join; rows
+    # with tagged/typed literals compare as exact RDF terms
     for vars_, rows in g.values:
-        names = [v.name for v in vars_]
-        vdf = triples.sparkSession.createDataFrame(
-            rows, ", ".join(f"{n} string" for n in names)
-        )
-        v_maybe = {
-            n for i, n in enumerate(names) if any(r[i] is None for r in rows)
-        }
-        df, maybe = _merge_inner(df, maybe, vdf, v_maybe,
-                                 broadcast_right=True)
+        df, maybe = _apply_values(triples, df, maybe, vars_, rows)
     if df is None:
         raise ValueError("SPARQL compiler: empty WHERE group")
-    # BIND and OPTIONAL replay in textual order (g.seq): a BIND after
-    # an OPTIONAL sees its bindings, an OPTIONAL after a BIND can join
-    # on the bound variable
+    # BIND, OPTIONAL and MINUS replay in textual order (g.seq): a BIND
+    # after an OPTIONAL sees its bindings, an OPTIONAL after a BIND
+    # can join on the bound variable, and a MINUS before an OPTIONAL
+    # does NOT see the optional's bindings as shared variables (SPARQL
+    # folds MINUS left-to-right)
     for _kind, _payload in g.seq:
         if _kind == "bind":
             e, v = _payload
@@ -1618,6 +1922,9 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             if (refs & maybe) or (refs - set(df.columns)):
                 maybe.add(v.name)
             df = df.withColumn(v.name, _compile_expr(e, df))
+            continue
+        if _kind == "minus":
+            df = _apply_minus(triples, df, maybe, _payload, graph)
             continue
         sub = _payload
         # SPARQL LeftJoin(Ω1, Ω2, expr): a FILTER at the top level of
@@ -1690,28 +1997,6 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
                 partial, how="left",
             )
         maybe |= sub_cols - set(shared)
-    for sub in g.minus:
-        sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=graph)
-        shared = sorted(
-            set(df.columns) & {c for c in sub_df.columns if not _is_meta(c)}
-        )
-        if not shared:
-            # SPARQL MINUS: solutions with disjoint domains are never
-            # compatible — removes nothing (unlike NOT EXISTS)
-            continue
-        partial = [c for c in shared if c in maybe or c in sub_maybe]
-        if not partial:
-            df = df.join(sub_df.select(*shared), on=shared,
-                         how="left_anti")
-        else:
-            r, cond, rcols = _renamed_compat(df, sub_df, shared,
-                                             partial, "__m_")
-            both_bound = F.lit(False)  # dom(μ)∩dom(μ') must be non-empty
-            for c in shared:
-                both_bound = both_bound | (
-                    df[c].isNotNull() & rcols[c].isNotNull()
-                )
-            df = df.join(r, cond & both_bound, "left_anti")
     # FILTER EXISTS → semi join; FILTER NOT EXISTS → anti join. Same
     # compatibility condition either way.
     for how, subs in (("left_semi", g.exists), ("left_anti", g.not_exists)):
@@ -1861,6 +2146,56 @@ def _select_result(q: Query, df: DataFrame) -> DataFrame:
         ]
     out = _order_limit(q, _project(q, df, keep=hidden))
     return out.drop(*hidden) if hidden else out
+
+
+def _select_result_scoped(q: Query, df: DataFrame, graph_var: str):
+    """A sub-SELECT inside a GRAPH ?var scope: per SPARQL the
+    sub-query evaluates once per named graph, so the graph variable
+    threads through projection and grouping (aggregates become
+    per-graph), and ORDER/LIMIT/OFFSET apply PER GRAPH — a row_number
+    window partitioned by the graph — rather than once across the
+    union of graphs. Returns ``(result, effective_projections)``; the
+    caller's maybe-unbound marking reads the latter."""
+    projections = list(q.projections)
+    proj_names = {p.name for p in projections if isinstance(p, Var)}
+    if "*" not in projections and graph_var not in proj_names:
+        projections.append(Var(graph_var))
+    group_by = list(q.group_by)
+    has_agg = bool(group_by) or any(
+        isinstance(p, tuple) and isinstance(p[0], Agg) for p in projections
+    ) or isinstance(q.having, BinOp)
+    if has_agg and graph_var not in {v.name for v in group_by}:
+        group_by.append(Var(graph_var))
+    q2 = _dc_replace(q, projections=projections, group_by=group_by,
+                     order_by=[], limit=None, offset=None)
+    out = _select_result(q2, df)
+    if q.order_by or q.limit is not None or q.offset:
+        from pyspark.sql.window import Window
+
+        keys = []
+        for e, asc in q.order_by:
+            if isinstance(e, Var) and e.name not in out.columns:
+                raise ValueError(
+                    f"ORDER BY ?{e.name} inside GRAPH ?{graph_var}: "
+                    "project the variable in the sub-SELECT"
+                )
+            c = (F.col(e.name) if isinstance(e, Var)
+                 else _compile_expr(e, out))
+            keys.append(c.asc() if asc else c.desc())
+        if not keys:
+            # LIMIT without ORDER BY: SPARQL leaves the order
+            # unspecified — any deterministic per-graph order serves
+            keys = [F.col(c).asc() for c in out.columns
+                    if c != graph_var and not _is_internal(c)][:1] \
+                or [F.lit(1).asc()]
+        w = Window.partitionBy(graph_var).orderBy(*keys)
+        out = out.withColumn("__rn", F.row_number().over(w))
+        lo = q.offset or 0
+        cond = F.col("__rn") > lo
+        if q.limit is not None:
+            cond = cond & (F.col("__rn") <= lo + q.limit)
+        out = out.filter(cond).drop("__rn")
+    return out, projections
 
 
 def _construct(q: Query, sols: DataFrame) -> DataFrame:

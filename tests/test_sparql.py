@@ -696,8 +696,18 @@ def test_parse_errors():
     # round-4 grammar: loud failures for the unsupported corners
     with pytest.raises(ValueError, match="property paths"):
         parse_sparql("DELETE WHERE { ?s <p:a>+ ?o }")
-    with pytest.raises(ValueError, match="no deletable"):
+    # round-5: DELETE WHERE rejects any non-quad pattern feature
+    # loudly (previously only the empty-template case raised)
+    with pytest.raises(ValueError, match="quad pattern"):
         parse_sparql("DELETE WHERE { FILTER(?x > 1) }")
+    with pytest.raises(ValueError, match="quad pattern"):
+        parse_sparql(
+            "DELETE WHERE { ?s <p:a> ?o . OPTIONAL { ?s <p:b> ?x } }"
+        )
+    with pytest.raises(ValueError, match="quad pattern"):
+        parse_sparql(
+            "DELETE WHERE { GRAPH <g:a> { GRAPH <g:b> { ?s <p:a> ?o } } }"
+        )
     with pytest.raises(ValueError, match="negated property set"):
         parse_sparql("SELECT ?s WHERE { ?s !(?v) ?o }")
     with pytest.raises(ValueError, match="not supported"):
@@ -1229,3 +1239,271 @@ def test_review_fixes_round4_pass2(spark, kb):
     """)
     r = df3.collect()[0]
     assert (r.a, r.b) == (-2.0, 3.0)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: property paths * / ? / ^ / |, GRAPH ?var composition lifts,
+# MINUS textual ordering, term-aware VALUES.
+
+def test_property_path_star(chain_kb):
+    # zero-or-more from a constant: the node itself + the closure
+    df = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { <urn:n:a> ex:partOf* ?x } ORDER BY ?x
+    """)
+    assert [r.x for r in df.collect()] == [
+        "urn:n:a", "urn:n:b", "urn:n:c", "urn:n:d"
+    ]
+    # var-var: identity over every term in the graph + the closure
+    # (5 distinct terms incl. the label literal, 6 reachable pairs)
+    df2 = execute_sparql(
+        chain_kb, "SELECT ?a ?b WHERE { ?a ex:partOf* ?b }"
+    )
+    assert df2.count() == 5 + 6
+    # a constant endpoint not present in the graph still matches
+    # itself (SPARQL 1.1 §18.4 ZeroLengthPath(term) = {(term, term)})
+    df3 = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { <urn:n:zz> ex:partOf* ?x }
+    """)
+    assert [r.x for r in df3.collect()] == ["urn:n:zz"]
+
+
+def test_property_path_zero_or_one(chain_kb):
+    df = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { <urn:n:a> ex:partOf? ?x } ORDER BY ?x
+    """)
+    assert [r.x for r in df.collect()] == ["urn:n:a", "urn:n:b"]
+    # sequence with a ? tail: c itself and its parent, then label —
+    # only d carries one
+    df2 = execute_sparql(chain_kb, """
+        SELECT ?l WHERE { <urn:n:c> ex:partOf?/rdfs:label ?l }
+    """)
+    assert [r.l for r in df2.collect()] == ["the root"]
+
+
+def test_property_path_inverse(chain_kb):
+    df = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { <urn:n:c> ^ex:partOf ?x }
+    """)
+    assert [r.x for r in df.collect()] == ["urn:n:b"]
+    # ^p+ = inverse of the closure: everything below d
+    df2 = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { <urn:n:d> ^ex:partOf+ ?x } ORDER BY ?x
+    """)
+    assert [r.x for r in df2.collect()] == [
+        "urn:n:a", "urn:n:b", "urn:n:c"
+    ]
+    # inverse inside a sequence: b's parent's label via ^ from d
+    df3 = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { ?x ex:partOf/^ex:partOf ?x }
+    """)
+    # x -> parent -> back to x: every node with a parent
+    assert sorted(r.x for r in df3.collect()) == [
+        "urn:n:a", "urn:n:b", "urn:n:c"
+    ]
+
+
+def test_property_path_alternation(chain_kb):
+    # bare alternation of simple IRIs
+    df = execute_sparql(chain_kb, """
+        SELECT ?o WHERE { <urn:n:c> ex:partOf|rdfs:label ?o }
+    """)
+    assert [r.o for r in df.collect()] == ["urn:n:d"]
+    # parenthesized form
+    df2 = execute_sparql(chain_kb, """
+        SELECT ?o WHERE { <urn:n:d> (ex:partOf|rdfs:label) ?o }
+    """)
+    assert [r.o for r in df2.collect()] == ["the root"]
+    # modified parenthesized alternation: (p1|p2)+ closure over the
+    # union edge set reaches the label through the chain
+    df3 = execute_sparql(chain_kb, """
+        SELECT ?o WHERE { <urn:n:b> (ex:partOf|rdfs:label)+ ?o }
+        ORDER BY ?o
+    """)
+    assert [r.o for r in df3.collect()] == [
+        "the root", "urn:n:c", "urn:n:d"
+    ]
+    # bare alternation with a modifier needs parentheses — loud
+    with pytest.raises(ValueError, match="parenthes"):
+        parse_sparql("SELECT ?o WHERE { ?s <p:a>|<p:b>+ ?o }")
+
+
+def test_graph_var_transitive_path(spark):
+    # per-graph closure: a path never crosses graph boundaries
+    rows = []
+    for g, chain in [("urn:g:1", ["a", "b", "c"]),
+                     ("urn:g:2", ["x", "y"])]:
+        for s, o in zip(chain, chain[1:]):
+            rows.append((f"urn:n:{s}", "ex:partOf", f"urn:n:{o}",
+                         None, None, g, None))
+    kb2 = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(kb2, """
+        SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a ex:partOf+ ?b } }
+        ORDER BY ?g ?a ?b
+    """)
+    assert [(r.g, r.a, r.b) for r in df.collect()] == [
+        ("urn:g:1", "urn:n:a", "urn:n:b"),
+        ("urn:g:1", "urn:n:a", "urn:n:c"),
+        ("urn:g:1", "urn:n:b", "urn:n:c"),
+        ("urn:g:2", "urn:n:x", "urn:n:y"),
+    ]
+    # edges split across graphs do NOT compose into a cross-graph hop
+    rows2 = [
+        ("urn:n:a", "ex:partOf", "urn:n:b", None, None, "urn:g:1", None),
+        ("urn:n:b", "ex:partOf", "urn:n:c", None, None, "urn:g:2", None),
+    ]
+    kb3 = spark.createDataFrame(rows2, S.TRIPLES)
+    df2 = execute_sparql(kb3, """
+        SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a ex:partOf+ ?b } }
+        ORDER BY ?g ?a ?b
+    """)
+    assert [(r.g, r.a, r.b) for r in df2.collect()] == [
+        ("urn:g:1", "urn:n:a", "urn:n:b"),
+        ("urn:g:2", "urn:n:b", "urn:n:c"),
+    ]
+    # star inside GRAPH ?var: zero-length identity is per named graph
+    df3 = execute_sparql(kb3, """
+        SELECT ?g ?x WHERE { GRAPH ?g { <urn:n:a> ex:partOf* ?x } }
+        ORDER BY ?g ?x
+    """)
+    assert [(r.g, r.x) for r in df3.collect()] == [
+        ("urn:g:1", "urn:n:a"), ("urn:g:1", "urn:n:b"),
+        ("urn:g:2", "urn:n:a"),
+    ]
+
+
+def test_graph_var_subselect(kb):
+    # sub-SELECT inside GRAPH ?var: aggregates are per named graph
+    df = execute_sparql(kb, """
+        SELECT ?g ?n WHERE {
+          GRAPH ?g { { SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } } }
+        } ORDER BY ?g
+    """)
+    from pyspark.sql import functions as F
+
+    per_graph = {
+        r.graph: r.n
+        for r in kb.groupBy("graph").agg(F.count("*").alias("n")).collect()
+    }
+    assert [(r.g, r.n) for r in df.collect()] == sorted(
+        per_graph.items()
+    )
+    # ORDER/LIMIT inside the scope applies PER GRAPH, not globally
+    df2 = execute_sparql(kb, """
+        SELECT ?g ?s WHERE {
+          GRAPH ?g {
+            { SELECT ?s WHERE { ?s ?p ?o } ORDER BY ?s LIMIT 1 }
+          }
+        } ORDER BY ?g
+    """)
+    assert [(r.g, r.s) for r in df2.collect()] == [
+        ("urn:g:obs", "urn:obs:0"), ("urn:g:other", "urn:obs:100"),
+    ]
+
+
+def test_minus_textual_order(spark):
+    """SPARQL folds MINUS at its textual position (left-to-right group
+    translation): a MINUS written before an OPTIONAL that binds one of
+    the MINUS pattern's variables must NOT see that variable as
+    shared."""
+    rows = [
+        ("urn:s:0", "rdf:type", "ex:Sensor", None, None, "urn:g", None),
+        ("urn:s:1", "rdf:type", "ex:Sensor", None, None, "urn:g", None),
+        ("urn:s:0", "ex:nick", "nicky", None, None, "urn:g", None),
+        ("urn:s:0", "rdfs:label", "marine sensor", None, None, "urn:g",
+         None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?s ?l WHERE {
+          ?s a ex:Sensor .
+          MINUS { ?s rdfs:label ?l }
+          OPTIONAL { ?s ex:nick ?l }
+        } ORDER BY ?s
+    """)
+    # at the MINUS point the domain is {?s} → labeled urn:s:0 is
+    # removed; binding ?l via the LATER optional (to "nicky", which
+    # differs from the label) must not shield it
+    assert [(r.s, r.l) for r in df.collect()] == [("urn:s:1", None)]
+
+
+def test_values_tagged_literal_term_matching(kb):
+    # VALUES with @lang matches the exact RDF term
+    df = execute_sparql(kb, f"""
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s ?l WHERE {{
+          ?s rdfs:label ?l .
+          VALUES ?l {{ "marine sensor"@en }}
+        }}
+    """)
+    assert [(r.s, r.l) for r in df.collect()] == [
+        ("urn:sensor:0", "marine sensor")
+    ]
+    # wrong language tag matches nothing (previously matched
+    # lexically)
+    df2 = execute_sparql(kb, f"""
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l .
+          VALUES ?l {{ "marine sensor"@nl }}
+        }}
+    """)
+    assert df2.count() == 0
+    # mixed rows: each row matches its own term
+    df3 = execute_sparql(kb, f"""
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?l WHERE {{
+          ?s rdfs:label ?l .
+          VALUES ?l {{ "mariene sensor"@nl "nope"@en }}
+        }}
+    """)
+    assert [r.l for r in df3.collect()] == ["mariene sensor"]
+    # ^^xsd:string (undeclared well-known prefix) = plain term; a
+    # typed datatype the store lacks matches nothing
+    df4 = execute_sparql(kb, """
+        SELECT ?r WHERE {
+          ?s <http://www.w3.org/ns/sosa/hasResult> ?r .
+          VALUES ?r { "10"^^xsd:string }
+        }
+    """)
+    assert [r.r for r in df4.collect()] == ["10"]
+    df5 = execute_sparql(kb, """
+        SELECT ?r WHERE {
+          ?s <http://www.w3.org/ns/sosa/hasResult> ?r .
+          VALUES ?r { "10"^^xsd:integer }
+        }
+    """)
+    assert df5.count() == 0
+    # plain-literal rows keep the documented lexical divergence
+    df6 = execute_sparql(kb, f"""
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l . VALUES ?l {{ "marine sensor" }}
+        }}
+    """)
+    assert df6.count() == 1
+
+
+def test_values_only_group_carries_meta(kb):
+    # a var bound ONLY by VALUES keeps its row's @lang as the meta
+    # binding — LANG() reads it
+    df = execute_sparql(kb, """
+        SELECT ?l WHERE {
+          VALUES ?l { "a"@en "b" }
+          FILTER(LANG(?l) = "en")
+        }
+    """)
+    assert [r.l for r in df.collect()] == ["a"]
+
+
+def test_path_same_var_both_ends(chain_kb):
+    # ?x p ?x with a path predicate: must loop back, not crash on a
+    # duplicate column (found driving the store end-to-end)
+    df = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { ?x ex:partOf+ ?x }
+    """)
+    assert df.count() == 0  # the chain is acyclic
+    df2 = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { ?x ex:partOf* ?x } ORDER BY ?x
+    """)
+    # zero-length: every term loops to itself
+    assert df2.count() == 5
