@@ -84,38 +84,66 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     raw = d.decompress(bytes(idat), expected)
     if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("PNG IDAT size mismatch")
-    out = bytearray()
-    prev = bytearray(stride)
-    pos = 0
-    for _ in range(height):
-        f = raw[pos]
-        pos += 1
-        line = bytearray(raw[pos:pos + stride])
-        pos += stride
-        if f == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+    return width, height, ch, bytes(
+        _unfilter(raw, height, width, ch)
+    )
+
+
+def _unfilter(raw: bytes, height: int, width: int, ch: int) -> bytes:
+    """Reverse the per-scanline PNG filters (RFC 2083 §6). None/Sub/Up
+    are numpy-vectorized per row: None is a copy, Sub is a wrapping
+    prefix-sum over the pixel axis (``np.add.accumulate`` on uint8
+    wraps mod 256), Up is one vectorized add against the previous row
+    (~10× the byte loop, BENCH/PNG_UNFILTER.md). Average and Paeth
+    have a strict sequential dependency on the reconstructed LEFT
+    pixel, so they stay byte loops — a measured per-pixel numpy
+    variant was ~10× SLOWER (array-op overhead on (channels,)-sized
+    operands dwarfs the arithmetic; see the same bench note). Byte-
+    exact with the scalar definition (pinned by the round-trip tests
+    across all five filter types)."""
+    import numpy as np
+
+    stride = width * ch
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = int(scan[y, 0])
+        line = scan[y, 1:]
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: wrapping cumulative sum per channel lane
+            cur = np.add.accumulate(
+                line.reshape(width, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            cur = line + prev  # uint8 add wraps mod 256
         elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            # bytes indexing: numpy scalar extraction in a hot loop
+            # is ~5× slower than bytearray access
+            ln, pv = bytearray(line.tobytes()), prev.tobytes()
+            for i in range(ch):
+                ln[i] = (ln[i] + (pv[i] >> 1)) & 0xFF
+            for i in range(ch, stride):
+                ln[i] = (ln[i] + ((ln[i - ch] + pv[i]) >> 1)) & 0xFF
+            cur = np.frombuffer(bytes(ln), dtype=np.uint8)
         elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+            ln, pv = bytearray(line.tobytes()), prev.tobytes()
+            for i in range(ch):
+                # a = c = 0 → predictor is b
+                ln[i] = (ln[i] + pv[i]) & 0xFF
+            for i in range(ch, stride):
+                a, b, c = ln[i - ch], pv[i], pv[i - ch]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        elif f != 0:
+                ln[i] = (ln[i] + pr) & 0xFF
+            cur = np.frombuffer(bytes(ln), dtype=np.uint8)
+        else:
             raise ValueError(f"bad PNG filter type {f}")
-        out += line
-        prev = line
-    return width, height, ch, bytes(out)
+        out[y] = cur
+        prev = out[y]
+    return out.tobytes()
 
 
 def _image_features(w: int, h: int, ch: int, px: bytes) -> list[float]:

@@ -576,3 +576,24 @@ def test_png_features_through_distributed_path(spark):
     assert feats["m1"][2] == 1.0 and feats["m1"][3] == 0.0   # pure red
     assert feats["m2"][2] == 0.0 and feats["m2"][3] == 1.0   # pure green
     assert feats["m1"][5] == 1.0  # opaque
+
+
+def test_png_decode_large_mixed_filters():
+    """Round-5 vectorized unfilter: byte-exact on a 100x100 RGB image
+    cycling through all five filter types (the BENCH/PNG_UNFILTER.md
+    fixture shape)."""
+    import random
+
+    from kgap_spark.functions.multimodal import decode_png
+
+    rng = random.Random(42)
+    w = h = 100
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    png = _encode_png(w, h, px, color_type=2,
+                      filters=[i % 5 for i in range(h)])
+    assert decode_png(png) == (w, h, 3, px)
+    # RGBA variant exercises the ch=4 lanes of the Sub accumulate
+    px4 = bytes(rng.randrange(256) for _ in range(20 * 10 * 4))
+    png4 = _encode_png(20, 10, px4, color_type=6,
+                       filters=[(i * 3) % 5 for i in range(10)])
+    assert decode_png(png4) == (20, 10, 4, px4)
