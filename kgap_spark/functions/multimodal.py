@@ -177,23 +177,34 @@ def _image_features(w: int, h: int, ch: int, px: bytes) -> list[float]:
     return feats[:FEATURE_DIM]
 
 
+_JPEG_SIG = b"\xff\xd8"
+
+
 def _decode_image(payload: bytes) -> list[float] | None:
-    """PNG → REAL decode (pure-stdlib ``decode_png``) → pooled
-    features. A PNG-signature payload that fails to decode (corrupt,
-    palette/16-bit/interlaced, truncated) yields NULL features —
-    per-row error isolation; one bad image in a 10¹²-doc corpus must
-    not fail the whole extract job. Other formats: deterministic fake
-    under ``KGAP_FAKE_DECODE`` (their codecs aren't in this
-    container)."""
+    """PNG and baseline JPEG → REAL decode (pure stdlib+numpy:
+    ``decode_png`` here, ``jpeg.decode_jpeg``) → pooled features. A
+    recognized-signature payload that fails to decode (corrupt,
+    palette/16-bit/interlaced PNG, progressive/subsampled JPEG,
+    truncated) yields NULL features — per-row error isolation; one
+    bad image in a 10¹²-doc corpus must not fail the whole extract
+    job. Remaining formats (GIF/WebP/…): deterministic fake under
+    ``KGAP_FAKE_DECODE`` (their codecs aren't in this container)."""
     data = payload or b""
     if data.startswith(_PNG_SIG):
         try:
             return _image_features(*decode_png(data))
         except Exception:
             return None
+    if data.startswith(_JPEG_SIG):
+        from kgap_spark.functions.jpeg import decode_jpeg
+
+        try:
+            return _image_features(*decode_jpeg(data))
+        except Exception:
+            return None
     if not KGAP_FAKE_DECODE:  # pragma: no cover
         raise NotImplementedError(
-            "non-PNG image decode requires PIL — not in this image"
+            "non-PNG/JPEG image decode requires PIL — not in this image"
         )
     digest = hashlib.sha256(data).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]

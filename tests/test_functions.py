@@ -597,3 +597,242 @@ def test_png_decode_large_mixed_filters():
     png4 = _encode_png(20, 10, px4, color_type=6,
                        filters=[(i * 3) % 5 for i in range(10)])
     assert decode_png(png4) == (20, 10, 4, px4)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: real baseline JPEG decode (pure stdlib + numpy).
+
+def _jpeg_tables():
+    """Trivial-but-valid canonical Huffman tables: 12 DC categories at
+    code length 4, all 162 AC (run,size) symbols at code length 8."""
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = bytes(range(12))
+    ac_syms = [0x00, 0xF0]
+    for r in range(16):
+        for s in range(1, 11):
+            ac_syms.append((r << 4) | s)
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)  # all at length 8
+    return dc_counts, dc_syms, ac_counts, bytes(ac_syms)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value, count):
+        for i in range(count - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.bits(1, 1)
+
+
+def _encode_jpeg(width, height, planes, restart_interval=0):
+    """Baseline 4:4:4 JPEG encoder (test-side): quant tables all-ones
+    (near-lossless), the trivial Huffman tables above, optional
+    restart markers. ``planes`` = list of 1 (gray) or 3 (YCbCr)
+    numpy uint8 arrays (height, width)."""
+    import struct
+
+    import numpy as np
+
+    from kgap_spark.functions.jpeg import ZIGZAG, _idct_matrix
+
+    T = _idct_matrix()
+    dc_counts, dc_syms, ac_counts, ac_syms = _jpeg_tables()
+
+    def huff_codes(counts, syms):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                codes[syms[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc_codes = huff_codes(dc_counts, dc_syms)
+    ac_codes = huff_codes(ac_counts, ac_syms)
+    nc = len(planes)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1:width]
+        padded.append(pp)
+
+    w = _JpegBitWriter()
+    pred = [0] * nc
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + ((mcu // restart_interval
+                                               - 1) % 8)])
+                pred = [0] * nc
+            mcu += 1
+            for ci in range(nc):
+                blk = padded[ci][by * 8:by * 8 + 8,
+                                 bx * 8:bx * 8 + 8] - 128.0
+                F = T @ blk @ T.T
+                zz = [int(round(F.reshape(64)[ZIGZAG[i]]))
+                      for i in range(64)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+                w.bits(*reversed(dc_codes[t]))
+                if t:
+                    v = diff if diff >= 0 else diff + (1 << t) - 1
+                    w.bits(v, t)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]),
+                              default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        w.bits(*reversed(ac_codes[0xF0]))
+                        run -= 16
+                    s = abs(zz[k]).bit_length()
+                    w.bits(*reversed(ac_codes[(run << 4) | s]))
+                    v = zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1
+                    w.bits(v, s)
+                    run = 0
+                if last_nz < 63:
+                    w.bits(*reversed(ac_codes[0x00]))
+    w.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id0, all ones
+    comps_sof = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, nc)
+               + comps_sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_syms)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_syms)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    comps_sos = b"".join(bytes([i + 1, 0x00]) for i in range(nc))
+    out += seg(0xDA, bytes([nc]) + comps_sos + bytes([0, 63, 0]))
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_grayscale_roundtrip():
+    import numpy as np
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(24, 17)).astype(np.uint8)
+    data = _encode_jpeg(17, 24, [img])
+    w, h, ch, px = decode_jpeg(data)
+    assert (w, h, ch) == (17, 24, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(24, 17)
+    err = np.abs(got.astype(int) - img.astype(int))
+    # all-ones quant tables: only DCT coefficient rounding remains
+    assert err.max() <= 6 and err.mean() < 1.5
+
+
+def test_jpeg_decode_flat_block_exact():
+    import numpy as np
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    w, h, ch, px = decode_jpeg(_encode_jpeg(8, 8, [img]))
+    got = np.frombuffer(px, dtype=np.uint8)
+    assert (w, h, ch) == (8, 8, 1)
+    assert np.abs(got.astype(int) - 200).max() <= 1
+
+
+def test_jpeg_decode_color_roundtrip():
+    import numpy as np
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, size=(16, 16, 3)).astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+    data = _encode_jpeg(16, 16, planes)
+    w, h, ch, px = decode_jpeg(data)
+    assert (w, h, ch) == (16, 16, 3)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3)
+    err = np.abs(got.astype(int) - rgb.astype(int))
+    # YCbCr forward/back conversion + DCT rounding
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_jpeg_decode_restart_markers():
+    import numpy as np
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    data = _encode_jpeg(24, 16, [img], restart_interval=2)
+    w, h, ch, px = decode_jpeg(data)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 24)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_jpeg_unsupported_raises_cleanly():
+    import pytest as _pytest
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nope")
+    # progressive (SOF2) rejected loudly
+    prog = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b"
+            + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+
+
+def test_jpeg_features_through_distributed_path(spark):
+    """Real JPEG decode through the Arrow-batched mapInPandas extract,
+    with a corrupt JPEG isolated to a NULL-feature row."""
+    import numpy as np
+
+    from kgap_spark.functions.multimodal import extract_features
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    good = _encode_jpeg(16, 16, [img])
+    corrupt = good[:40]  # truncated mid-header
+    media = spark.createDataFrame(
+        [("j0", "image", "image/jpeg", bytearray(good), {}),
+         ("j1", "image", "image/jpeg", bytearray(corrupt), {})],
+        "media_id string, kind string, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows["j0"].features is not None
+    assert len(rows["j0"].features) == 16
+    # mean gray of a uniform-random image ≈ 0.5
+    assert 0.4 < rows["j0"].features[2] < 0.6
+    assert rows["j1"].features is None
