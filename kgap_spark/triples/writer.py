@@ -84,6 +84,11 @@ class TripleStore:
         # files it is auto-compacted after the merge (None disables —
         # callers then schedule compact() themselves)
         self.compact_threshold = compact_threshold
+        # write-amplification observability: per-graph accounting of
+        # the LAST merge's auto-compaction events (also returned by
+        # merge() itself) — an operator watching Sync cycles reads
+        # this instead of diffing fs listings
+        self.last_compactions: list[dict] = []
 
     # -- reads --------------------------------------------------------
     def exists(self) -> bool:
@@ -165,10 +170,14 @@ class TripleStore:
             .parquet(self.path)
         )
 
-    def merge(self, df: DataFrame) -> None:
+    def merge(self, df: DataFrame) -> dict:
         """Sync mode: quad-level upsert — `MERGE INTO triples ON
         quad-key WHEN NOT MATCHED INSERT` ("no duplicate data
         ingestion", docs/components/ldes-consumer.md:589-590).
+        Returns write-amplification accounting: affected-graph count
+        and any auto-compaction events as
+        ``{"graph", "files_before", "files_after"}`` dicts (also kept
+        on ``self.last_compactions``).
 
         Append-only formulation: the update is anti-joined against the
         affected graphs' existing quad keys and ONLY the new quads are
@@ -199,13 +208,24 @@ class TripleStore:
         # auto-compact it now (cheap check: one fs listing per affected
         # graph; skipped on the >MAX_GRAPH_LIST fallback path where
         # per-graph driver work is exactly what we're avoiding)
+        events: list[dict] = []
         if graphs is not None and self.compact_threshold:
-            over = [
-                g for g in graphs
-                if self._n_graph_files(g) > self.compact_threshold
-            ]
+            over = {
+                g: n for g in graphs
+                if (n := self._n_graph_files(g)) > self.compact_threshold
+            }
             if over:
-                self.compact(over)
+                self.compact(list(over))
+                events = [
+                    {"graph": g, "files_before": n,
+                     "files_after": self._n_graph_files(g)}
+                    for g, n in over.items()
+                ]
+        self.last_compactions = events
+        return {
+            "graphs": len(graphs) if graphs is not None else None,
+            "compacted": events,
+        }
 
     # beyond this many distinct graphs, a driver-side isin list stops
     # being "static pruning" and becomes an unbounded collect + a huge

@@ -283,3 +283,31 @@ def test_merge_auto_compacts_past_threshold(spark, tmp_path):
     for i in range(8):
         store2.merge(_quads(spark, [(f"s{i}", "p", str(i), g)]))
     assert store2._n_graph_files(g) >= 7
+
+
+def test_merge_reports_compaction_events(spark, tmp_path):
+    """Round-5 observability: merge() returns (and keeps on
+    last_compactions) per-graph {graph, files_before, files_after}
+    accounting whenever the auto-compaction trigger fires — the
+    write-amplification signal an operator watches on Sync cycles."""
+    store = TripleStore(spark, str(tmp_path / "t"), files_per_graph=2,
+                        compact_threshold=3)
+    g = "urn:g:feed"
+    fired = []
+    for i in range(6):
+        stats = store.merge(_quads(spark, [(f"s{i}", "p", str(i), g)]))
+        # the very first merge takes the fresh-store fast path (no
+        # graph-list collect) and reports graphs=None
+        assert stats["graphs"] == (None if i == 0 else 1)
+        assert stats["compacted"] == store.last_compactions
+        fired.extend(stats["compacted"])
+    assert fired, "threshold=3 over 6 single-file merges must trigger"
+    for ev in fired:
+        assert ev["graph"] == g
+        assert ev["files_before"] > 3
+        assert ev["files_after"] <= ev["files_before"]
+    # a merge that does not trigger reports an empty event list
+    store2 = TripleStore(spark, str(tmp_path / "t2"), files_per_graph=2,
+                         compact_threshold=None)
+    stats = store2.merge(_quads(spark, [("s", "p", "o", g)]))
+    assert stats["compacted"] == [] and store2.last_compactions == []
