@@ -106,12 +106,18 @@ def main() -> int:
         "repeats": repeats,
     }
 
+    # the sf1 rung is min-of-N too (round-4 lesson: single-run sf1
+    # deltas of +57%/+22% were unattributable on this ±25-100% VM —
+    # same cause the sf0.1 min-of-3 already fixed at that scale)
     sf1 = _sf1_dir()
     if sf1:
-        times1 = _run_headline(spark, QUERIES, sf1)
+        repeats1 = int(os.environ.get("SPARK_GRAFT_SF1_REPEATS",
+                                      str(repeats)))
+        times1 = _run_headline(spark, QUERIES, sf1, repeats=repeats1)
         out["sf1"] = 1.0
         out["sf1_value"] = round(sum(times1.values()), 3)
         out["sf1_queries"] = times1
+        out["sf1_repeats"] = repeats1
 
     print(json.dumps(out))
     spark.stop()

@@ -30,10 +30,17 @@ unbound-is-compatible condition via ``_compat_join`` instead of SQL
 equality, so no solution is silently dropped. Fully-bound variables
 stay plain equi keys (hash-joinable).
 
+Property paths (SPARQL 1.1 §9 subset): ``p+``, ``p*``, ``p?``,
+inverse ``^elt``, sequences ``p1/p2``, negated sets ``!p``/``!(p1|p2)``
+and alternation (bare ``p1|p2``, or ``(p1|p2)`` with a modifier).
+BIND/OPTIONAL/MINUS replay in textual order (SPARQL's left-to-right
+group translation).
+
 Known divergence from full SPARQL semantics: a PLAIN pattern-position
 literal ("Paris" with no tag) matches on lexical form only — it also
-matches tagged forms. Literals WITH @lang/^^datatype, and FILTER
-equality against them, match the exact RDF term.
+matches tagged forms. Literals WITH @lang/^^datatype — in pattern
+position, FILTER equality, IN lists, and VALUES rows — match the
+exact RDF term.
 
 Term convention: prefixed names expand through the query's PREFIX
 declarations; a pname whose prefix is NOT declared stays compact
