@@ -196,6 +196,126 @@ def fts_search_indexed(
     return _scored(hits, n_docs, scoring, k)
 
 
+def parse_boolean_query(query: str) -> dict:
+    """Lucene-style boolean query subset (the syntax GraphDB's
+    ``luc:searchIndex`` accepts, minus phrases/fields):
+
+    - ``a b``        → *should*: match any, all contribute to score
+    - ``a AND b``    → *must*: every term required
+    - ``a OR b``     → explicit should (the default operator)
+    - ``+a``         → must, ``-a`` / ``NOT a`` → must_not
+    - mixed ``+a b -c`` → a required, b optional scorer, c excluded
+
+    Returns ``{"should": [...], "must": [...], "must_not": [...]}`` of
+    index-normalized tokens. ``AND`` binds pairwise like Lucene's
+    default-OR parser: every term adjacent to an AND becomes must."""
+    raw = [t for t in query.split() if t]
+    should, must, must_not = [], [], []
+    and_next = False
+    i = 0
+    while i < len(raw):
+        w = raw[i]
+        up = w.upper()
+        if up == "AND":
+            # promote the previous term to must, mark the next
+            if should:
+                must.append(should.pop())
+            and_next = True
+            i += 1
+            continue
+        if up == "OR":
+            and_next = False
+            i += 1
+            continue
+        if up == "NOT":
+            i += 1
+            if i < len(raw):
+                must_not.extend(query_tokens(raw[i]))
+            i += 1
+            continue
+        target = should
+        if w.startswith("+"):
+            target = must
+        elif w.startswith("-"):
+            target = must_not
+        elif and_next:
+            target = must
+        and_next = False
+        target.extend(query_tokens(w))
+        i += 1
+    return {"should": should, "must": must, "must_not": must_not}
+
+
+def fts_search_boolean(
+    posting: DataFrame,
+    query: str,
+    k: int = 20,
+    scoring: str = "tf",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Boolean full-text search over the posting table. Matching:
+    every *must* token present; at least one *should* token present
+    when no must terms exist; no *must_not* token present. Score =
+    the usual Σ tf(·idf) over the matched should+must postings.
+
+    Plan shape at scale: one token-pruned posting scan for the
+    positive terms (bucket/partition pruning applies unchanged), the
+    per-doc term-set check as ``collect_set`` inside the existing
+    score agg (no extra shuffle), and the exclusion set as one
+    broadcast-able anti join on the (tiny) must_not posting slice —
+    never a full-corpus pass."""
+    q = parse_boolean_query(query)
+    pos_tokens = q["should"] + q["must"]
+    if not pos_tokens:
+        raise ValueError("boolean FTS query needs at least one "
+                         "positive term")
+    hits = posting.filter(F.col("token").isin(pos_tokens))
+    if scoring == "tfidf" and n_docs is None:
+        n_docs = posting.select("subj").distinct().count()
+    scored = _scored_with_terms(hits, n_docs, scoring)
+    for t in q["must"]:
+        scored = scored.filter(F.array_contains(F.col("_toks"), t))
+    scored = scored.drop("_toks")
+    if q["must_not"]:
+        excl = posting.filter(
+            F.col("token").isin(q["must_not"])
+        ).select("subj").distinct()
+        scored = scored.join(F.broadcast(excl), "subj", "left_anti")
+    return scored.orderBy(
+        F.desc("score"), F.desc("n_terms"), "subj"
+    ).limit(k)
+
+
+def _scored_with_terms(hits: DataFrame, n_docs: int | None,
+                       scoring: str) -> DataFrame:
+    """Like ``_scored`` but unlimited/unsorted and keeping the
+    per-doc matched-token set for must-term filtering."""
+    if scoring == "tf":
+        return hits.groupBy("subj").agg(
+            F.sum("tf").cast("long").alias("score"),
+            F.countDistinct("token").alias("n_terms"),
+            F.collect_set("token").alias("_toks"),
+        )
+    if scoring != "tfidf":
+        raise ValueError(f"scoring must be 'tf' or 'tfidf', got {scoring!r}")
+    if n_docs is None:
+        raise ValueError("tfidf scoring needs n_docs (corpus size)")
+    df_by_token = hits.groupBy("token").agg(
+        F.countDistinct("subj").alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+    return (
+        hits.join(F.broadcast(df_by_token), "token")
+        .withColumn("_w", F.col("tf") * idf)
+        .groupBy("subj")
+        .agg(
+            F.round(F.sum("_w"), 6).alias("score"),
+            F.countDistinct("token").alias("n_terms"),
+            F.collect_set("token").alias("_toks"),
+        )
+    )
+
+
 def fts_search(
     posting: DataFrame,
     query: str,

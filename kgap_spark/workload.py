@@ -1547,6 +1547,42 @@ WHERE {
 """
 
 
+def q_fts_boolean(spark, sf_dir):
+    """F9 extension: Lucene-style boolean query syntax over the
+    posting table — ``+join stream -slow`` = join required, stream an
+    optional scorer, docs containing slow excluded (the operator mix
+    GraphDB's luc:searchIndex accepts). One token-pruned scan + the
+    usual score agg + a broadcast anti join for the exclusion."""
+    from kgap_spark.index.fts import build_posting_table, fts_search_boolean
+
+    posting = build_posting_table(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return fts_search_boolean(posting, "+join stream -slow", k=20)
+
+
+ORACLE_FTS_BOOLEAN = """
+WITH posting AS (
+  SELECT doc_id AS subj, tok AS token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      t -> t <> '')) AS tok
+    FROM documents)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT subj, CAST(SUM(tf) AS BIGINT) AS score,
+         COUNT(DISTINCT token) AS n_terms
+  FROM posting WHERE token IN ('join', 'stream')
+  GROUP BY subj
+)
+SELECT s.subj, s.score, s.n_terms
+FROM scored s
+WHERE s.subj IN (SELECT subj FROM posting WHERE token = 'join')
+  AND s.subj NOT IN (SELECT subj FROM posting WHERE token = 'slow')
+ORDER BY s.score DESC, s.n_terms DESC, s.subj ASC LIMIT 20
+"""
+
+
 def q_sparql_construct(spark, sf_dir):
     """CONSTRUCT through the text front-end (U4, the vocabulary-
     mapping archetype, docs/components/sembench.md:443-455): solutions
@@ -1891,6 +1927,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_count": q_bpe_token_count,
     "doc_mix": q_doc_mix,
     "sessionize_native": q_sessionize_native,
+    # round-5 addition (boolean FTS) — new but the core window is
+    # full; verified by the local harness like every extra entry
+    "fts_boolean": q_fts_boolean,
     "str_funcs": q_str_funcs,
     "ts_filter": q_ts_filter,
     "sessionize": q_sessionize,
@@ -1959,6 +1998,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
     "doc_mix": ORACLE_DOC_MIX,
     "sessionize_native": ORACLE_SESSIONIZE,
+    "fts_boolean": ORACLE_FTS_BOOLEAN,
     "str_funcs": ORACLE_STR_FUNCS,
     "ts_filter": ORACLE_TS_FILTER,
     "sessionize": ORACLE_SESSIONIZE,

@@ -836,3 +836,48 @@ def test_jpeg_features_through_distributed_path(spark):
     # mean gray of a uniform-random image ≈ 0.5
     assert 0.4 < rows["j0"].features[2] < 0.6
     assert rows["j1"].features is None
+
+
+def test_fts_boolean_query_parse():
+    from kgap_spark.index.fts import parse_boolean_query
+
+    assert parse_boolean_query("a b") == {
+        "should": ["a", "b"], "must": [], "must_not": []}
+    assert parse_boolean_query("a AND b") == {
+        "should": [], "must": ["a", "b"], "must_not": []}
+    assert parse_boolean_query("a AND b AND c") == {
+        "should": [], "must": ["a", "b", "c"], "must_not": []}
+    assert parse_boolean_query("a OR b") == {
+        "should": ["a", "b"], "must": [], "must_not": []}
+    assert parse_boolean_query("+a b -c") == {
+        "should": ["b"], "must": ["a"], "must_not": ["c"]}
+    assert parse_boolean_query("a NOT b") == {
+        "should": ["a"], "must": [], "must_not": ["b"]}
+    # query tokens normalize with the index rule (punctuation split)
+    assert parse_boolean_query("+Data-Driven") == {
+        "should": [], "must": ["data", "driven"], "must_not": []}
+
+
+def test_fts_boolean_search(spark, docs):
+    from kgap_spark.index.fts import build_posting_table, fts_search_boolean
+
+    posting = build_posting_table(docs, "doc_id", "text")
+    # must: docs 0,1,2 contain fox; dog optional scorer (0 and 2)
+    hits = {r.subj: (r.score, r.n_terms)
+            for r in fts_search_boolean(posting, "fox AND dog").collect()}
+    assert set(hits) == {0, 2}
+    assert hits[0] == (2, 2)
+    # exclusion: fox docs without cat
+    hits2 = {r.subj for r in
+             fts_search_boolean(posting, "fox -cat").collect()}
+    assert hits2 == {0, 2}
+    # plain should with an exclusion keeps single-term matches
+    hits3 = {r.subj for r in
+             fts_search_boolean(posting, "fox katze -cat").collect()}
+    assert hits3 == {0, 2, 4}
+    # must term absent everywhere -> empty
+    assert fts_search_boolean(posting, "+zzz fox").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive term"):
+        fts_search_boolean(posting, "-only -negatives")

@@ -1507,3 +1507,27 @@ def test_path_same_var_both_ends(chain_kb):
     """)
     # zero-length: every term loops to itself
     assert df2.count() == 5
+
+
+def test_concept_ancestors_template(spark):
+    """The shipped skos:broader* ancestor-closure template runs
+    through QueryTemplates (round-5 property-path surface)."""
+    from kgap_spark import schemas as S
+    from kgap_spark.query.templates import QueryTemplates
+
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+    rows = [
+        ("urn:c:leaf", SKOS + "broader", "urn:c:mid", None, None,
+         "urn:g", None),
+        ("urn:c:mid", SKOS + "broader", "urn:c:root", None, None,
+         "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    qt = QueryTemplates(spark, "queries", triples=t)
+    df = qt.execute_to_df("concept_ancestors", limit=100)
+    got = {(r.concept, r.ancestor) for r in df.collect()}
+    # closure pairs + zero-length identity over the three terms
+    assert ("urn:c:leaf", "urn:c:root") in got
+    assert ("urn:c:leaf", "urn:c:mid") in got
+    assert ("urn:c:mid", "urn:c:mid") in got
+    assert len(got) == 3 + 3
