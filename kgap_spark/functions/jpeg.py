@@ -196,10 +196,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # spec-legal but out of scope: a baseline file split
+                # into per-component scans — fail the contract way
+                # (ValueError), not with a KeyError mid-decode
+                raise ValueError(
+                    "JPEG: non-interleaved (multi-scan) baseline "
+                    "unsupported"
+                )
             sel = {}
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 15)
+            if set(sel) != {c["id"] for c in frame["comps"]}:
+                raise ValueError("JPEG: scan/frame component mismatch")
             return _decode_scan(
                 data, pos + seg_len, frame, sel, qt, huff,
                 restart_interval, np

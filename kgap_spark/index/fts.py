@@ -143,36 +143,15 @@ def read_doc_count(spark, path: str) -> int | None:
 
 def _scored(hits: DataFrame, n_docs: int | None, scoring: str, k: int) -> DataFrame:
     """Shared scoring tail: groupBy subj, TF or TF-IDF score, top-k.
-
-    tfidf: score = Σ_t tf(t,d) · ln((N+1)/(df(t)+1)) — df computed from
-    the (already token-pruned) posting rows themselves, so a
-    corpus-wide token (df=N) contributes ~0 and can no longer drown
-    rarer terms; the smoothed +1 form keeps it SQL-expressible for the
-    DuckDB oracle. ``n_terms`` = distinct matched tokens, tie-break."""
-    if scoring == "tf":
-        scored = hits.groupBy("subj").agg(
-            F.sum("tf").cast("long").alias("score"),
-            F.countDistinct("token").alias("n_terms"),
-        )
-    elif scoring == "tfidf":
-        if n_docs is None:
-            raise ValueError("tfidf scoring needs n_docs (corpus size)")
-        df_by_token = hits.groupBy("token").agg(
-            F.countDistinct("subj").alias("df")
-        )
-        idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
-        scored = (
-            hits.join(F.broadcast(df_by_token), "token")
-            .withColumn("_w", F.col("tf") * idf)
-            .groupBy("subj")
-            .agg(
-                F.round(F.sum("_w"), 6).alias("score"),
-                F.countDistinct("token").alias("n_terms"),
-            )
-        )
-    else:
-        raise ValueError(f"scoring must be 'tf' or 'tfidf', got {scoring!r}")
-    return scored.orderBy(F.desc("score"), F.desc("n_terms"), "subj").limit(k)
+    One definition of the scoring math — `_scored_with_terms` — serves
+    both plain and boolean search, so the DuckDB oracles track a
+    single formula."""
+    return (
+        _scored_with_terms(hits, n_docs, scoring)
+        .drop("_toks")
+        .orderBy(F.desc("score"), F.desc("n_terms"), "subj")
+        .limit(k)
+    )
 
 
 def fts_search_indexed(
@@ -211,15 +190,22 @@ def parse_boolean_query(query: str) -> dict:
     default-OR parser: every term adjacent to an AND becomes must."""
     raw = [t for t in query.split() if t]
     should, must, must_not = [], [], []
+    # (target_list, n_tokens) of the previous positive WORD, so AND
+    # promotes that whole word (all its normalized tokens), and only
+    # when it actually landed in should — `a +b AND c` must not
+    # reach back past b and promote a
+    last: tuple[list, int] | None = None
     and_next = False
     i = 0
     while i < len(raw):
         w = raw[i]
         up = w.upper()
         if up == "AND":
-            # promote the previous term to must, mark the next
-            if should:
-                must.append(should.pop())
+            if last is not None and last[0] is should and last[1]:
+                moved = should[-last[1]:]
+                del should[-last[1]:]
+                must.extend(moved)
+                last = (must, len(moved))
             and_next = True
             i += 1
             continue
@@ -232,6 +218,7 @@ def parse_boolean_query(query: str) -> dict:
             if i < len(raw):
                 must_not.extend(query_tokens(raw[i]))
             i += 1
+            last = None
             continue
         target = should
         if w.startswith("+"):
@@ -241,7 +228,9 @@ def parse_boolean_query(query: str) -> dict:
         elif and_next:
             target = must
         and_next = False
-        target.extend(query_tokens(w))
+        toks = query_tokens(w)
+        target.extend(toks)
+        last = (target, len(toks)) if target is not must_not else None
         i += 1
     return {"should": should, "must": must, "must_not": must_not}
 
@@ -288,8 +277,15 @@ def fts_search_boolean(
 
 def _scored_with_terms(hits: DataFrame, n_docs: int | None,
                        scoring: str) -> DataFrame:
-    """Like ``_scored`` but unlimited/unsorted and keeping the
-    per-doc matched-token set for must-term filtering."""
+    """The scoring aggregation, unlimited/unsorted, keeping the
+    per-doc matched-token set (``_toks``) for must-term filtering.
+
+    tfidf: score = Σ_t tf(t,d) · ln((N+1)/(df(t)+1)) — df computed
+    from the (already token-pruned) posting rows themselves, so a
+    corpus-wide token (df=N) contributes ~0 and can no longer drown
+    rarer terms; the smoothed +1 form keeps it SQL-expressible for
+    the DuckDB oracle. ``n_terms`` = distinct matched tokens,
+    tie-break."""
     if scoring == "tf":
         return hits.groupBy("subj").agg(
             F.sum("tf").cast("long").alias("score"),

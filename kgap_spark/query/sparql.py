@@ -228,16 +228,17 @@ class Group:
     binds: list = field(default_factory=list)         # (expr, Var)
     values: list = field(default_factory=list)        # ([Var], [rows])
     subselects: list = field(default_factory=list)    # Query (form=select)
-    # BIND, OPTIONAL and MINUS interact order-sensitively (a BIND
-    # written after an OPTIONAL must see its bindings; SPARQL folds
-    # MINUS left-to-right, so a MINUS before an OPTIONAL must NOT see
-    # the optional's bindings as shared variables), so their relative
-    # textual order is recorded here as
-    # ("bind"|"optional"|"minus", payload) and the compiler replays
-    # THIS list for those kinds; the `binds` / `optionals` / `minus`
-    # lists above stay populated for the template/DATA validators
-    # (_has_nontriple_features) — keep both in sync when adding
-    # entries
+    # SPARQL's group translation folds left-to-right, which matters
+    # for the non-commutative elements (a BIND after an OPTIONAL must
+    # see its bindings; a MINUS must see exactly the bindings of the
+    # elements written BEFORE it — incl. VALUES/UNION/sub-SELECT/
+    # GRAPH blocks), so EVERY non-BGP element's textual order is
+    # recorded here as ("bind"|"optional"|"minus"|"values"|"union"|
+    # "subselect"|"graph", payload) and the compiler replays THIS
+    # list; the typed lists above stay populated for the template/
+    # DATA validators (_has_nontriple_features) — keep both in sync
+    # when adding entries. FILTER / FILTER [NOT] EXISTS are
+    # group-scoped (SPARQL 1.1 §7) and stay out of seq.
     seq: list = field(default_factory=list)
 
 
@@ -590,7 +591,9 @@ class _Parser:
             if t.kind == "KW" and t.text == "GRAPH":
                 self.next()
                 term = self.term()
-                g.graph_scopes.append((term, self.group()))
+                scope = (term, self.group())
+                g.graph_scopes.append(scope)
+                g.seq.append(("graph", scope))
                 continue
             if t.kind == "KW" and t.text == "BIND":
                 self.next()
@@ -604,7 +607,9 @@ class _Parser:
                 continue
             if t.kind == "KW" and t.text == "VALUES":
                 self.next()
-                g.values.append(self.values_block())
+                vb = self.values_block()
+                g.values.append(vb)
+                g.seq.append(("values", vb))
                 continue
             if t.kind == "OP" and t.text == "{":
                 nxt = self.peek(1)
@@ -612,8 +617,10 @@ class _Parser:
                     # { SELECT … } sub-query (limit-early staging,
                     # docs/advanced-topics.md:441-452)
                     self.next()
-                    g.subselects.append(self.parse_select_body())
+                    sq = self.parse_select_body()
                     self.expect("OP", "}")
+                    g.subselects.append(sq)
+                    g.seq.append(("subselect", sq))
                     continue
                 # { A } UNION { B } [UNION { C } …]
                 arms = [self.group()]
@@ -621,6 +628,7 @@ class _Parser:
                     self.next()
                     arms.append(self.group())
                 g.unions.append(arms)
+                g.seq.append(("union", arms))
                 continue
             self.triples_same_subject(g)
             if self.peek() and self.peek().kind == "OP" and self.peek().text == ".":
@@ -708,6 +716,8 @@ class _Parser:
                 raise ValueError(
                     "negated sets cannot join a path alternation"
                 )
+            if isinstance(pred, (Var, Lit, Num)):
+                raise ValueError("path alternation members must be IRIs")
             return pred if isinstance(pred, tuple) else (pred,)
 
         t = self.peek()
@@ -1458,40 +1468,55 @@ def _pred_cond(pred) -> Column:
     )
 
 
+# internal column names of the path-closure frames; double-underscore
+# prefixed so a user variable (or GRAPH ?var) named a/b/n/_m cannot
+# collide — a guard below rejects the pathological ?__path… overlap
+_PA, _PB, _PM, _PN = "__path_a", "__path_b", "__path_m", "__path_n"
+
+
+def _path_guard(graph_var: str | None) -> None:
+    if graph_var is not None and graph_var.startswith("__path"):
+        raise ValueError(
+            f"GRAPH ?{graph_var}: __path-prefixed variables are "
+            "reserved by the path compiler"
+        )
+
+
 def _transitive_pairs(triples: DataFrame, pred, start: str | None,
                       max_depth: int = 12,
                       graph_var: str | None = None) -> DataFrame:
-    """Closure of ``pred+``: (a, b) pairs connected by 1..max_depth
-    hops. With a constant subject the frontier starts there (bounded
-    expansion, the ``recursive_dereference`` shape); var-var paths
-    compute the bounded full closure. Iterations are joins on the
-    edge relation — each round is one shuffle, O(log-ish) rounds for
-    typical shallow hierarchies.
+    """Closure of ``pred+``: (__path_a, __path_b) pairs connected by
+    1..max_depth hops. With a constant subject the frontier starts
+    there (bounded expansion, the ``recursive_dereference`` shape);
+    var-var paths compute the bounded full closure. Iterations are
+    joins on the edge relation — each round is one shuffle, O(log-ish)
+    rounds for typical shallow hierarchies.
 
     ``graph_var``: per-named-graph closure (the GRAPH ?var scope) —
     edges carry the graph column aliased to the variable, every hop
     joins on it too (a path never crosses graphs), and the result is
-    (a, b, graph_var) triples."""
+    (__path_a, __path_b, graph_var) triples."""
+    _path_guard(graph_var)
     gcols = [graph_var] if graph_var else []
     t = triples
-    sel = [F.col("subj").alias("a"), F.col("obj").alias("b")]
+    sel = [F.col("subj").alias(_PA), F.col("obj").alias(_PB)]
     if graph_var:
         t = t.filter(F.col("graph").isNotNull())
         sel.append(F.col("graph").alias(graph_var))
     edges = t.filter(_pred_cond(pred)).select(*sel).distinct()
     if start is not None:
-        frontier = edges.filter(F.col("a") == start)
+        frontier = edges.filter(F.col(_PA) == start)
     else:
         frontier = edges
     result = frontier
     for _ in range(max_depth - 1):
         nxt = (
-            frontier.withColumnRenamed("b", "_m")
-            .join(edges.withColumnRenamed("a", "_m"), ["_m", *gcols])
-            .select("a", "b", *gcols)
+            frontier.withColumnRenamed(_PB, _PM)
+            .join(edges.withColumnRenamed(_PA, _PM), [_PM, *gcols])
+            .select(_PA, _PB, *gcols)
             .distinct()
         )
-        new = nxt.join(result, ["a", "b", *gcols], "left_anti") \
+        new = nxt.join(result, [_PA, _PB, *gcols], "left_anti") \
             .localCheckpoint(eager=True)
         if not new.head(1):
             break
@@ -1507,8 +1532,10 @@ def _path_pairs(triples: DataFrame, p, s_term, o_term,
     zero-length. The zero-length path matches every term in the
     (scoped) graph PLUS any constant endpoint itself (SPARQL 1.1
     §18.4: ZeroLengthPath(term) = {(term, term)} regardless of graph
-    membership). With ``graph_var`` the pairs carry the graph column
-    and stay within one named graph."""
+    membership — incl. literal/numeric endpoints via their lexical
+    form). With ``graph_var`` the pairs carry the graph column and
+    stay within one named graph."""
+    _path_guard(graph_var)
     start = s_term if isinstance(s_term, str) else None
     if isinstance(p, PathPlus):
         return _transitive_pairs(triples, p.pred, start,
@@ -1518,10 +1545,10 @@ def _path_pairs(triples: DataFrame, p, s_term, o_term,
     gsel = [F.col("graph").alias(graph_var)] if graph_var else []
     if isinstance(p, PathOpt):
         step = t.filter(_pred_cond(p.pred)).select(
-            F.col("subj").alias("a"), F.col("obj").alias("b"), *gsel
+            F.col("subj").alias(_PA), F.col("obj").alias(_PB), *gsel
         ).distinct()
         if start is not None:
-            step = step.filter(F.col("a") == start)
+            step = step.filter(F.col(_PA) == start)
     else:  # PathStar
         step = _transitive_pairs(triples, p.pred, start,
                                  graph_var=graph_var)
@@ -1532,27 +1559,33 @@ def _path_pairs(triples: DataFrame, p, s_term, o_term,
     )
     if start is not None:
         # constant subject: zero-length yields exactly (start, start)
-        nodes = spark.createDataFrame([(start,)], "n string")
+        nodes = spark.createDataFrame([(start,)], f"{_PN} string")
         if graph_var:
             nodes = nodes.crossJoin(graphs_df)
     else:
         nodes = (
-            t.select(F.col("subj").alias("n"), *gsel)
-            .unionByName(t.select(F.col("obj").alias("n"), *gsel))
+            t.select(F.col("subj").alias(_PN), *gsel)
+            .unionByName(t.select(F.col("obj").alias(_PN), *gsel))
             .distinct()
         )
-        consts = [c for c in (s_term, o_term) if isinstance(c, str)]
+        consts = []
         for c in (s_term, o_term):
+            if isinstance(c, Var):
+                continue
             if isinstance(c, tuple):
                 consts.extend(x for x in c if isinstance(x, str))
+            else:
+                # str IRIs as-is; Lit/Num by lexical form —
+                # ZeroLengthPath(term) holds for literal terms too
+                consts.append(_write_term(c))
         if consts:
             extra = spark.createDataFrame(
-                [(c,) for c in sorted(set(consts))], "n string"
+                [(c,) for c in sorted(set(consts))], f"{_PN} string"
             )
             if graph_var:
                 extra = extra.crossJoin(graphs_df)
             nodes = nodes.unionByName(extra)
-    ident = nodes.select(F.col("n").alias("a"), F.col("n").alias("b"),
+    ident = nodes.select(F.col(_PN).alias(_PA), F.col(_PN).alias(_PB),
                          *gcols)
     return step.unionByName(ident).distinct()
 
@@ -1744,6 +1777,19 @@ def _apply_values(triples: DataFrame, df: DataFrame | None, maybe: set,
     for n in names:
         if n in df.columns:
             if n in maybe or n in v_maybe:
+                if n in tagged:
+                    # a row that FILLS an unbound binding brings its
+                    # @lang/^^dt along — LANG()/DATATYPE() on the
+                    # coalesced value must see the row's tags, not
+                    # df's NULL meta
+                    for kind in ("lang", "dt"):
+                        mc = f"{n}__{kind}"
+                        if mc in df.columns:
+                            out = out.withColumn(
+                                mc,
+                                F.when(df[n].isNull(),
+                                       F.col(ren[mc])).otherwise(df[mc]),
+                            )
                 out = out.withColumn(n, F.coalesce(df[n], F.col(ren[n])))
             out = out.drop(ren[n])
         else:
@@ -1821,18 +1867,25 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
 
         sel = []
         if isinstance(s, Var):
-            sel.append(F.col("a").alias(s.name))
+            if graph_var is not None and s.name == graph_var:
+                # GRAPH ?g { ?g p+ ?o }: the endpoint IS the graph
+                # variable — constrain instead of duplicating the col
+                pairs = pairs.filter(F.col(_PA) == F.col(graph_var))
+            else:
+                sel.append(F.col(_PA).alias(s.name))
         else:
-            pairs = pairs.filter(_match(F.col("a"), s))
+            pairs = pairs.filter(_match(F.col(_PA), s))
         if isinstance(o, Var):
             if isinstance(s, Var) and o.name == s.name:
                 # same variable at both endpoints (?x p* ?x): the
                 # path must loop back — one column, filtered
-                pairs = pairs.filter(F.col("a") == F.col("b"))
+                pairs = pairs.filter(F.col(_PA) == F.col(_PB))
+            elif graph_var is not None and o.name == graph_var:
+                pairs = pairs.filter(F.col(_PB) == F.col(graph_var))
             else:
-                sel.append(F.col("b").alias(o.name))
+                sel.append(F.col(_PB).alias(o.name))
         else:
-            pairs = pairs.filter(_match(F.col("b"), o))
+            pairs = pairs.filter(_match(F.col(_PB), o))
         if graph_var is not None:
             sel.append(F.col(graph_var))
         # no variables → pure existence constraint on the group
@@ -1845,82 +1898,101 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
                 else df.crossJoin(pp)
         if "__hit" in df.columns:
             df = df.drop("__hit")
-    # { SELECT … } sub-queries: compile + project + order/limit FIRST,
-    # then join into the enclosing solution — the docs' limit-early
-    # staging (advanced-topics.md:441-452) becomes a GlobalLimit BELOW
-    # the join in the physical plan.
-    for subq in g.subselects:
-        inner_df, inner_maybe = _compile_group_ex(
-            triples, subq.where, graph=graph
-        )
-        if graph_var is None:
-            sub_df = _select_result(subq, inner_df)
-            eff_projs = subq.projections
-        else:
-            sub_df, eff_projs = _select_result_scoped(
-                subq, inner_df, graph_var
-            )
-        sub_maybe: set[str] = set()
-        for p in eff_projs:
-            if isinstance(p, Var):
-                if p.name in inner_maybe or p.name not in inner_df.columns:
-                    sub_maybe.add(p.name)
-            elif p == "*":
-                sub_maybe |= inner_maybe & set(sub_df.columns)
-            elif isinstance(p[0], Agg):
-                # MAX/MIN/SUM/AVG/SAMPLE/GROUP_CONCAT over a
-                # maybe-unbound variable can be NULL per group (COUNT
-                # never is) → the alias must join unbound-compatibly
-                # downstream, not on a NULL-never-matches equi key
-                if p[0].fn != "COUNT" and _vars_of(p[0]) & inner_maybe:
-                    sub_maybe.add(p[1].name)
-            elif _vars_of(p[0]) & inner_maybe:
-                sub_maybe.add(p[1].name)
-        df, maybe = _merge_inner(df, maybe, sub_df, sub_maybe)
-    # graph-scoped subgroups join into the enclosing solution; a Var
-    # term binds the graph column as that variable inside the scope
-    for term, sub in g.graph_scopes:
-        sub_df, sub_maybe = _compile_group_ex(triples, sub, graph=term)
-        df, maybe = _merge_inner(df, maybe, sub_df, sub_maybe)
-    # { A } UNION { B }: evaluate each arm, align columns (a var bound
-    # in one arm only → NULL in the other, per SPARQL), then join the
-    # combined solution into the enclosing pattern. Variables bound in
-    # EVERY arm join as plain equi-keys; arm-local or maybe-unbound
-    # variables carry NULLs, and SQL NULL keys never match, so those
-    # use SPARQL's unbound-is-compatible condition (NULL on either side
-    # matches, output = coalesce) instead of silently dropping
-    # solutions.
-    for arms in g.unions:
-        arm_results = [
-            _compile_group_ex(triples, arm, graph=graph) for arm in arms
-        ]
-        arm_dfs = [a for a, _ in arm_results]
-        arm_cols = [
-            {c for c in a.columns if not _is_meta(c)} for a in arm_dfs
-        ]
-        in_every = set.intersection(*arm_cols)
-        u_maybe = (set.union(*arm_cols) - in_every) | set().union(
-            *[m for _, m in arm_results]
-        )
-        u = arm_dfs[0]
-        for other in arm_dfs[1:]:
-            u = u.unionByName(other, allowMissingColumns=True)
-        df, maybe = _merge_inner(df, maybe, u, u_maybe)
-    # inline VALUES: a broadcast-joined literal table; a column with
-    # any UNDEF row is maybe-unbound → unbound-compatible join; rows
-    # with tagged/typed literals compare as exact RDF terms
-    for vars_, rows in g.values:
-        df, maybe = _apply_values(triples, df, maybe, vars_, rows)
-    if df is None:
-        raise ValueError("SPARQL compiler: empty WHERE group")
-    # BIND, OPTIONAL and MINUS replay in textual order (g.seq): a BIND
-    # after an OPTIONAL sees its bindings, an OPTIONAL after a BIND
-    # can join on the bound variable, and a MINUS before an OPTIONAL
-    # does NOT see the optional's bindings as shared variables (SPARQL
-    # folds MINUS left-to-right)
+    # Every non-BGP group element replays in TEXTUAL order (g.seq) —
+    # SPARQL's group translation folds left-to-right, which matters
+    # for the non-commutative elements: a BIND after an OPTIONAL sees
+    # its bindings, and a MINUS sees exactly the bindings of the
+    # elements written BEFORE it (a MINUS before a VALUES / UNION /
+    # sub-SELECT / GRAPH block must NOT treat their variables as
+    # shared). FILTER and FILTER [NOT] EXISTS stay group-scoped and
+    # apply at the end (SPARQL 1.1 §7).
     for _kind, _payload in g.seq:
+        if _kind == "subselect":
+            # { SELECT … }: compile + project + order/limit FIRST,
+            # then join into the enclosing solution — the docs'
+            # limit-early staging (advanced-topics.md:441-452)
+            # becomes a GlobalLimit BELOW the join in the plan.
+            subq = _payload
+            inner_df, inner_maybe = _compile_group_ex(
+                triples, subq.where, graph=graph
+            )
+            if graph_var is None:
+                sub_df = _select_result(subq, inner_df)
+                eff_projs = subq.projections
+            else:
+                sub_df, eff_projs = _select_result_scoped(
+                    subq, inner_df, graph_var
+                )
+            sub_maybe: set[str] = set()
+            for p in eff_projs:
+                if isinstance(p, Var):
+                    if p.name in inner_maybe \
+                            or p.name not in inner_df.columns:
+                        sub_maybe.add(p.name)
+                elif p == "*":
+                    sub_maybe |= inner_maybe & set(sub_df.columns)
+                elif isinstance(p[0], Agg):
+                    # MAX/MIN/SUM/AVG/SAMPLE/GROUP_CONCAT over a
+                    # maybe-unbound variable can be NULL per group
+                    # (COUNT never is) → the alias must join
+                    # unbound-compatibly downstream, not on a
+                    # NULL-never-matches equi key
+                    if p[0].fn != "COUNT" \
+                            and _vars_of(p[0]) & inner_maybe:
+                        sub_maybe.add(p[1].name)
+                elif _vars_of(p[0]) & inner_maybe:
+                    sub_maybe.add(p[1].name)
+            df, maybe = _merge_inner(df, maybe, sub_df, sub_maybe)
+            continue
+        if _kind == "graph":
+            # graph-scoped subgroup joins into the enclosing
+            # solution; a Var term binds the graph column as that
+            # variable inside the scope
+            term, sub = _payload
+            sub_df, sub_maybe = _compile_group_ex(triples, sub,
+                                                  graph=term)
+            df, maybe = _merge_inner(df, maybe, sub_df, sub_maybe)
+            continue
+        if _kind == "union":
+            # { A } UNION { B }: evaluate each arm, align columns (a
+            # var bound in one arm only → NULL in the other, per
+            # SPARQL), then join the combined solution into the
+            # enclosing pattern. Variables bound in EVERY arm join as
+            # plain equi-keys; arm-local or maybe-unbound variables
+            # carry NULLs, and SQL NULL keys never match, so those
+            # use the unbound-is-compatible condition instead of
+            # silently dropping solutions.
+            arms = _payload
+            arm_results = [
+                _compile_group_ex(triples, arm, graph=graph)
+                for arm in arms
+            ]
+            arm_dfs = [a for a, _ in arm_results]
+            arm_cols = [
+                {c for c in a.columns if not _is_meta(c)}
+                for a in arm_dfs
+            ]
+            in_every = set.intersection(*arm_cols)
+            u_maybe = (set.union(*arm_cols) - in_every) | set().union(
+                *[m for _, m in arm_results]
+            )
+            u = arm_dfs[0]
+            for other in arm_dfs[1:]:
+                u = u.unionByName(other, allowMissingColumns=True)
+            df, maybe = _merge_inner(df, maybe, u, u_maybe)
+            continue
+        if _kind == "values":
+            # inline VALUES: broadcast-joined literal table; UNDEF →
+            # maybe-unbound; tagged/typed rows match exact RDF terms
+            vars_, rows = _payload
+            df, maybe = _apply_values(triples, df, maybe, vars_, rows)
+            continue
         if _kind == "bind":
             e, v = _payload
+            if df is None:
+                raise ValueError(
+                    "BIND before any pattern in the group"
+                )
             if v.name in df.columns:
                 # SPARQL forbids BIND onto an in-scope variable;
                 # silently overwriting it would fabricate solutions
@@ -1931,9 +2003,14 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             df = df.withColumn(v.name, _compile_expr(e, df))
             continue
         if _kind == "minus":
+            if df is None:
+                # MINUS over the empty domain removes nothing
+                continue
             df = _apply_minus(triples, df, maybe, _payload, graph)
             continue
         sub = _payload
+        if df is None:
+            raise ValueError("OPTIONAL before any pattern in the group")
         # SPARQL LeftJoin(Ω1, Ω2, expr): a FILTER at the top level of
         # an OPTIONAL group that references variables bound only in
         # the OUTER pattern is part of the JOIN CONDITION — evaluating
@@ -2004,6 +2081,8 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
                 partial, how="left",
             )
         maybe |= sub_cols - set(shared)
+    if df is None:
+        raise ValueError("SPARQL compiler: empty WHERE group")
     # FILTER EXISTS → semi join; FILTER NOT EXISTS → anti join. Same
     # compatibility condition either way.
     for how, subs in (("left_semi", g.exists), ("left_anti", g.not_exists)):

@@ -881,3 +881,40 @@ def test_fts_boolean_search(spark, docs):
 
     with _pytest.raises(ValueError, match="positive term"):
         fts_search_boolean(posting, "-only -negatives")
+
+
+def test_fts_boolean_and_promotes_whole_word():
+    """Review regression: AND promotes the whole previous WORD (all
+    its normalized tokens), and only when it went to should — a +term
+    in between must not cause an earlier OR term to become required."""
+    from kgap_spark.index.fts import parse_boolean_query
+
+    assert parse_boolean_query("apple +banana AND cherry") == {
+        "should": ["apple"], "must": ["banana", "cherry"],
+        "must_not": []}
+    assert parse_boolean_query("data-driven AND spark") == {
+        "should": [], "must": ["data", "driven", "spark"],
+        "must_not": []}
+    # NOT resets the promotion anchor
+    assert parse_boolean_query("a NOT b AND c") == {
+        "should": ["a"], "must": ["c"], "must_not": ["b"]}
+
+
+def test_jpeg_non_interleaved_scan_rejected():
+    import struct
+
+    import pytest as _pytest
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    # 3-component SOF0 but a single-component scan (ns=1)
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(3))
+    data = (b"\xff\xd8"
+            + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3) + comps)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])))
+    with _pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(data)

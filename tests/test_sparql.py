@@ -1531,3 +1531,116 @@ def test_concept_ancestors_template(spark):
     assert ("urn:c:leaf", "urn:c:mid") in got
     assert ("urn:c:mid", "urn:c:mid") in got
     assert len(got) == 3 + 3
+
+
+# ---------------------------------------------------------------------------
+# Round-5 code-review regressions.
+
+def test_minus_before_values_textual_order(spark):
+    """A MINUS written before a VALUES block must not see the VALUES
+    variables as shared (SPARQL 1.1 §8.3.3 folds left-to-right): the
+    domains are disjoint at the MINUS point, so nothing is removed."""
+    rows = [
+        ("urn:s:0", "ex:p", "x", None, None, "urn:g", None),
+        ("urn:y:0", "ex:q", "1", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?s ?v WHERE {
+          ?s ex:p ?x .
+          MINUS { ?y ex:q ?v }
+          VALUES ?v { "1" }
+        }
+    """)
+    assert [(r.s, r.v) for r in df.collect()] == [("urn:s:0", "1")]
+    # written AFTER the VALUES, the same MINUS shares ?v and removes
+    df2 = execute_sparql(t, """
+        SELECT ?s ?v WHERE {
+          ?s ex:p ?x .
+          VALUES ?v { "1" }
+          MINUS { ?y ex:q ?v }
+        }
+    """)
+    assert df2.count() == 0
+
+
+def test_graph_var_named_like_path_internals(spark):
+    """GRAPH variables named a/b/n (or path endpoints reusing the
+    graph var) must not collide with the path compiler's internal
+    columns."""
+    rows = [
+        ("urn:n:x", "ex:p", "urn:n:y", None, None, "urn:g:1", None),
+        ("urn:n:y", "ex:p", "urn:n:z", None, None, "urn:g:1", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    for gv in ("a", "b", "n"):
+        df = execute_sparql(t, f"""
+            SELECT ?{gv} ?x ?y
+            WHERE {{ GRAPH ?{gv} {{ ?x ex:p+ ?y }} }} ORDER BY ?x ?y
+        """)
+        assert df.count() == 3, gv
+    # star with a graph var named like the identity column
+    df2 = execute_sparql(t, """
+        SELECT ?n ?x WHERE { GRAPH ?n { <urn:n:x> ex:p* ?x } }
+    """)
+    assert df2.count() == 3  # x itself + y + z, all in urn:g:1
+    # reserved-prefix guard stays loud
+    with pytest.raises(ValueError, match="reserved"):
+        execute_sparql(t, """
+            SELECT * WHERE { GRAPH ?__path_g { ?x ex:p+ ?y } }
+        """)
+
+
+def test_graph_var_as_path_endpoint(spark):
+    """GRAPH ?g { ?g ex:p+ ?o }: the endpoint is the graph variable —
+    constrained, not duplicated."""
+    rows = [
+        # graph IRI urn:g:1 is also a subject inside its own graph
+        ("urn:g:1", "ex:p", "urn:n:y", None, None, "urn:g:1", None),
+        ("urn:n:a", "ex:p", "urn:n:b", None, None, "urn:g:2", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?g ?o WHERE { GRAPH ?g { ?g ex:p+ ?o } }
+    """)
+    assert [(r.g, r.o) for r in df.collect()] == [("urn:g:1", "urn:n:y")]
+
+
+def test_path_star_literal_endpoint_identity(spark):
+    """ZeroLengthPath(term) = {(term, term)} for literal endpoints
+    too, even when the literal is absent from the graph."""
+    rows = [("urn:s", "ex:p", "o1", None, None, "urn:g", None)]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?a WHERE { ?a ex:p* "active" }
+    """)
+    assert [r.a for r in df.collect()] == ["active"]
+
+
+def test_values_fills_unbound_with_meta(spark):
+    """A tagged VALUES row that fills a maybe-unbound binding brings
+    its @lang along — LANG() on the coalesced value sees the tag."""
+    rows = [
+        ("urn:s:0", "ex:p", "x", None, None, "urn:g", None),
+        ("urn:s:1", "ex:p", "y", None, None, "urn:g", None),
+        ("urn:s:1", "rdfs:label", "hallo", "nl", None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?s ?l WHERE {
+          ?s ex:p ?x .
+          OPTIONAL { ?s rdfs:label ?l }
+          VALUES ?l { "fallback"@en "hallo"@nl }
+          FILTER(LANG(?l) = "en")
+        } ORDER BY ?s
+    """)
+    # s:0 had ?l unbound → filled with "fallback"@en (tag carried);
+    # s:1's bound "hallo"@nl fails the @en filter
+    assert [(r.s, r.l) for r in df.collect()] == [("urn:s:0", "fallback")]
+
+
+def test_bare_alternation_rejects_non_iris():
+    with pytest.raises(ValueError, match="members must be IRIs"):
+        parse_sparql("SELECT * WHERE { ?s ?p|<p:q> ?o }")
+    with pytest.raises(ValueError, match="members must be IRIs"):
+        parse_sparql('SELECT * WHERE { ?s <p:q>|"lit" ?o }')
