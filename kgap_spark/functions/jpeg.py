@@ -195,6 +195,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF0")
+            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("JPEG: truncated SOS header")
             ns = seg[0]
             if ns != len(frame["comps"]):
                 # spec-legal but out of scope: a baseline file split

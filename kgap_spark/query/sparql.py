@@ -1670,6 +1670,13 @@ def _merge_inner(df: DataFrame | None, maybe: set,
     return out, new_maybe
 
 
+def _unit_table(spark) -> DataFrame:
+    """The SPARQL unit table {μ0}: one solution binding nothing — a
+    one-row, zero-column frame the group elements fold onto when they
+    textually precede every pattern."""
+    return spark.range(1).select()
+
+
 def _apply_minus(triples: DataFrame, df: DataFrame, maybe: set,
                  sub: Group, graph) -> DataFrame:
     """SPARQL MINUS: remove solutions compatible with the sub-group on
@@ -1781,15 +1788,19 @@ def _apply_values(triples: DataFrame, df: DataFrame | None, maybe: set,
                     # a row that FILLS an unbound binding brings its
                     # @lang/^^dt along — LANG()/DATATYPE() on the
                     # coalesced value must see the row's tags, not
-                    # df's NULL meta
+                    # df's NULL meta; the meta columns are CREATED if
+                    # df lacks them (subject/predicate-position vars
+                    # carry none, and their bound IRI rows correctly
+                    # read as untagged)
                     for kind in ("lang", "dt"):
                         mc = f"{n}__{kind}"
-                        if mc in df.columns:
-                            out = out.withColumn(
-                                mc,
-                                F.when(df[n].isNull(),
-                                       F.col(ren[mc])).otherwise(df[mc]),
-                            )
+                        base = (df[mc] if mc in df.columns
+                                else F.lit(None).cast("string"))
+                        out = out.withColumn(
+                            mc,
+                            F.when(df[n].isNull(),
+                                   F.col(ren[mc])).otherwise(base),
+                        )
                 out = out.withColumn(n, F.coalesce(df[n], F.col(ren[n])))
             out = out.drop(ren[n])
         else:
@@ -1990,9 +2001,10 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
         if _kind == "bind":
             e, v = _payload
             if df is None:
-                raise ValueError(
-                    "BIND before any pattern in the group"
-                )
+                # SPARQL folds onto the unit table {μ0}: a BIND that
+                # textually precedes every pattern extends the single
+                # empty solution
+                df = _unit_table(triples.sparkSession)
             if v.name in df.columns:
                 # SPARQL forbids BIND onto an in-scope variable;
                 # silently overwriting it would fabricate solutions
@@ -2010,7 +2022,10 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             continue
         sub = _payload
         if df is None:
-            raise ValueError("OPTIONAL before any pattern in the group")
+            # LeftJoin({μ0}, P): P's solutions, or μ0 if P is empty —
+            # the no-shared-vars left-join-on-true below gives exactly
+            # that over the unit table
+            df = _unit_table(triples.sparkSession)
         # SPARQL LeftJoin(Ω1, Ω2, expr): a FILTER at the top level of
         # an OPTIONAL group that references variables bound only in
         # the OUTER pattern is part of the JOIN CONDITION — evaluating

@@ -918,3 +918,24 @@ def test_jpeg_non_interleaved_scan_rejected():
             + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])))
     with _pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg(data)
+
+
+def test_jpeg_truncated_sos_header_valueerror():
+    import struct
+
+    import pytest as _pytest
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1)
+              + bytes([1, 0x11, 0]))
+    # empty SOS payload
+    with _pytest.raises(ValueError, match="truncated SOS"):
+        decode_jpeg(b"\xff\xd8" + sof + seg(0xDA, b""))
+    # ns=3 but only one component descriptor
+    with _pytest.raises(ValueError, match="truncated SOS"):
+        decode_jpeg(b"\xff\xd8" + sof + seg(0xDA, bytes([3, 1, 0])))

@@ -1644,3 +1644,51 @@ def test_bare_alternation_rejects_non_iris():
         parse_sparql("SELECT * WHERE { ?s ?p|<p:q> ?o }")
     with pytest.raises(ValueError, match="members must be IRIs"):
         parse_sparql('SELECT * WHERE { ?s <p:q>|"lit" ?o }')
+
+
+def test_bind_values_before_patterns(spark):
+    """Pass-2 review regression: elements that textually precede every
+    pattern fold onto the unit table {μ0} instead of raising."""
+    rows = [("urn:s", "ex:p", "o", None, None, "urn:g", None)]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT * WHERE { BIND(1 AS ?x) VALUES ?y { "a" } }
+    """)
+    assert [(r.x, r.y) for r in df.collect()] == [(1.0, "a")]
+    # OPTIONAL-first group: P's solutions when P matches
+    df2 = execute_sparql(t, """
+        SELECT ?s WHERE { OPTIONAL { ?s ex:p ?o } VALUES ?o { "o" } }
+    """)
+    assert [r.s for r in df2.collect()] == ["urn:s"]
+    # OPTIONAL-first over an empty pattern: the μ0 row survives,
+    # variable unbound
+    df3 = execute_sparql(t, """
+        SELECT ?z WHERE { OPTIONAL { ?z ex:nope ?o } }
+    """)
+    assert [r.z for r in df3.collect()] == [None]
+    # BIND-only group: one extended solution
+    df4 = execute_sparql(t, "SELECT ?x WHERE { BIND(2 AS ?x) }")
+    assert [r.x for r in df4.collect()] == [2.0]
+
+
+def test_values_fill_creates_missing_meta(spark):
+    """Pass-2 review regression: the VALUES meta-fill creates the
+    meta columns when df lacks them (subject-position vars), so
+    LANG() still sees the filling row's tag."""
+    rows = [
+        ("urn:s:0", "ex:p", "x", None, None, "urn:g", None),
+        ("urn:l:1", "ex:q", "urn:s:1", None, None, "urn:g", None),
+        ("urn:s:1", "ex:p", "y", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?s ?l WHERE {
+          ?s ex:p ?x .
+          OPTIONAL { ?l ex:q ?s }
+          VALUES ?l { "v"@en "urn:l:1" }
+          FILTER(LANG(?l) = "en")
+        } ORDER BY ?s
+    """)
+    # s:0 had ?l unbound -> filled with "v"@en (meta created);
+    # s:1's bound urn:l:1 is an IRI -> untagged -> filtered out
+    assert [(r.s, r.l) for r in df.collect()] == [("urn:s:0", "v")]
