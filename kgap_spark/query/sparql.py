@@ -105,7 +105,8 @@ _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
           "DATATYPE", "STRSTARTS", "STRENDS", "LCASE", "UCASE",
           "COALESCE", "STRBEFORE", "STRAFTER", "REPLACE", "SUBSTR",
           "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
-          "ABS", "ROUND", "CEIL", "FLOOR"}
+          "ABS", "ROUND", "CEIL", "FLOOR",
+          "LANGMATCHES", "STRLANG", "STRDT"}
 
 
 @dataclass
@@ -196,9 +197,10 @@ class NotExpr:
 
 @dataclass
 class Agg:
-    fn: str           # COUNT/MAX/MIN/SUM/AVG
+    fn: str           # COUNT/MAX/MIN/SUM/AVG/SAMPLE/GROUP_CONCAT
     arg: object       # Var | "*"
     distinct: bool = False
+    sep: str | None = None   # GROUP_CONCAT(…; SEPARATOR="…")
 
 
 @dataclass
@@ -1039,8 +1041,20 @@ class _Parser:
                 arg = "*"
             else:
                 arg = self.expr()  # aggregates over expressions: SUM(?a*?b)
+            sep = None
+            nxt = self.peek()
+            if nxt and nxt.kind == "OP" and nxt.text == ";":
+                # GROUP_CONCAT(?x; SEPARATOR=", ")
+                self.next()
+                kw = self.expect("PNAME")
+                if kw.text.upper() != "SEPARATOR":
+                    raise ValueError(
+                        f"expected SEPARATOR, got {kw.text!r}"
+                    )
+                self.expect("OP", "=")
+                sep = _unescape_string(self.expect("STRING").text[1:-1])
             self.expect("OP", ")")
-            return Agg(t.text, arg, distinct)
+            return Agg(t.text, arg, distinct, sep)
         if t.kind == "KW" and t.text in _FUNCS:
             self.next()
             self.expect("OP", "(")
@@ -1250,7 +1264,25 @@ def _compile_expr(e, df: DataFrame,
                 for extra in conds[1:]:
                     cond = cond | extra
                 return cond if e.name == "IN" else ~cond
+            if e.name in ("STRLANG", "STRDT"):
+                # expression position sees the VALUE component only
+                # (the lexical form); a BIND target additionally gets
+                # the tag routed into its __lang/__dt meta columns —
+                # handled in the bind replay. Evaluated before the
+                # generic arg loop: the datatype arg may be an any-of
+                # tuple (undeclared well-known pname) that to()
+                # rejects.
+                return to(e.args[0]).cast("string")
             a = [to(x) for x in e.args]
+            if e.name == "LANGMATCHES":
+                # SPARQL langMatches (RFC 4647 basic filtering): "*"
+                # matches any non-empty tag; otherwise the tag equals
+                # the range or extends it with a subtag, both
+                # case-insensitive
+                t, r = F.lower(a[0]), F.lower(a[1])
+                return F.when(r == "*", t != "").otherwise(
+                    (t == r) | t.startswith(F.concat(r, F.lit("-")))
+                )
             if e.name == "LANG":
                 v = e.args[0]
                 meta = f"{v.name}__lang" if isinstance(v, Var) else None
@@ -1411,7 +1443,8 @@ def _agg_col(agg: Agg, df: DataFrame | None = None) -> Column:
     if agg.fn == "GROUP_CONCAT":
         # sorted for determinism; SPARQL's default separator is a space
         vals = F.collect_set(c) if agg.distinct else F.collect_list(c)
-        return F.array_join(F.sort_array(vals), " ")
+        return F.array_join(F.sort_array(vals),
+                            agg.sep if agg.sep is not None else " ")
     raise ValueError(f"unsupported aggregate {agg.fn}")
 
 
@@ -2013,6 +2046,19 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             if (refs & maybe) or (refs - set(df.columns)):
                 maybe.add(v.name)
             df = df.withColumn(v.name, _compile_expr(e, df))
+            if isinstance(e, FnCall) and e.name in ("STRLANG", "STRDT"):
+                # the constructed literal's tag becomes the binding's
+                # meta, where LANG()/DATATYPE()/term-aware = read it
+                tag = e.args[1]
+                tag_col = (F.lit(tag[0]) if isinstance(tag, tuple)
+                           else _compile_expr(tag, df).cast("string"))
+                mc, other = ((f"{v.name}__lang", f"{v.name}__dt")
+                             if e.name == "STRLANG"
+                             else (f"{v.name}__dt", f"{v.name}__lang"))
+                df = df.withColumn(mc, tag_col)
+                if other not in df.columns:
+                    df = df.withColumn(other,
+                                       F.lit(None).cast("string"))
             continue
         if _kind == "minus":
             if df is None:

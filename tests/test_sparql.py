@@ -1692,3 +1692,63 @@ def test_values_fill_creates_missing_meta(spark):
     # s:0 had ?l unbound -> filled with "v"@en (meta created);
     # s:1's bound urn:l:1 is an IRI -> untagged -> filtered out
     assert [(r.s, r.l) for r in df.collect()] == [("urn:s:0", "v")]
+
+
+def test_langmatches_strlang_strdt(kb):
+    # LANGMATCHES: prefix matching per RFC 4647 basic filtering
+    df = execute_sparql(kb, f"""
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?l WHERE {{
+          ?s rdfs:label ?l . FILTER(LANGMATCHES(LANG(?l), "en"))
+        }}
+    """)
+    assert [r.l for r in df.collect()] == ["marine sensor"]
+    # "*" matches any tagged literal
+    df2 = execute_sparql(kb, f"""
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?l WHERE {{
+          ?s rdfs:label ?l . FILTER(LANGMATCHES(LANG(?l), "*"))
+        }} ORDER BY ?l
+    """)
+    assert df2.count() == 2
+    # en-US matches range "en"
+    df3 = execute_sparql(kb, """
+        SELECT ?ok WHERE {
+          BIND(LANGMATCHES("en-US", "en") AS ?ok)
+        }
+    """)
+    assert [r.ok for r in df3.collect()] == [True]
+    # STRLANG constructs a tagged literal: LANG() reads the tag
+    df4 = execute_sparql(kb, """
+        SELECT ?tag WHERE {
+          BIND(STRLANG("chat", "fr") AS ?w)
+          BIND(LANG(?w) AS ?tag)
+        }
+    """)
+    assert [r.tag for r in df4.collect()] == ["fr"]
+    # STRDT with an undeclared well-known prefix datatype
+    df5 = execute_sparql(kb, """
+        SELECT ?dt WHERE {
+          BIND(STRDT("5", xsd:integer) AS ?n)
+          BIND(DATATYPE(?n) AS ?dt)
+        }
+    """)
+    assert [r.dt for r in df5.collect()] == [
+        "http://www.w3.org/2001/XMLSchema#integer"
+    ]
+
+
+def test_group_concat_separator(kb):
+    df = execute_sparql(kb, f"""
+        PREFIX rdfs: <{RDFS}>
+        SELECT (GROUP_CONCAT(?l; SEPARATOR=", ") AS ?labels) WHERE {{
+          <urn:sensor:0> rdfs:label ?l .
+        }}
+    """)
+    assert [r.labels for r in df.collect()] == [
+        "mariene sensor, marine sensor"
+    ]
+    with pytest.raises(ValueError, match="SEPARATOR"):
+        parse_sparql(
+            'SELECT (GROUP_CONCAT(?l; BOGUS="x") AS ?c) WHERE { ?s ?p ?l }'
+        )
