@@ -351,6 +351,14 @@ class _Parser:
         if self.at_kw("DESCRIBE"):
             self.next()
             q = Query(form="describe")
+            # DESCRIBE ?x [?y …] WHERE { … }: resources selected by a
+            # pattern; or DESCRIBE <iri> … for constants
+            while self.peek() and self.peek().kind == "VAR":
+                q.projections.append(Var(self.next().text[1:]))
+            if q.projections:
+                self.expect("KW", "WHERE")
+                q.where = self.group()
+                return q
             while self.peek() and self.peek().kind in ("IRI", "PNAME"):
                 t = self.next()
                 iri = (t.text[1:-1] if t.kind == "IRI"
@@ -360,7 +368,8 @@ class _Parser:
                 else:
                     q.describe_iris.append(iri)
             if not q.describe_iris:
-                raise ValueError("DESCRIBE needs at least one IRI")
+                raise ValueError("DESCRIBE needs at least one IRI or "
+                                 "variable")
             return q
         return self.parse_select_body()
 
@@ -2557,6 +2566,32 @@ def execute_sparql(triples: DataFrame, text: str):
     if q.form == "describe":
         from kgap_spark.query.patterns import describe
 
+        if q.projections:
+            # DESCRIBE ?x WHERE { … }: the selected resources' triples
+            # — distinct resource set, one semi-join per role (subject
+            # / object), never a driver-side loop over resources
+            sols = _compile_group(triples, q.where)
+            res = None
+            for v in q.projections:
+                if v.name not in sols.columns:
+                    raise ValueError(
+                        f"DESCRIBE ?{v.name}: variable not bound in "
+                        "the WHERE pattern"
+                    )
+                one = sols.select(F.col(v.name).alias("__r")).filter(
+                    F.col("__r").isNotNull()
+                ).distinct()
+                res = one if res is None else res.unionByName(one)
+            res = res.distinct()
+            # two equi semi-joins (hash/broadcast-able) instead of one
+            # OR-condition join (which would fall back to nested-loop)
+            by_subj = triples.join(
+                res.withColumnRenamed("__r", "subj"), "subj", "left_semi"
+            )
+            by_obj = triples.join(
+                res.withColumnRenamed("__r", "obj"), "obj", "left_semi"
+            )
+            return by_subj.unionByName(by_obj).distinct()
         out = describe(triples, q.describe_iris[0])
         for iri in q.describe_iris[1:]:
             out = out.unionByName(describe(triples, iri))

@@ -1752,3 +1752,19 @@ def test_group_concat_separator(kb):
         parse_sparql(
             'SELECT (GROUP_CONCAT(?l; BOGUS="x") AS ?c) WHERE { ?s ?p ?l }'
         )
+
+
+def test_describe_var_where(kb):
+    """DESCRIBE ?x WHERE { … }: resources selected by pattern — the
+    GraphDB-documented form alongside DESCRIBE <iri>."""
+    df = execute_sparql(kb, """
+        PREFIX sosa: <http://www.w3.org/ns/sosa/>
+        DESCRIBE ?s WHERE { ?s a sosa:Sensor }
+    """)
+    rows = df.collect()
+    subs = {r.subj for r in rows if r.subj.startswith("urn:sensor:")}
+    assert subs == {"urn:sensor:0", "urn:sensor:1"}
+    # triples where the sensor appears as OBJECT are included too
+    assert any(r.obj in ("urn:sensor:0", "urn:sensor:1") for r in rows)
+    with pytest.raises(ValueError, match="not bound"):
+        execute_sparql(kb, "DESCRIBE ?nope WHERE { ?s ?p ?o }")
