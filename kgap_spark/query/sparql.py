@@ -183,6 +183,17 @@ class PathOpt:
     pred: object
 
 
+@dataclass(frozen=True)
+class PathNegMixed:
+    """A negated property set with BOTH forward and inverse members,
+    ``!(p1|^p2)`` — SPARQL 1.1 §9.1 splits it into the union of a
+    forward NPS and an inverse NPS; the parser rewrites it into two
+    UNION arms at emit time (never reaches the pattern compiler)."""
+
+    fwd: tuple
+    rev: tuple
+
+
 @dataclass
 class BinOp:
     op: str
@@ -264,7 +275,9 @@ def _is_path_term(t) -> bool:
     nodes, or the fresh ``__path`` variables emit_path introduces when
     rewriting sequence paths — all of them invalid wherever only plain
     triples belong (DATA blocks, templates, DELETE WHERE)."""
-    return isinstance(t, (PathPlus, PathStar, PathOpt, PathNeg)) or (
+    return isinstance(
+        t, (PathPlus, PathStar, PathOpt, PathNeg, PathNegMixed)
+    ) or (
         isinstance(t, Var) and t.name.startswith("__path")
     )
 
@@ -723,7 +736,7 @@ class _Parser:
                     "elements needs parentheses: (p1|p2)+"
                 )
             pred = ps[0][0]
-            if isinstance(pred, PathNeg):
+            if isinstance(pred, (PathNeg, PathNegMixed)):
                 raise ValueError(
                     "negated sets cannot join a path alternation"
                 )
@@ -793,32 +806,44 @@ class _Parser:
             return t.text
         return None
 
-    def negated_property_set(self) -> PathNeg:
-        """After ``!``: a single IRI/pname, or ``(p1|p2|…)``. Any-of
-        constants (undeclared well-known pnames, ``a``) flatten into
-        the excluded set — !rdf:type must exclude both store forms."""
-        def flat(term) -> tuple:
-            if isinstance(term, tuple):
-                return term
+    def negated_property_set(self):
+        """After ``!``: a single ``[^]IRI``, or ``([^]p1|[^]p2|…)``.
+        Any-of constants (undeclared well-known pnames, ``a``) flatten
+        into the excluded set — !rdf:type must exclude both store
+        forms. Returns ``PathNeg`` (forward-only) or ``PathNegMixed``
+        when inverse members (``^p``) are present — SPARQL 1.1 §9.1
+        evaluates a mixed set as forward-NPS ∪ inverse-NPS."""
+        fwd: list = []
+        rev: list = []
+
+        def member() -> None:
+            inv = False
+            t = self.peek()
+            if t and t.kind == "OP" and t.text == "^":
+                self.next()
+                inv = True
+            term = self.term(as_predicate=True)
             if isinstance(term, (Var, Lit, Num)):
                 raise ValueError(
                     "negated property set members must be IRIs"
                 )
-            return (term,)
+            toks = term if isinstance(term, tuple) else (term,)
+            (rev if inv else fwd).extend(toks)
 
-        preds: list = []
         t = self.peek()
         if t and t.kind == "OP" and t.text == "(":
             self.next()
-            preds.extend(flat(self.term(as_predicate=True)))
+            member()
             while self.peek() and self.peek().kind == "OP" \
                     and self.peek().text == "|":
                 self.next()
-                preds.extend(flat(self.term(as_predicate=True)))
+                member()
             self.expect("OP", ")")
         else:
-            preds.extend(flat(self.term(as_predicate=True)))
-        return PathNeg(tuple(preds))
+            member()
+        if rev:
+            return PathNegMixed(tuple(fwd), tuple(rev))
+        return PathNeg(tuple(fwd))
 
     _PATH_WRAP = {"+": PathPlus, "*": PathStar, "?": PathOpt}
 
@@ -832,8 +857,23 @@ class _Parser:
             nxt = obj if last else Var(f"__path{_Parser._path_counter}")
             if not last:
                 _Parser._path_counter += 1
-            p = _Parser._PATH_WRAP[mod](pred) if mod else pred
-            g.triples.append((nxt, p, node) if inv else (node, p, nxt))
+            src, dst = (nxt, node) if inv else (node, nxt)
+            if isinstance(pred, PathNegMixed):
+                # !(p1|^p2) = forward-NPS ∪ inverse-NPS (§9.1): two
+                # UNION arms sharing the endpoints (just the reversed
+                # triple when the forward set is empty)
+                rev_triple = (dst, PathNeg(pred.rev), src)
+                if not pred.fwd:
+                    g.triples.append(rev_triple)
+                else:
+                    arms = [Group(triples=[(src, PathNeg(pred.fwd),
+                                            dst)]),
+                            Group(triples=[rev_triple])]
+                    g.unions.append(arms)
+                    g.seq.append(("union", arms))
+            else:
+                p = _Parser._PATH_WRAP[mod](pred) if mod else pred
+                g.triples.append((src, p, dst))
             node = nxt
 
     def triples_same_subject(self, g: Group) -> None:
@@ -843,7 +883,8 @@ class _Parser:
             while True:
                 obj = self.term()
                 if len(parts) == 1 and parts[0][1] is None \
-                        and not parts[0][2]:
+                        and not parts[0][2] \
+                        and not isinstance(parts[0][0], PathNegMixed):
                     g.triples.append((subj, parts[0][0], obj))
                 else:
                     self.emit_path(g, subj, parts, obj)

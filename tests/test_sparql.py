@@ -1768,3 +1768,33 @@ def test_describe_var_where(kb):
     assert any(r.obj in ("urn:sensor:0", "urn:sensor:1") for r in rows)
     with pytest.raises(ValueError, match="not bound"):
         execute_sparql(kb, "DESCRIBE ?nope WHERE { ?s ?p ?o }")
+
+
+def test_negated_property_set_inverse_members(spark):
+    """!(p|^q) = forward-NPS ∪ inverse-NPS (SPARQL 1.1 §9.1)."""
+    rows = [
+        ("urn:a", "ex:p", "urn:b", None, None, "urn:g", None),
+        ("urn:a", "ex:r", "urn:c", None, None, "urn:g", None),
+        ("urn:d", "ex:q", "urn:a", None, None, "urn:g", None),
+        ("urn:e", "ex:s", "urn:a", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    # forward: a -> c via ex:r (a -> b is via the EXCLUDED ex:p);
+    # inverse: a -> e via incoming ex:s (incoming ex:q excluded)
+    df = execute_sparql(t, """
+        SELECT ?x WHERE { <urn:a> !(ex:p|^ex:q) ?x } ORDER BY ?x
+    """)
+    assert [r.x for r in df.collect()] == ["urn:c", "urn:e"]
+
+
+def test_negated_property_set_inverse_only(spark):
+    rows = [
+        ("urn:d", "ex:q", "urn:a", None, None, "urn:g", None),
+        ("urn:e", "ex:s", "urn:a", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    # !(^ex:q): incoming edges whose pred is NOT ex:q
+    df = execute_sparql(t, """
+        SELECT ?x WHERE { <urn:a> !(^ex:q) ?x }
+    """)
+    assert [r.x for r in df.collect()] == ["urn:e"]
