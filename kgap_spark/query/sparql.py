@@ -1103,6 +1103,10 @@ class _Parser:
                     )
                 self.expect("OP", "=")
                 sep = _unescape_string(self.expect("STRING").text[1:-1])
+                if t.text != "GROUP_CONCAT":
+                    raise ValueError(
+                        "SEPARATOR is only valid in GROUP_CONCAT"
+                    )
             self.expect("OP", ")")
             return Agg(t.text, arg, distinct, sep)
         if t.kind == "KW" and t.text in _FUNCS:
@@ -1113,8 +1117,32 @@ class _Parser:
                 self.next()
                 args.append(self.expr())
             self.expect("OP", ")")
+            if t.text in ("STRLANG", "STRDT"):
+                return self._fold_term_ctor(FnCall(t.text, args))
             return FnCall(t.text, args)
         return self.term()
+
+    @staticmethod
+    def _fold_term_ctor(fn: FnCall):
+        """Constant-fold STRLANG/STRDT over literal arguments into the
+        tagged/typed ``Lit`` they construct, so the existing term-aware
+        machinery (tagged_eq, IN, VALUES, BIND meta routing) applies —
+        FILTER(?l = STRLANG("chat","fr")) must behave exactly like
+        FILTER(?l = "chat"@fr). Non-constant args keep the FnCall
+        (value-only in expression position; BIND routes the tag)."""
+        if len(fn.args) != 2:
+            raise ValueError(f"{fn.name} takes exactly 2 arguments")
+        v, tag = fn.args
+        if isinstance(v, Lit) and not (v.lang or v.datatype):
+            if fn.name == "STRLANG" and isinstance(tag, Lit) \
+                    and not (tag.lang or tag.datatype):
+                return Lit(v.value, lang=tag.value)
+            if fn.name == "STRDT":
+                if isinstance(tag, tuple):
+                    return Lit(v.value, datatype=tag[0])
+                if isinstance(tag, str):
+                    return Lit(v.value, datatype=tag)
+        return fn
 
 
 _STR_ESC = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\", "'": "'"}
@@ -1329,6 +1357,10 @@ def _compile_expr(e, df: DataFrame,
                 # matches any non-empty tag; otherwise the tag equals
                 # the range or extends it with a subtag, both
                 # case-insensitive
+                if len(a) != 2:
+                    raise ValueError(
+                        "LANGMATCHES takes exactly 2 arguments"
+                    )
                 t, r = F.lower(a[0]), F.lower(a[1])
                 return F.when(r == "*", t != "").otherwise(
                     (t == r) | t.startswith(F.concat(r, F.lit("-")))
@@ -2096,18 +2128,29 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             if (refs & maybe) or (refs - set(df.columns)):
                 maybe.add(v.name)
             df = df.withColumn(v.name, _compile_expr(e, df))
+            # a constructed literal's tag becomes the binding's meta,
+            # where LANG()/DATATYPE()/term-aware = read it
+            tag_pair = None
             if isinstance(e, FnCall) and e.name in ("STRLANG", "STRDT"):
-                # the constructed literal's tag becomes the binding's
-                # meta, where LANG()/DATATYPE()/term-aware = read it
-                tag = e.args[1]
+                tag = e.args[1]  # arity checked at parse (fold)
                 tag_col = (F.lit(tag[0]) if isinstance(tag, tuple)
                            else _compile_expr(tag, df).cast("string"))
-                mc, other = ((f"{v.name}__lang", f"{v.name}__dt")
-                             if e.name == "STRLANG"
-                             else (f"{v.name}__dt", f"{v.name}__lang"))
-                df = df.withColumn(mc, tag_col)
-                if other not in df.columns:
-                    df = df.withColumn(other,
+                # STRLANG/STRDT over an unbound value is a SPARQL type
+                # error → the binding stays fully unbound, no tag
+                tag_col = F.when(F.col(v.name).isNotNull(), tag_col)
+                tag_pair = ("lang" if e.name == "STRLANG" else "dt",
+                            tag_col)
+            elif isinstance(e, Lit) and (e.lang or e.datatype):
+                # parse-time-folded STRLANG/STRDT constant
+                tag_pair = (("lang", F.lit(e.lang)) if e.lang
+                            else ("dt", F.lit(e.datatype)))
+            if tag_pair is not None:
+                kind, tag_col = tag_pair
+                other = "dt" if kind == "lang" else "lang"
+                df = df.withColumn(f"{v.name}__{kind}",
+                                   tag_col.cast("string"))
+                if f"{v.name}__{other}" not in df.columns:
+                    df = df.withColumn(f"{v.name}__{other}",
                                        F.lit(None).cast("string"))
             continue
         if _kind == "minus":
@@ -2623,7 +2666,10 @@ def execute_sparql(triples: DataFrame, text: str):
                     F.col("__r").isNotNull()
                 ).distinct()
                 res = one if res is None else res.unionByName(one)
-            res = res.distinct()
+            # materialize once: both semi-joins below reference this
+            # subtree, and Spark would otherwise recompute the whole
+            # WHERE-pattern plan per join
+            res = res.distinct().localCheckpoint(eager=True)
             # two equi semi-joins (hash/broadcast-able) instead of one
             # OR-condition join (which would fall back to nested-loop)
             by_subj = triples.join(

@@ -1798,3 +1798,55 @@ def test_negated_property_set_inverse_only(spark):
         SELECT ?x WHERE { <urn:a> !(^ex:q) ?x }
     """)
     assert [r.x for r in df.collect()] == ["urn:e"]
+
+
+def test_strlang_strdt_term_semantics(kb):
+    """Pass-3 review regressions: constant STRLANG/STRDT fold into
+    tagged literals (term-aware everywhere), tags never attach to
+    unbound values, and arity/SEPARATOR misuse fails at parse."""
+    # FILTER(?l = STRLANG(...)) behaves exactly like ?l = "..."@en
+    df = execute_sparql(kb, f"""
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l .
+          FILTER(?l = STRLANG("marine sensor", "en"))
+        }}
+    """)
+    assert [r.s for r in df.collect()] == ["urn:sensor:0"]
+    df2 = execute_sparql(kb, f"""
+        PREFIX rdfs: <{RDFS}>
+        SELECT ?s WHERE {{
+          ?s rdfs:label ?l .
+          FILTER(?l = STRLANG("marine sensor", "nl"))
+        }}
+    """)
+    assert df2.count() == 0
+    # BIND of a plain tagged literal carries its tag too
+    df3 = execute_sparql(kb, """
+        SELECT ?t WHERE { BIND("chat"@fr AS ?w) BIND(LANG(?w) AS ?t) }
+    """)
+    assert [r.t for r in df3.collect()] == ["fr"]
+    # STRLANG over an unbound value: binding stays unbound, no tag
+    df4 = execute_sparql(kb, """
+        SELECT ?w ?t WHERE {
+          ?s <urn:p:none> ?m .
+        } LIMIT 1
+    """)
+    assert df4.count() == 0  # no such triples; now the OPTIONAL form:
+    df5 = execute_sparql(kb, """
+        SELECT ?w ?t WHERE {
+          ?s a ?type .
+          OPTIONAL { ?s <urn:p:none> ?m }
+          BIND(STRLANG(?m, "fr") AS ?w)
+          BIND(LANG(?w) AS ?t)
+        } LIMIT 1
+    """)
+    r = df5.collect()[0]
+    assert r.w is None and r.t == ""
+    # arity + misuse fail loudly at parse time
+    with pytest.raises(ValueError, match="2 arguments"):
+        parse_sparql('SELECT ?x WHERE { BIND(STRDT("5") AS ?x) }')
+    with pytest.raises(ValueError, match="only valid in GROUP_CONCAT"):
+        parse_sparql(
+            'SELECT (SUM(?x; SEPARATOR=",") AS ?s) WHERE { ?a ?p ?x }'
+        )
