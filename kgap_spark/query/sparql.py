@@ -184,6 +184,15 @@ class PathOpt:
 
 
 @dataclass(frozen=True)
+class PathSeq:
+    """A parenthesized sequence path ``(p1/p2/…)`` usable under a
+    modifier — ``(p1/p2)+`` closes over the COMPOSED edge relation.
+    ``steps`` is a tuple of ``(pred_or_anyof_tuple, inverse)``."""
+
+    steps: tuple
+
+
+@dataclass(frozen=True)
 class PathNegMixed:
     """A negated property set with BOTH forward and inverse members,
     ``!(p1|^p2)`` — SPARQL 1.1 §9.1 splits it into the union of a
@@ -276,7 +285,7 @@ def _is_path_term(t) -> bool:
     rewriting sequence paths — all of them invalid wherever only plain
     triples belong (DATA blocks, templates, DELETE WHERE)."""
     return isinstance(
-        t, (PathPlus, PathStar, PathOpt, PathNeg, PathNegMixed)
+        t, (PathPlus, PathStar, PathOpt, PathSeq, PathNeg, PathNegMixed)
     ) or (
         isinstance(t, Var) and t.name.startswith("__path")
     )
@@ -781,7 +790,33 @@ class _Parser:
             return (pred, None, inv)
         if t and t.kind == "OP" and t.text == "(":
             self.next()
-            preds = list(self._alt_member())
+            first_inv = False
+            tp = self.peek()
+            if tp and tp.kind == "OP" and tp.text == "^":
+                self.next()
+                first_inv = True
+            first = self._alt_member()
+            nxt = self.peek()
+            if (nxt and nxt.kind == "OP" and nxt.text == "/") \
+                    or first_inv:
+                # parenthesized SEQUENCE (p1/p2/…), steps optionally
+                # inverse — usable under a modifier: (p1/p2)+ closes
+                # over the composed edge relation
+                steps = [(first if len(first) > 1 else first[0],
+                          first_inv)]
+                while self.peek() and self.peek().kind == "OP" \
+                        and self.peek().text == "/":
+                    self.next()
+                    step_inv = False
+                    tp = self.peek()
+                    if tp and tp.kind == "OP" and tp.text == "^":
+                        self.next()
+                        step_inv = True
+                    m = self._alt_member()
+                    steps.append((m if len(m) > 1 else m[0], step_inv))
+                self.expect("OP", ")")
+                return (PathSeq(tuple(steps)), self.path_mod(), inv)
+            preds = list(first)
             while self.peek() and self.peek().kind == "OP" \
                     and self.peek().text == "|":
                 self.next()
@@ -1597,6 +1632,41 @@ def _path_guard(graph_var: str | None) -> None:
         )
 
 
+def _edge_rel(triples: DataFrame, pred,
+              graph_var: str | None = None) -> DataFrame:
+    """The (__path_a, __path_b[, graph]) edge relation of a predicate:
+    a simple IRI, an any-of tuple, or a composed ``PathSeq`` — the
+    ``(p1/p2)+`` inner relation, one equi-join per step (inverse steps
+    swap their endpoints)."""
+    _path_guard(graph_var)
+    gcols = [graph_var] if graph_var else []
+    t = triples
+    gsel = []
+    if graph_var:
+        t = t.filter(F.col("graph").isNotNull())
+        gsel = [F.col("graph").alias(graph_var)]
+    if not isinstance(pred, PathSeq):
+        return t.filter(_pred_cond(pred)).select(
+            F.col("subj").alias(_PA), F.col("obj").alias(_PB), *gsel
+        ).distinct()
+    cur = None
+    for sp, inv in pred.steps:
+        src, dst = ("obj", "subj") if inv else ("subj", "obj")
+        step = t.filter(_pred_cond(sp)).select(
+            F.col(src).alias(_PA), F.col(dst).alias(_PB), *gsel
+        ).distinct()
+        if cur is None:
+            cur = step
+        else:
+            cur = (
+                cur.withColumnRenamed(_PB, _PM)
+                .join(step.withColumnRenamed(_PA, _PM), [_PM, *gcols])
+                .select(_PA, _PB, *gcols)
+                .distinct()
+            )
+    return cur
+
+
 def _transitive_pairs(triples: DataFrame, pred, start: str | None,
                       max_depth: int = 12,
                       graph_var: str | None = None) -> DataFrame:
@@ -1613,12 +1683,7 @@ def _transitive_pairs(triples: DataFrame, pred, start: str | None,
     (__path_a, __path_b, graph_var) triples."""
     _path_guard(graph_var)
     gcols = [graph_var] if graph_var else []
-    t = triples
-    sel = [F.col("subj").alias(_PA), F.col("obj").alias(_PB)]
-    if graph_var:
-        t = t.filter(F.col("graph").isNotNull())
-        sel.append(F.col("graph").alias(graph_var))
-    edges = t.filter(_pred_cond(pred)).select(*sel).distinct()
+    edges = _edge_rel(triples, pred, graph_var)
     if start is not None:
         frontier = edges.filter(F.col(_PA) == start)
     else:
@@ -1652,6 +1717,11 @@ def _path_pairs(triples: DataFrame, p, s_term, o_term,
     stay within one named graph."""
     _path_guard(graph_var)
     start = s_term if isinstance(s_term, str) else None
+    if isinstance(p, PathSeq):
+        # bare parenthesized sequence: just the composed edge relation
+        edges = _edge_rel(triples, p, graph_var)
+        return edges.filter(F.col(_PA) == start) if start is not None \
+            else edges
     if isinstance(p, PathPlus):
         return _transitive_pairs(triples, p.pred, start,
                                  graph_var=graph_var)
@@ -1659,9 +1729,7 @@ def _path_pairs(triples: DataFrame, p, s_term, o_term,
     t = triples.filter(F.col("graph").isNotNull()) if graph_var else triples
     gsel = [F.col("graph").alias(graph_var)] if graph_var else []
     if isinstance(p, PathOpt):
-        step = t.filter(_pred_cond(p.pred)).select(
-            F.col("subj").alias(_PA), F.col("obj").alias(_PB), *gsel
-        ).distinct()
+        step = _edge_rel(triples, p.pred, graph_var)
         if start is not None:
             step = step.filter(F.col(_PA) == start)
     else:  # PathStar
@@ -1958,7 +2026,7 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
 
     maybe: set[str] = set()
     patterns, searches = _split_lucene(g)
-    _PATHS = (PathPlus, PathStar, PathOpt)
+    _PATHS = (PathPlus, PathStar, PathOpt, PathSeq)
     path_patterns = [
         (s, p, o) for (s, p, o) in patterns if isinstance(p, _PATHS)
     ]

@@ -1547,6 +1547,93 @@ WHERE {
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority): customer⋈orders⋈lineitem
+    with segment/date filters, revenue agg per order, top-10. The
+    dimension (filtered customers) broadcasts; the fact-fact join
+    shuffles once on orderkey; TakeOrderedAndProject bounds the
+    result."""
+    _utc(spark)
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    rev = F.sum(
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    )
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev.cast("double"), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate",
+                "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                 F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast-revenue change): single-table scan
+    with tight range predicates + one global agg — the pushdown
+    showcase (every filter reaches the parquet scan; no shuffle
+    beyond the final partial-agg exchange)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 10)
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return li.agg(
+        F.round(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double"), 2
+        ).alias("revenue")
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 10
+"""
+
+
 def q_fts_boolean(spark, sf_dir):
     """F9 extension: Lucene-style boolean query syntax over the
     posting table — ``+join stream -slow`` = join required, stream an
@@ -1930,6 +2017,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 addition (boolean FTS) — new but the core window is
     # full; verified by the local harness like every extra entry
     "fts_boolean": q_fts_boolean,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
     "str_funcs": q_str_funcs,
     "ts_filter": q_ts_filter,
     "sessionize": q_sessionize,
@@ -1999,6 +2088,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "doc_mix": ORACLE_DOC_MIX,
     "sessionize_native": ORACLE_SESSIONIZE,
     "fts_boolean": ORACLE_FTS_BOOLEAN,
+    "tpch_q3": ORACLE_TPCH_Q3,
+    "tpch_q6": ORACLE_TPCH_Q6,
     "str_funcs": ORACLE_STR_FUNCS,
     "ts_filter": ORACLE_TS_FILTER,
     "sessionize": ORACLE_SESSIONIZE,

@@ -1850,3 +1850,39 @@ def test_strlang_strdt_term_semantics(kb):
         parse_sparql(
             'SELECT (SUM(?x; SEPARATOR=",") AS ?s) WHERE { ?a ?p ?x }'
         )
+
+
+def test_parenthesized_sequence_paths(chain_kb):
+    """(p1/p2) under a modifier closes over the COMPOSED edge
+    relation; bare (p1/p2) and inverse steps work too."""
+    # two-hop composed relation: a ->(partOf/partOf) c
+    df = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { <urn:n:a> (ex:partOf/ex:partOf) ?x }
+    """)
+    assert [r.x for r in df.collect()] == ["urn:n:c"]
+    # closure of the two-hop relation: a -> c (1 app); a -> nothing
+    # further (c->e would need e); b -> d
+    df2 = execute_sparql(chain_kb, """
+        SELECT ?a ?b WHERE { ?a (ex:partOf/ex:partOf)+ ?b }
+        ORDER BY ?a ?b
+    """)
+    assert [(r.a, r.b) for r in df2.collect()] == [
+        ("urn:n:a", "urn:n:c"), ("urn:n:b", "urn:n:d"),
+    ]
+    # inverse step inside the sequence: sibling-ish hop up-then-down
+    # (x partOf y, z partOf y) => x (partOf/^partOf) z includes x=z
+    df3 = execute_sparql(chain_kb, """
+        SELECT ?z WHERE { <urn:n:a> (ex:partOf/^ex:partOf) ?z }
+    """)
+    assert [r.z for r in df3.collect()] == ["urn:n:a"]
+    # star over a composed relation includes identity
+    df4 = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { <urn:n:a> (ex:partOf/ex:partOf)* ?x }
+        ORDER BY ?x
+    """)
+    assert [r.x for r in df4.collect()] == ["urn:n:a", "urn:n:c"]
+    # single inverse element in parens
+    df5 = execute_sparql(chain_kb, """
+        SELECT ?x WHERE { <urn:n:c> (^ex:partOf) ?x }
+    """)
+    assert [r.x for r in df5.collect()] == ["urn:n:b"]
