@@ -537,8 +537,7 @@ class _Parser:
 
         def add(triples, graph):
             for s, p, o in triples:
-                if any(isinstance(t, (Var, PathPlus, PathStar,
-                                      PathOpt, PathNeg))
+                if any(_is_path_term(t) or isinstance(t, Var)
                        for t in (s, p, o)):
                     raise ValueError(
                         "DATA blocks must be ground (no variables or paths)"
@@ -893,6 +892,29 @@ class _Parser:
             if not last:
                 _Parser._path_counter += 1
             src, dst = (nxt, node) if inv else (node, nxt)
+            if isinstance(pred, PathSeq) and mod is None:
+                # parentheses are pure grouping (SPARQL 1.1): a bare
+                # (p1/p2) splices into chained triple patterns exactly
+                # like p1/p2 — bag semantics and literal meta
+                # preserved; the composed-edge-relation compile is
+                # only correct under +/*/? (set semantics).
+                # ^(p1/p2) == (^p2/^p1)
+                steps = list(pred.steps)
+                if inv:
+                    steps = [(sp, not si) for sp, si in reversed(steps)]
+                cur = node
+                for j, (sp, si) in enumerate(steps):
+                    lastj = j == len(steps) - 1
+                    tgt = nxt if lastj else Var(
+                        f"__path{_Parser._path_counter}"
+                    )
+                    if not lastj:
+                        _Parser._path_counter += 1
+                    g.triples.append((tgt, sp, cur) if si
+                                     else (cur, sp, tgt))
+                    cur = tgt
+                node = nxt
+                continue
             if isinstance(pred, PathNegMixed):
                 # !(p1|^p2) = forward-NPS ∪ inverse-NPS (§9.1): two
                 # UNION arms sharing the endpoints (just the reversed
@@ -919,7 +941,8 @@ class _Parser:
                 obj = self.term()
                 if len(parts) == 1 and parts[0][1] is None \
                         and not parts[0][2] \
-                        and not isinstance(parts[0][0], PathNegMixed):
+                        and not isinstance(parts[0][0],
+                                           (PathNegMixed, PathSeq)):
                     g.triples.append((subj, parts[0][0], obj))
                 else:
                     self.emit_path(g, subj, parts, obj)

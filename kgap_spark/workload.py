@@ -424,6 +424,21 @@ ORACLE_LIMIT_EARLY = (
 )
 
 
+def _dec(col: str):
+    """TPC-H money arithmetic: decimal(18,2) casts so Spark and the
+    DuckDB oracles agree digit-for-digit (shared by Q1/Q3/Q5/Q6)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _tpch_revenue():
+    """sum(l_extendedprice * (1 - l_discount)) — ONE definition for
+    every query and its paired oracle string."""
+    return F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     """A-series showcase: TPC-H Q1 shape. Money sums go through
     per-row DECIMAL casts (exact, order-independent) then back to
@@ -431,14 +446,13 @@ def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
             F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -500,10 +514,7 @@ def q_tpch_q5(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
-    rev = F.sum(
-        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-    )
+    rev = _tpch_revenue()
     joined = (
         r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
         .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
@@ -1563,11 +1574,7 @@ def q_tpch_q3(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1998-01-01"
     )
-    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
-    rev = F.sum(
-        dec("l_extendedprice")
-        * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-    )
+    rev = _tpch_revenue()
     return (
         c.join(o, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1613,10 +1620,9 @@ def q_tpch_q6(spark, sf_dir):
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 10)
     )
-    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
     return li.agg(
         F.round(
-            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
             .cast("double"), 2
         ).alias("revenue")
     )

@@ -1886,3 +1886,41 @@ def test_parenthesized_sequence_paths(chain_kb):
         SELECT ?x WHERE { <urn:n:c> (^ex:partOf) ?x }
     """)
     assert [r.x for r in df5.collect()] == ["urn:n:b"]
+
+
+def test_bare_sequence_parens_bag_semantics(spark):
+    """Pass-4 review regression: (p1/p2) is pure grouping — identical
+    to p1/p2 (bag semantics, duplicates via distinct intermediates
+    preserved); only +/*/? close over the composed set relation."""
+    rows = [
+        ("urn:a", "ex:p1", "urn:m1", None, None, "urn:g", None),
+        ("urn:a", "ex:p1", "urn:m2", None, None, "urn:g", None),
+        ("urn:m1", "ex:p2", "urn:c", None, None, "urn:g", None),
+        ("urn:m2", "ex:p2", "urn:c", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    plain = execute_sparql(
+        t, "SELECT ?x WHERE { <urn:a> ex:p1/ex:p2 ?x }"
+    )
+    parens = execute_sparql(
+        t, "SELECT ?x WHERE { <urn:a> (ex:p1/ex:p2) ?x }"
+    )
+    assert plain.count() == parens.count() == 2
+    # under +, the closure IS set-semantics: one (a, c) pair
+    closed = execute_sparql(
+        t, "SELECT ?x WHERE { <urn:a> (ex:p1/ex:p2)+ ?x }"
+    )
+    assert closed.count() == 1
+    # ^(p1/p2) == (^p2/^p1)
+    inv = execute_sparql(
+        t, "SELECT ?x WHERE { <urn:c> ^(ex:p1/ex:p2) ?x }"
+    )
+    assert [r.x for r in inv.collect()] == ["urn:a", "urn:a"]
+    # DATA blocks reject multi-step sequence paths (the splice's
+    # fresh variable trips the ground check)…
+    with pytest.raises(ValueError, match="ground"):
+        parse_sparql("INSERT DATA { <urn:a> (<urn:p>/<urn:q>) <urn:b> }")
+    # …while a single inverse element splices to the exactly-
+    # equivalent reversed ground triple (b p a)
+    u = parse_sparql("INSERT DATA { <urn:a> (^<urn:p>) <urn:b> }")
+    assert u.data == [("urn:b", "urn:p", "urn:a", None)]
