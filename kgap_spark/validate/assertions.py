@@ -23,11 +23,13 @@ class Assertion:
     """One assertion over entities of a focus type (the YAML-config IR
     of docs/advanced-topics.md:104-141)."""
 
-    kind: str                       # required | cardinality | range | type_in | datatype
+    kind: str                       # required | cardinality | range |
+    #                                 type_in | datatype | pattern |
+    #                                 length | node_kind | class
     path: str                       # predicate the assertion inspects
     focus_type: str | None = None   # restrict to subjects of this rdf:type
-    min_count: int | None = None
-    max_count: int | None = None
+    min_count: int | None = None    # also min length for kind=length
+    max_count: int | None = None    # also max length for kind=length
     min_value: float | None = None
     max_value: float | None = None
     values: tuple = field(default_factory=tuple)
@@ -165,12 +167,85 @@ def datatype_violations(triples: DataFrame, a: Assertion) -> DataFrame:
     )
 
 
+def pattern_violations(triples: DataFrame, a: Assertion) -> DataFrame:
+    """object lexical form must match the regex (SHACL sh:pattern,
+    search semantics — a match anywhere satisfies; sh:flags prepend
+    an inline (?ism) group)."""
+    pat = a.values[0]
+    flags = a.values[1] if len(a.values) > 1 and a.values[1] else None
+    rx = f"(?{flags}){pat}" if flags else pat
+    objs = _scoped_path(triples, a)
+    return objs.filter(~F.col("obj").rlike(rx)).withColumn(
+        "issue",
+        F.concat(F.lit(f"{a.path} does not match {pat}: "), F.col("obj")),
+    )
+
+
+def length_violations(triples: DataFrame, a: Assertion) -> DataFrame:
+    """min ≤ strlen(object) ≤ max (SHACL sh:minLength/sh:maxLength)."""
+    objs = _scoped_path(triples, a).withColumn("n", F.length("obj"))
+    cond = F.lit(False)
+    if a.min_count is not None:
+        cond = cond | (F.col("n") < a.min_count)
+    if a.max_count is not None:
+        cond = cond | (F.col("n") > a.max_count)
+    return objs.filter(cond).withColumn(
+        "issue",
+        F.concat(F.lit(f"{a.path} length out of bounds: "), F.col("n")),
+    )
+
+
+def node_kind_violations(triples: DataFrame, a: Assertion) -> DataFrame:
+    """object must be the given node kind (SHACL sh:nodeKind:
+    IRI / Literal / BlankNode), classified by the store convention —
+    blank nodes are ``_:``-prefixed, IRIs are scheme-prefixed (or
+    compact pnames) without literal metadata, anything tagged/typed
+    is a literal regardless of shape (the same rules as the SPARQL
+    front-end's isIRI/isLiteral/isBlank)."""
+    kind = a.values[0]
+    objs = _scoped_path(triples, a, with_meta=True)
+    blank = F.col("obj").startswith("_:")
+    tagged = F.col("obj_lang").isNotNull() | F.col("obj_datatype").isNotNull()
+    scheme = F.col("obj").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    iri_like = scheme & ~blank & ~tagged
+    lit_like = tagged | (~scheme & ~blank)
+    ok = {"IRI": iri_like, "Literal": lit_like, "BlankNode": blank}.get(kind)
+    if ok is None:
+        raise ValueError(f"unsupported sh:nodeKind {kind!r}")
+    return objs.filter(~ok).select("entity", "obj").withColumn(
+        "issue", F.concat(F.lit(f"{a.path} is not a {kind}: "), F.col("obj"))
+    )
+
+
+def class_violations(triples: DataFrame, a: Assertion) -> DataFrame:
+    """object must be an instance of the class (SHACL sh:class) —
+    anti join against the class's rdf:type subjects."""
+    cls = a.values[0]
+    typed = (
+        triples.filter(
+            F.col("pred").isin("rdf:type", _RDF_TYPE_IRI)
+            & (F.col("obj") == cls)
+        )
+        .select(F.col("subj").alias("obj"))
+        .distinct()
+    )
+    objs = _scoped_path(triples, a)
+    return objs.join(typed, "obj", "left_anti").withColumn(
+        "issue",
+        F.concat(F.lit(f"{a.path} value not a {cls}: "), F.col("obj")),
+    )
+
+
 _DISPATCH = {
     "required": required_property_violations,
     "cardinality": cardinality_violations,
     "range": value_range_violations,
     "type_in": type_membership_violations,
     "datatype": datatype_violations,
+    "pattern": pattern_violations,
+    "length": length_violations,
+    "node_kind": node_kind_violations,
+    "class": class_violations,
 }
 
 

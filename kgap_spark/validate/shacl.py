@@ -16,6 +16,11 @@ sh:in ( ... )          kind=type_in (allowed-value set)
 sh:minInclusive/
 sh:maxInclusive        kind=range
 sh:datatype            kind=datatype
+sh:pattern (+sh:flags) kind=pattern (regex, search semantics)
+sh:minLength/
+sh:maxLength           kind=length
+sh:nodeKind            kind=node_kind (IRI/Literal/BlankNode)
+sh:class               kind=class (object typed as C)
 =====================  =================================
 
 The shape graph is parsed driver-side with the pure-Python Turtle
@@ -127,6 +132,41 @@ def shape_to_assertions(shape_ttl: str) -> list[Assertion]:
                 assertions.append(
                     Assertion(kind="datatype", path=path, focus_type=target,
                               values=(datatype,))
+                )
+            pattern = _one(pprops, SH + "pattern")
+            if pattern is not None:
+                flags = _one(pprops, SH + "flags")
+                assertions.append(
+                    Assertion(kind="pattern", path=path, focus_type=target,
+                              values=(pattern, flags) if flags
+                              else (pattern,))
+                )
+            min_len = _one(pprops, SH + "minLength")
+            max_len = _one(pprops, SH + "maxLength")
+            if min_len is not None or max_len is not None:
+                assertions.append(
+                    Assertion(
+                        kind="length", path=path, focus_type=target,
+                        min_count=int(min_len) if min_len is not None
+                        else None,
+                        max_count=int(max_len) if max_len is not None
+                        else None,
+                    )
+                )
+            node_kind = _one(pprops, SH + "nodeKind")
+            if node_kind is not None:
+                # sh:IRI / sh:Literal / sh:BlankNode (the compound
+                # kinds sh:IRIOrLiteral etc. are not in the subset)
+                assertions.append(
+                    Assertion(kind="node_kind", path=path,
+                              focus_type=target,
+                              values=(node_kind.removeprefix(SH),))
+                )
+            cls = _one(pprops, SH + "class")
+            if cls is not None:
+                assertions.append(
+                    Assertion(kind="class", path=path, focus_type=target,
+                              values=(cls,))
                 )
     return assertions
 

@@ -554,3 +554,65 @@ def test_parse_jsonld_reverse():
     # literals cannot be reverse values
     with _pytest.raises(JsonLdError, match="@reverse value"):
         parse_jsonld('{"@id": "ex:a", "@reverse": {"ex:p": 5}}')
+
+
+def test_shacl_round5_components(spark):
+    """sh:pattern(+flags) / sh:minLength / sh:maxLength / sh:nodeKind /
+    sh:class translate and validate distributed (round-5 widening of
+    the SHACL-core subset)."""
+    from kgap_spark import schemas as S
+    from kgap_spark.validate.shacl import (
+        shape_to_assertions,
+        validate_with_shape,
+    )
+
+    shape = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:DocShape a sh:NodeShape ;
+      sh:targetClass ex:Doc ;
+      sh:property [ sh:path ex:code ;
+                    sh:pattern "^[A-Z]{3}-[0-9]+$" ] ;
+      sh:property [ sh:path ex:title ;
+                    sh:minLength 3 ; sh:maxLength 10 ] ;
+      sh:property [ sh:path ex:ref ; sh:nodeKind sh:IRI ] ;
+      sh:property [ sh:path ex:author ; sh:class ex:Person ] .
+    """
+    kinds = {(a.kind, a.path) for a in shape_to_assertions(shape)}
+    assert ("pattern", "http://example.org/code") in kinds
+    assert ("length", "http://example.org/title") in kinds
+    assert ("node_kind", "http://example.org/ref") in kinds
+    assert ("class", "http://example.org/author") in kinds
+
+    EX = "http://example.org/"
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        # d1 fully valid
+        ("urn:d1", T, EX + "Doc", None, None, "urn:g", None),
+        ("urn:d1", EX + "code", "ABC-12", None, None, "urn:g", None),
+        ("urn:d1", EX + "title", "hello", None, None, "urn:g", None),
+        ("urn:d1", EX + "ref", "urn:other", None, None, "urn:g", None),
+        ("urn:d1", EX + "author", "urn:p1", None, None, "urn:g", None),
+        ("urn:p1", T, EX + "Person", None, None, "urn:g", None),
+        # d2: bad code, short title, literal ref, untyped author
+        ("urn:d2", T, EX + "Doc", None, None, "urn:g", None),
+        ("urn:d2", EX + "code", "abc12", None, None, "urn:g", None),
+        ("urn:d2", EX + "title", "hi", None, None, "urn:g", None),
+        ("urn:d2", EX + "ref", "not an iri", None, None, "urn:g", None),
+        ("urn:d2", EX + "author", "urn:p2", None, None, "urn:g", None),
+        # out-of-scope subject: same bad values but not an ex:Doc
+        ("urn:x", EX + "code", "nope", None, None, "urn:g", None),
+    ]
+    triples = spark.createDataFrame(rows, S.TRIPLES)
+    v = validate_with_shape(triples, shape)
+    by_entity = {}
+    for r in v.collect():
+        by_entity.setdefault(r.entity, []).append(r.issue)
+    assert "urn:d1" not in by_entity
+    assert "urn:x" not in by_entity  # targetClass scoping holds
+    issues = "\n".join(by_entity["urn:d2"])
+    assert "does not match" in issues
+    assert "length out of bounds" in issues
+    assert "not a IRI" in issues
+    assert "not a http://example.org/Person" in issues
+    assert len(by_entity["urn:d2"]) == 4
