@@ -1558,6 +1558,58 @@ WHERE {
 """
 
 
+def q_kg_degree(spark, sf_dir):
+    """KG hygiene analytics: per-entity in/out degree over the doc
+    triple graph and the top hubs — the connectivity profile an
+    operator reads before picking broadcast/skew strategies. Two
+    keyed partial aggs + one outer merge; no self-join."""
+    t = _doc_triples(spark, sf_dir)
+    out_deg = t.groupBy(F.col("subj").alias("entity")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_deg = t.groupBy(F.col("obj").alias("entity")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_deg.join(in_deg, "entity", "full_outer")
+        .select(
+            "entity",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .orderBy(F.desc(F.col("out_degree") + F.col("in_degree")),
+                 F.asc("entity"))
+        .limit(25)
+    )
+
+
+ORACLE_KG_DEGREE = """
+WITH t AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj, source AS obj
+  FROM documents
+  UNION ALL
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'ex:Short'
+  FROM documents WHERE n_chars < 200
+  UNION ALL
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR), substr(text, 1, 20)
+  FROM documents WHERE lang = 'en'
+), o AS (
+  SELECT subj AS entity, CAST(COUNT(*) AS BIGINT) AS out_degree
+  FROM t GROUP BY subj
+), i AS (
+  SELECT obj AS entity, CAST(COUNT(*) AS BIGINT) AS in_degree
+  FROM t GROUP BY obj
+)
+SELECT COALESCE(o.entity, i.entity) AS entity,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.entity = i.entity
+ORDER BY COALESCE(out_degree, 0) + COALESCE(in_degree, 0) DESC,
+         entity ASC
+LIMIT 25
+"""
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape (shipping-priority): customer⋈orders⋈lineitem
     with segment/date filters, revenue agg per order, top-10. The
@@ -2025,6 +2077,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_boolean": q_fts_boolean,
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
+    "kg_degree": q_kg_degree,
     "str_funcs": q_str_funcs,
     "ts_filter": q_ts_filter,
     "sessionize": q_sessionize,
@@ -2096,6 +2149,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "fts_boolean": ORACLE_FTS_BOOLEAN,
     "tpch_q3": ORACLE_TPCH_Q3,
     "tpch_q6": ORACLE_TPCH_Q6,
+    "kg_degree": ORACLE_KG_DEGREE,
     "str_funcs": ORACLE_STR_FUNCS,
     "ts_filter": ORACLE_TS_FILTER,
     "sessionize": ORACLE_SESSIONIZE,

@@ -131,3 +131,73 @@ def test_ntriples_roundtrip_property(spark, tmp_path_factory, rows):
         for r in d.select(key).collect()
     }
     assert norm(back) == norm(df)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: SPARQL parser robustness — grammar-driven fuzz.
+
+_SPARQL_TERMS = st.sampled_from([
+    "?s", "?o", "?x", "<urn:a>", "<urn:b>", "ex:p", "rdfs:label",
+    '"lit"', '"tag"@en', '"5"^^xsd:integer', "3", "a",
+])
+_SPARQL_PREDS = st.sampled_from([
+    "?p", "<urn:p>", "ex:p", "a", "ex:p+", "ex:p*", "ex:p?", "^ex:p",
+    "ex:p/ex:q", "(ex:p|ex:q)", "(ex:p/ex:q)+", "!ex:p", "!(ex:p|^ex:q)",
+])
+
+
+@st.composite
+def _sparql_query(draw):
+    """A random-but-grammatical SELECT query from the supported
+    subset; the property is total: parse never hangs or dies with a
+    non-ValueError."""
+    n = draw(st.integers(min_value=1, max_value=3))
+    triples = []
+    for _ in range(n):
+        s = draw(_SPARQL_TERMS)
+        p = draw(_SPARQL_PREDS)
+        o = draw(_SPARQL_TERMS)
+        triples.append(f"{s} {p} {o} .")
+    extras = []
+    if draw(st.booleans()):
+        extras.append("FILTER(STRLEN(STR(?s)) > 0)")
+    if draw(st.booleans()):
+        extras.append("OPTIONAL { ?s ex:opt ?v }")
+    if draw(st.booleans()):
+        extras.append("MINUS { ?s ex:m ?w }")
+    if draw(st.booleans()):
+        extras.append('VALUES ?s { <urn:a> UNDEF }')
+    if draw(st.booleans()):
+        extras.append("BIND(STRLEN(STR(?s)) AS ?len)")
+    body = "\n".join(triples + extras)
+    tail = draw(st.sampled_from(
+        ["", "ORDER BY ?s LIMIT 5", "LIMIT 3", "ORDER BY DESC(?s)"]
+    ))
+    return f"SELECT * WHERE {{ {body} }} {tail}"
+
+
+@given(_sparql_query())
+@settings(max_examples=150, deadline=None)
+def test_sparql_parser_total_on_grammatical_queries(q):
+    """Parsing a grammatical query either succeeds or raises a clean
+    ValueError (e.g. BIND onto a bound var) — never an arbitrary
+    exception or a hang."""
+    from kgap_spark.query.sparql import parse_sparql
+
+    try:
+        parse_sparql(q)
+    except ValueError:
+        pass
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_sparql_parser_never_crashes_on_garbage(text):
+    """Arbitrary input: ValueError only, never IndexError/AttributeError
+    or a hang — the front-end is exposed to user-typed queries."""
+    from kgap_spark.query.sparql import parse_sparql
+
+    try:
+        parse_sparql("SELECT * WHERE { " + text + " }")
+    except ValueError:
+        pass
