@@ -186,6 +186,106 @@ def minhash_band_candidates(
     )
 
 
+def minhash_lsh_approx_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_jaccard_dist: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Deterministic MinHash-LSH approximate similarity join — the
+    same API and semantics as ``minhash_lsh_near_duplicates`` (Spark
+    ML's ``MinHashLSH.approxSimilarityJoin`` analog) but built on the
+    repo's own seeded hash family (md5 of ``perm || ':' || shingle``),
+    so every stage is reproducible in plain SQL; the ML variant's
+    JVM-internal hash coefficients are not.
+
+    Stages, each one shuffle: (1) signature — per permutation p the
+    doc's minhash is min(md5(p:shingle)); (2) banding — the num_perm
+    permutations split into ``bands`` groups of consecutive rows whose
+    minhashes concatenate into a band signature; (3) candidates —
+    docs agreeing on ANY band signature, generated by the
+    posting-list bucket expansion (the ONLY pair-producing step:
+    bucket-join, never all-pairs); (4) distance — EXACT jaccard over
+    the candidate pairs' shingle sets (what approxSimilarityJoin
+    computes via keyDistance), filtered at 1 − max_jaccard_dist.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be a multiple of bands")
+    rows_per_band = num_perm // bands
+    sh = _with_shingles(docs, id_col, text_col, n)
+    mh = (
+        sh.select(
+            "doc",
+            F.explode(
+                F.array(*[F.lit(p) for p in range(num_perm)])
+            ).alias("p"),
+            "shingle",
+        )
+        .select(
+            "doc", "p",
+            F.md5(
+                F.concat(F.col("p").cast("string"), F.lit(":"),
+                         F.col("shingle")).cast("binary")
+            ).alias("h"),
+        )
+        .groupBy("doc", "p")
+        .agg(F.min("h").alias("mh"))
+    )
+    bandsig = (
+        mh.withColumn("band", (F.col("p") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "mh"))),
+                    lambda s: s.getField("mh"),
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+    bucket = bandsig.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list("doc")).alias("_docs")
+    )
+    pair_array = _pairs_from_sorted_docs()
+    cand = (
+        bucket.select(F.explode(pair_array).alias("pr"))
+        .select("pr.doc_a", "pr.doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc", "doc_b"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"),
+                         F.col("sz").alias("sz_a")), "doc_a")
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"),
+                         F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 1.0 - max_jaccard_dist)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
 def minhash_lsh_near_duplicates(
     docs: DataFrame,
     id_col: str,

@@ -254,13 +254,16 @@ class Group:
     # for the non-commutative elements (a BIND after an OPTIONAL must
     # see its bindings; a MINUS must see exactly the bindings of the
     # elements written BEFORE it — incl. VALUES/UNION/sub-SELECT/
-    # GRAPH blocks), so EVERY non-BGP element's textual order is
-    # recorded here as ("bind"|"optional"|"minus"|"values"|"union"|
-    # "subselect"|"graph", payload) and the compiler replays THIS
-    # list; the typed lists above stay populated for the template/
-    # DATA validators (_has_nontriple_features) — keep both in sync
-    # when adding entries. FILTER / FILTER [NOT] EXISTS are
-    # group-scoped (SPARQL 1.1 §7) and stay out of seq.
+    # GRAPH blocks, and TriplesBlocks themselves — a MINUS textually
+    # before a triples run must not see that run's bindings), so
+    # EVERY element's textual order is recorded here as
+    # ("triples", (start, end) index range into .triples) or
+    # ("bind"|"optional"|"minus"|"values"|"union"|"subselect"|
+    # "graph", payload) and the compiler replays THIS list; the typed
+    # lists above stay populated for the template/DATA validators
+    # (_has_nontriple_features) — keep both in sync when adding
+    # entries. FILTER / FILTER [NOT] EXISTS are group-scoped
+    # (SPARQL 1.1 §7) and stay out of seq.
     seq: list = field(default_factory=list)
 
 
@@ -662,7 +665,18 @@ class _Parser:
                 g.unions.append(arms)
                 g.seq.append(("union", arms))
                 continue
+            n0 = len(g.triples)
             self.triples_same_subject(g)
+            if len(g.triples) > n0:
+                # record the run's textual position; adjacent runs
+                # merge into one TriplesBlock (FILTER between them is
+                # group-scoped, so it never splits a block)
+                if g.seq and g.seq[-1][0] == "triples" \
+                        and g.seq[-1][1][1] == n0:
+                    g.seq[-1] = ("triples", (g.seq[-1][1][0],
+                                             len(g.triples)))
+                else:
+                    g.seq.append(("triples", (n0, len(g.triples))))
             if self.peek() and self.peek().kind == "OP" and self.peek().text == ".":
                 self.next()
         return g
@@ -1588,16 +1602,17 @@ def _agg_col(agg: Agg, df: DataFrame | None = None) -> Column:
     raise ValueError(f"unsupported aggregate {agg.fn}")
 
 
-def _split_lucene(g: Group):
-    """Pull GraphDB's Lucene magic patterns out of the BGP:
+def _split_lucene(triple_list: list):
+    """Pull GraphDB's Lucene magic patterns out of a TriplesBlock:
     (?e luc:searchIndex "query") and (?e luc:score ?s). Returns
     (remaining_triples, searches) with searches =
-    [(entity_var, query_string, score_var|None)]."""
+    [(entity_var, query_string, score_var|None)]. A luc:score must
+    share its block with the matching luc:searchIndex."""
     remaining, searches = [], {}
     score_vars = {}
     search_preds = (LUCENE_NS + "searchIndex", "luc:searchIndex")
     score_preds = (LUCENE_NS + "score", "luc:score")
-    for (s, p, o) in g.triples:
+    for (s, p, o) in triple_list:
         if p in search_preds and isinstance(s, Var):
             q = o.value if isinstance(o, Lit) else str(o)
             searches[s.name] = q
@@ -1690,15 +1705,27 @@ def _edge_rel(triples: DataFrame, pred,
     return cur
 
 
+# safety valves for the transitive-closure loops: SPARQL 1.1 closure
+# is unbounded, so both loops iterate to FIXPOINT (the anti-join
+# early-exit terminates on cycles) and only ever stop early by
+# RAISING — a silent cap would under-return deep hierarchies.
+# Doubling covers diameter 2^rounds, so 64 rounds is unreachable on
+# real data; the per-hop frontier cap bounds pathological chains.
+_CLOSURE_MAX_DOUBLING_ROUNDS = 64
+_CLOSURE_MAX_FRONTIER_HOPS = 4096
+
+
 def _transitive_pairs(triples: DataFrame, pred, start: str | None,
-                      max_depth: int = 12,
                       graph_var: str | None = None) -> DataFrame:
-    """Closure of ``pred+``: (__path_a, __path_b) pairs connected by
-    1..max_depth hops. With a constant subject the frontier starts
-    there (bounded expansion, the ``recursive_dereference`` shape);
-    var-var paths compute the bounded full closure. Iterations are
-    joins on the edge relation — each round is one shuffle, O(log-ish)
-    rounds for typical shallow hierarchies.
+    """Closure of ``pred+``: all (__path_a, __path_b) pairs connected
+    by 1..n hops, iterated to FIXPOINT (SPARQL 1.1 closure is
+    unbounded; cycles terminate via the anti-join early-exit). With a
+    constant subject the frontier starts there and extends one hop
+    per round (bounded expansion, the ``recursive_dereference``
+    shape); var-var paths compute the full closure by path-doubling —
+    result ∘ result each round, so paths of length 1..2^k are covered
+    after k rounds and a diameter-D graph converges in ⌈log2 D⌉
+    shuffles instead of D.
 
     ``graph_var``: per-named-graph closure (the GRAPH ?var scope) —
     edges carry the graph column aliased to the variable, every hop
@@ -1708,24 +1735,47 @@ def _transitive_pairs(triples: DataFrame, pred, start: str | None,
     gcols = [graph_var] if graph_var else []
     edges = _edge_rel(triples, pred, graph_var)
     if start is not None:
-        frontier = edges.filter(F.col(_PA) == start)
-    else:
-        frontier = edges
-    result = frontier
-    for _ in range(max_depth - 1):
-        nxt = (
-            frontier.withColumnRenamed(_PB, _PM)
-            .join(edges.withColumnRenamed(_PA, _PM), [_PM, *gcols])
+        # frontier expansion from the constant endpoint: the frontier
+        # only ever holds newly-reached nodes, so each round is one
+        # small shuffle against the edge relation
+        frontier = edges.filter(F.col(_PA) == start) \
+            .localCheckpoint(eager=True)
+        result = frontier
+        for _ in range(_CLOSURE_MAX_FRONTIER_HOPS):
+            nxt = (
+                frontier.withColumnRenamed(_PB, _PM)
+                .join(edges.withColumnRenamed(_PA, _PM), [_PM, *gcols])
+                .select(_PA, _PB, *gcols)
+                .distinct()
+            )
+            new = nxt.join(result, [_PA, _PB, *gcols], "left_anti") \
+                .localCheckpoint(eager=True)
+            if not new.head(1):
+                return result
+            result = result.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        raise ValueError(
+            "property-path closure did not converge within "
+            f"{_CLOSURE_MAX_FRONTIER_HOPS} hops from <{start}>"
+        )
+    # var-var full closure: path-doubling to fixpoint
+    result = edges.localCheckpoint(eager=True)
+    for _ in range(_CLOSURE_MAX_DOUBLING_ROUNDS):
+        ext = (
+            result.withColumnRenamed(_PB, _PM)
+            .join(result.withColumnRenamed(_PA, _PM), [_PM, *gcols])
             .select(_PA, _PB, *gcols)
             .distinct()
         )
-        new = nxt.join(result, [_PA, _PB, *gcols], "left_anti") \
+        new = ext.join(result, [_PA, _PB, *gcols], "left_anti") \
             .localCheckpoint(eager=True)
         if not new.head(1):
-            break
-        result = result.unionByName(new)
-        frontier = new
-    return result
+            return result
+        result = result.unionByName(new).localCheckpoint(eager=True)
+    raise ValueError(
+        "property-path closure did not converge within "
+        f"{_CLOSURE_MAX_DOUBLING_ROUNDS} doubling rounds"
+    )
 
 
 def _path_pairs(triples: DataFrame, p, s_term, o_term,
@@ -1881,6 +1931,87 @@ def _unit_table(spark) -> DataFrame:
     one-row, zero-column frame the group elements fold onto when they
     textually precede every pattern."""
     return spark.range(1).select()
+
+
+_PATH_NODES = (PathPlus, PathStar, PathOpt, PathSeq)
+
+
+def _compile_triples_chunk(base_triples: DataFrame, chunk: list,
+                           graph_var: str | None) -> DataFrame | None:
+    """Compile one textual run of triple patterns (a SPARQL
+    TriplesBlock): plain BGP joins + luc: magic-pattern searches +
+    property-path closures, joined within the run on plain equi keys
+    (a BGP never produces an unbound binding). Returns None for an
+    empty run."""
+    patterns, searches = _split_lucene(chunk)
+    path_patterns = [
+        (s, p, o) for (s, p, o) in patterns
+        if isinstance(p, _PATH_NODES)
+    ]
+    patterns = [
+        (s, _const_of(p), _const_of(o)) for (s, p, o) in patterns
+        if not isinstance(p, _PATH_NODES)
+    ]
+    if graph_var is not None and searches:
+        # the FTS posting table is corpus-global, not per-graph — a
+        # per-graph score would need per-graph document frequencies
+        raise ValueError(
+            "luc: search not supported inside GRAPH ?var scopes; "
+            "use a constant graph"
+        )
+
+    df: DataFrame | None = None
+    if patterns:
+        df = bgp(base_triples, patterns, carry_meta=True,
+                 graph_var=graph_var)
+    for ent, q, score_var in searches:
+        sr = _eval_lucene(base_triples, ent, q, score_var)
+        df = sr if df is None else df.join(sr, on=ent, how="inner")
+    for s, p, o in path_patterns:
+        pairs = _path_pairs(base_triples, p, s, o, graph_var=graph_var)
+
+        def _match(col, term):
+            if isinstance(term, tuple):  # any-of constant
+                return col.isin(*term)
+            # path endpoints match on lexical form (the closure does
+            # not carry literal meta)
+            return col == F.lit(_write_term(term))
+
+        sel = []
+        if isinstance(s, Var):
+            if graph_var is not None and s.name == graph_var:
+                # GRAPH ?g { ?g p+ ?o }: the endpoint IS the graph
+                # variable — constrain instead of duplicating the col
+                pairs = pairs.filter(F.col(_PA) == F.col(graph_var))
+            else:
+                sel.append(F.col(_PA).alias(s.name))
+        else:
+            pairs = pairs.filter(_match(F.col(_PA), s))
+        if isinstance(o, Var):
+            if isinstance(s, Var) and o.name == s.name:
+                # same variable at both endpoints (?x p* ?x): the
+                # path must loop back — one column, filtered
+                pairs = pairs.filter(F.col(_PA) == F.col(_PB))
+            elif graph_var is not None and o.name == graph_var:
+                pairs = pairs.filter(F.col(_PB) == F.col(graph_var))
+            else:
+                sel.append(F.col(_PB).alias(o.name))
+        else:
+            pairs = pairs.filter(_match(F.col(_PB), o))
+        if graph_var is not None:
+            sel.append(F.col(graph_var))
+        # no variables → pure existence constraint on the group
+        pp = pairs.select(*sel) if sel \
+            else pairs.select(F.lit(1).alias("__hit")).limit(1)
+        if df is None:
+            df = pp
+        else:
+            shared = sorted(set(df.columns) & set(pp.columns) - {"__hit"})
+            df = df.join(pp, on=shared, how="inner") if shared \
+                else df.crossJoin(pp)
+        if "__hit" in df.columns:
+            df = df.drop("__hit")
+    return df
 
 
 def _apply_minus(triples: DataFrame, df: DataFrame, maybe: set,
@@ -2048,82 +2179,39 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
         base_triples = base_triples.filter(cond)
 
     maybe: set[str] = set()
-    patterns, searches = _split_lucene(g)
-    _PATHS = (PathPlus, PathStar, PathOpt, PathSeq)
-    path_patterns = [
-        (s, p, o) for (s, p, o) in patterns if isinstance(p, _PATHS)
-    ]
-    patterns = [
-        (s, _const_of(p), _const_of(o)) for (s, p, o) in patterns
-        if not isinstance(p, _PATHS)
-    ]
-    if graph_var is not None and searches:
-        # the FTS posting table is corpus-global, not per-graph — a
-        # per-graph score would need per-graph document frequencies
-        raise ValueError(
-            "luc: search not supported inside GRAPH ?var scopes; "
-            "use a constant graph"
-        )
-
-    df: DataFrame | None = None
-    if patterns:
-        df = bgp(base_triples, patterns, carry_meta=True,
-                 graph_var=graph_var)
-    for ent, q, score_var in searches:
-        sr = _eval_lucene(base_triples, ent, q, score_var)
-        df = sr if df is None else df.join(sr, on=ent, how="inner")
-    for s, p, o in path_patterns:
-        pairs = _path_pairs(base_triples, p, s, o, graph_var=graph_var)
-
-        def _match(col, term):
-            if isinstance(term, tuple):  # any-of constant
-                return col.isin(*term)
-            # path endpoints match on lexical form (the closure does
-            # not carry literal meta)
-            return col == F.lit(_write_term(term))
-
-        sel = []
-        if isinstance(s, Var):
-            if graph_var is not None and s.name == graph_var:
-                # GRAPH ?g { ?g p+ ?o }: the endpoint IS the graph
-                # variable — constrain instead of duplicating the col
-                pairs = pairs.filter(F.col(_PA) == F.col(graph_var))
-            else:
-                sel.append(F.col(_PA).alias(s.name))
-        else:
-            pairs = pairs.filter(_match(F.col(_PA), s))
-        if isinstance(o, Var):
-            if isinstance(s, Var) and o.name == s.name:
-                # same variable at both endpoints (?x p* ?x): the
-                # path must loop back — one column, filtered
-                pairs = pairs.filter(F.col(_PA) == F.col(_PB))
-            elif graph_var is not None and o.name == graph_var:
-                pairs = pairs.filter(F.col(_PB) == F.col(graph_var))
-            else:
-                sel.append(F.col(_PB).alias(o.name))
-        else:
-            pairs = pairs.filter(_match(F.col(_PB), o))
-        if graph_var is not None:
-            sel.append(F.col(graph_var))
-        # no variables → pure existence constraint on the group
-        pp = pairs.select(*sel) if sel else pairs.select(F.lit(1).alias("__hit")).limit(1)
-        if df is None:
-            df = pp
-        else:
-            shared = sorted(set(df.columns) & set(pp.columns) - {"__hit"})
-            df = df.join(pp, on=shared, how="inner") if shared \
-                else df.crossJoin(pp)
-        if "__hit" in df.columns:
-            df = df.drop("__hit")
-    # Every non-BGP group element replays in TEXTUAL order (g.seq) —
-    # SPARQL's group translation folds left-to-right, which matters
-    # for the non-commutative elements: a BIND after an OPTIONAL sees
-    # its bindings, and a MINUS sees exactly the bindings of the
-    # elements written BEFORE it (a MINUS before a VALUES / UNION /
-    # sub-SELECT / GRAPH block must NOT treat their variables as
-    # shared). FILTER and FILTER [NOT] EXISTS stay group-scoped and
+    # TriplesBlocks recorded in g.seq replay at their textual position
+    # (so a MINUS/BIND before a block does NOT see its bindings);
+    # programmatically-built groups carry no seq record — their
+    # triples compile upfront exactly as before.
+    covered: set[int] = set()
+    for _kind, _payload in g.seq:
+        if _kind == "triples":
+            covered.update(range(_payload[0], _payload[1]))
+    hoisted = [t for i, t in enumerate(g.triples) if i not in covered]
+    df: DataFrame | None = (
+        _compile_triples_chunk(base_triples, hoisted, graph_var)
+        if hoisted else None
+    )
+    # EVERY group element replays in TEXTUAL order (g.seq) — SPARQL's
+    # group translation folds left-to-right, which matters for the
+    # non-commutative elements: a BIND after an OPTIONAL sees its
+    # bindings, and a MINUS sees exactly the bindings of the elements
+    # written BEFORE it (a MINUS before a TriplesBlock / VALUES /
+    # UNION / sub-SELECT / GRAPH block must NOT treat their variables
+    # as shared). FILTER and FILTER [NOT] EXISTS stay group-scoped and
     # apply at the end (SPARQL 1.1 §7).
     for _kind, _payload in g.seq:
+        if _kind == "triples":
+            cdf = _compile_triples_chunk(
+                base_triples, g.triples[_payload[0]:_payload[1]],
+                graph_var,
+            )
+            if cdf is not None:
+                # Join(Ω, BGP): a BGP binding never unbinds, but the
+                # accumulated side may carry maybe-unbound shared
+                # keys → compatibility join
+                df, maybe = _merge_inner(df, maybe, cdf, set())
+            continue
         if _kind == "subselect":
             # { SELECT … }: compile + project + order/limit FIRST,
             # then join into the enclosing solution — the docs'

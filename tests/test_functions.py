@@ -112,6 +112,32 @@ def test_minhash_band_candidates(spark, docs):
     assert (0, 4) not in cands      # disjoint shingles
 
 
+def test_minhash_lsh_approx_join_matches_exact_jaccard(spark, docs):
+    """The deterministic seeded-md5 LSH join: candidate recall on true
+    near-dups, exact-jaccard distances on the pairs it returns, and
+    no pair below the similarity floor."""
+    from kgap_spark.functions.dedup import (
+        minhash_lsh_approx_join,
+        ngram_jaccard_pairs,
+    )
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in minhash_lsh_approx_join(
+               docs, "doc_id", "text", n=3, max_jaccard_dist=0.6,
+           ).collect()}
+    assert (0, 2) in got and (0, 1) in got
+    assert got[(0, 2)] == 1.0  # identical shingle sets
+    # distances agree with the exact all-candidate jaccard path
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(
+                 docs, "doc_id", "text", n=3, threshold=0.4,
+                 max_shingle_df=1 << 20,
+             ).collect()}
+    for pair, j in got.items():
+        assert exact.get(pair) == j
+    assert all(j >= 0.4 for j in got.values())
+
+
 def test_minhash_lsh_ml_agrees_with_exact(spark, docs):
     from kgap_spark.functions.dedup import minhash_lsh_near_duplicates
 
