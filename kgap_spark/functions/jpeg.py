@@ -103,20 +103,34 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Skip to and consume the next RSTn marker, resetting bit
-        alignment (spec F.2.1.3.1)."""
+        """Consume the next RSTn marker, resetting bit alignment
+        (spec F.2.1.3.1). Only 0xFF fill bytes may precede it — any
+        other byte means the entropy decoder desynced, and that must
+        surface as ValueError, never be skipped over (or run off the
+        buffer as IndexError)."""
         self.nbits = 0
+        data = self.data
         while True:
-            b = self.data[self.pos]
+            if self.pos + 1 >= len(data):
+                raise ValueError(
+                    "JPEG: truncated entropy data — no restart marker"
+                )
+            b = data[self.pos]
             self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos]
-                self.pos += 1
-                if 0xD0 <= nxt <= 0xD7:
-                    return
-                if nxt == 0x00:
-                    continue
-                raise ValueError("JPEG: expected restart marker")
+            if b != 0xFF:
+                raise ValueError(
+                    "JPEG: garbage byte before restart marker "
+                    "(entropy decoder desync)"
+                )
+            nxt = data[self.pos]
+            if nxt == 0xFF:
+                continue  # fill byte: FF FF … FF Dn (B.1.1.2)
+            self.pos += 1
+            if 0xD0 <= nxt <= 0xD7:
+                return
+            raise ValueError(
+                f"JPEG: expected restart marker, found FF{nxt:02X}"
+            )
 
 
 def _extend(v: int, t: int) -> int:
@@ -142,6 +156,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: bad marker alignment")
+        # a marker may be preceded by any number of 0xFF fill bytes
+        # (B.1.1.2) — consume them instead of reading 0xFF as the
+        # marker code
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

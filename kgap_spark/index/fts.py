@@ -215,8 +215,18 @@ def parse_boolean_query(query: str) -> dict:
             continue
         if up == "NOT":
             i += 1
-            if i < len(raw):
-                must_not.extend(query_tokens(raw[i]))
+            if i >= len(raw):
+                raise ValueError(
+                    "boolean FTS query: trailing NOT with no operand"
+                )
+            toks = query_tokens(raw[i])
+            if not toks:
+                raise ValueError(
+                    f"boolean FTS query: NOT operand {raw[i]!r} "
+                    "normalizes to no tokens — the exclusion would "
+                    "silently vanish"
+                )
+            must_not.extend(toks)
             i += 1
             last = None
             continue
@@ -229,6 +239,14 @@ def parse_boolean_query(query: str) -> dict:
             target = must
         and_next = False
         toks = query_tokens(w)
+        if not toks and target is not should:
+            # a required/excluded operand must never degrade to a
+            # weaker query with no signal to the caller; bare should
+            # words may normalize away (Lucene-style leniency)
+            raise ValueError(
+                f"boolean FTS query: operand {w!r} normalizes to no "
+                "tokens — the requirement would silently vanish"
+            )
         target.extend(toks)
         last = (target, len(toks)) if target is not must_not else None
         i += 1

@@ -167,12 +167,26 @@ def datatype_violations(triples: DataFrame, a: Assertion) -> DataFrame:
     )
 
 
+# Java Pattern inline-group flags we can honor; SHACL also defines
+# 'q' (literal) which Java's (?…) group does not accept — anything
+# outside this set must fail at shape-parse time, not as a
+# PatternSyntaxException inside an executor task mid-job
+_SUPPORTED_REGEX_FLAGS = frozenset("ismx")
+
+
 def pattern_violations(triples: DataFrame, a: Assertion) -> DataFrame:
     """object lexical form must match the regex (SHACL sh:pattern,
     search semantics — a match anywhere satisfies; sh:flags prepend
     an inline (?ism) group)."""
     pat = a.values[0]
     flags = a.values[1] if len(a.values) > 1 and a.values[1] else None
+    if flags is not None and (
+        not flags or set(flags) - _SUPPORTED_REGEX_FLAGS
+    ):
+        raise ValueError(
+            f"sh:flags {flags!r} on {a.path} pattern {pat!r}: only "
+            f"{''.join(sorted(_SUPPORTED_REGEX_FLAGS))} are supported"
+        )
     rx = f"(?{flags}){pat}" if flags else pat
     objs = _scoped_path(triples, a)
     return objs.filter(~F.col("obj").rlike(rx)).withColumn(
