@@ -193,6 +193,19 @@ class PathSeq:
 
 
 @dataclass(frozen=True)
+class PathAlt:
+    """A top-level path alternation with at least one COMPOSITE arm —
+    ``(p1/p2)|p3``, ``^p|q``, ``p+|q`` — compiled as the UNION of each
+    arm's endpoint-pair relation (cross-arm duplicates preserved per
+    SPARQL 1.1 bag union; an all-simple-IRI alternation keeps the
+    any-of-tuple fast path instead, which pushes down as ``isin``).
+    ``arms`` is a tuple of arms, each a tuple of ``(pred, mod,
+    inverse)`` path elements."""
+
+    arms: tuple
+
+
+@dataclass(frozen=True)
 class PathNegMixed:
     """A negated property set with BOTH forward and inverse members,
     ``!(p1|^p2)`` — SPARQL 1.1 §9.1 splits it into the union of a
@@ -288,7 +301,8 @@ def _is_path_term(t) -> bool:
     rewriting sequence paths — all of them invalid wherever only plain
     triples belong (DATA blocks, templates, DELETE WHERE)."""
     return isinstance(
-        t, (PathPlus, PathStar, PathOpt, PathSeq, PathNeg, PathNegMixed)
+        t, (PathPlus, PathStar, PathOpt, PathSeq, PathAlt, PathNeg,
+            PathNegMixed)
     ) or (
         isinstance(t, Var) and t.name.startswith("__path")
     )
@@ -751,29 +765,40 @@ class _Parser:
         Returns a list of path elements [(pred, mod, inverse), …]."""
         parts = self.path_sequence()
 
-        def simple(ps) -> tuple:
-            if len(ps) != 1 or ps[0][1] is not None or ps[0][2]:
-                raise ValueError(
-                    "path alternation over sequence/modified/inverse "
-                    "elements needs parentheses: (p1|p2)+"
-                )
-            pred = ps[0][0]
-            if isinstance(pred, (PathNeg, PathNegMixed)):
-                raise ValueError(
-                    "negated sets cannot join a path alternation"
-                )
-            if isinstance(pred, (Var, Lit, Num)):
-                raise ValueError("path alternation members must be IRIs")
-            return pred if isinstance(pred, tuple) else (pred,)
-
         t = self.peek()
         if t and t.kind == "OP" and t.text == "|":
-            preds = list(simple(parts))
+            arms = [parts]
             while self.peek() and self.peek().kind == "OP" \
                     and self.peek().text == "|":
                 self.next()
-                preds.extend(simple(self.path_sequence()))
-            return [(tuple(dict.fromkeys(preds)), None, False)]
+                arms.append(self.path_sequence())
+            for a in arms:
+                for pred, _mod, _inv in a:
+                    if isinstance(pred, (PathNeg, PathNegMixed)):
+                        raise ValueError(
+                            "negated sets cannot join a path alternation"
+                        )
+                    if isinstance(pred, (Var, Lit, Num)):
+                        raise ValueError(
+                            "path alternation members must be IRIs"
+                        )
+
+            def is_simple(a) -> bool:
+                return (len(a) == 1 and a[0][1] is None and not a[0][2]
+                        and not isinstance(a[0][0], PathSeq))
+
+            if all(is_simple(a) for a in arms):
+                # all-simple alternation: stay on the any-of tuple —
+                # one isin-pushdown scan, bag semantics preserved
+                preds = []
+                for a in arms:
+                    p = a[0][0]
+                    preds.extend(p if isinstance(p, tuple) else (p,))
+                return [(tuple(dict.fromkeys(preds)), None, False)]
+            # composite arm(s) — (p1/p2)|p3, ^p|q, p+|q: compile each
+            # arm to its pair relation and union them
+            return [(PathAlt(tuple(tuple(a) for a in arms)),
+                     None, False)]
         return parts
 
     def path_sequence(self) -> list:
@@ -1631,21 +1656,50 @@ def _split_lucene(triple_list: list):
     ]
 
 
+# joins a graph IRI to its subject in the per-graph FTS doc key; a
+# control char is illegal in IRIs, so the split-back is unambiguous
+_LUC_GRAPH_SEP = "\x1f"
+
+
 def _eval_lucene(triples: DataFrame, ent: str, query: str,
-                 score_var: str | None) -> DataFrame:
+                 score_var: str | None,
+                 graph_var: str | None = None) -> DataFrame:
     """luc:searchIndex over the store's literal objects: ad-hoc posting
     table (production uses the materialized bucket-pruned index), TF
-    score — the luc:score analog."""
+    score — the luc:score analog.
+
+    ``graph_var`` (the GRAPH ?var scope): the document key becomes
+    (graph, subject) — an entity matches per named graph on that
+    graph's literals only, and the TF score sums that graph's term
+    frequencies (TF needs no corpus-global statistics, so per-graph
+    scoring is exact; a tfidf variant would need per-graph document
+    frequencies). Result carries the graph column bound as the
+    variable."""
     from kgap_spark.index.fts import build_posting_table, fts_search
 
-    literals = triples.filter(
+    lits = triples.filter(
         F.col("obj_lang").isNotNull()
         | (F.col("obj_datatype").isNull() & ~F.col("obj").rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"))
-    ).select(F.col("subj").alias("_doc"), F.col("obj").alias("_txt"))
-    posting = build_posting_table(literals, "_doc", "_txt")
+    )
+    if graph_var is None:
+        docs = lits.select(F.col("subj").alias("_doc"),
+                           F.col("obj").alias("_txt"))
+    else:
+        docs = lits.filter(F.col("graph").isNotNull()).select(
+            F.concat_ws(_LUC_GRAPH_SEP, "graph", "subj").alias("_doc"),
+            F.col("obj").alias("_txt"),
+        )
+    posting = build_posting_table(docs, "_doc", "_txt")
     hits = fts_search(posting, query, k=1 << 30)
-    out = hits.select(F.col("subj").alias(ent),
-                      F.col("score").cast("double").alias(score_var or "__score"))
+    score = F.col("score").cast("double").alias(score_var or "__score")
+    if graph_var is None:
+        out = hits.select(F.col("subj").alias(ent), score)
+    else:
+        out = hits.select(
+            F.substring_index("subj", _LUC_GRAPH_SEP, 1).alias(graph_var),
+            F.substring_index("subj", _LUC_GRAPH_SEP, -1).alias(ent),
+            score,
+        )
     return out if score_var else out.drop("__score")
 
 
@@ -1778,6 +1832,41 @@ def _transitive_pairs(triples: DataFrame, pred, start: str | None,
     )
 
 
+def _arm_rel(triples: DataFrame, elts: tuple,
+             graph_var: str | None = None) -> DataFrame:
+    """Endpoint-pair relation of ONE alternation arm — a sequence of
+    path elements ``(pred, mod, inverse)`` composed by equi-joins. A
+    modified element contributes its closure relation (``+`` the
+    fixpoint closure, ``*``/``?`` closure ∪ zero-length identity); an
+    inverse element swaps its endpoints."""
+    gcols = [graph_var] if graph_var else []
+    cur = None
+    for pred, mod, inv in elts:
+        if mod == "+":
+            r = _transitive_pairs(triples, pred, None,
+                                  graph_var=graph_var)
+        elif mod in ("*", "?"):
+            wrap = PathStar if mod == "*" else PathOpt
+            # Var endpoints: the full relation incl. the zero-length
+            # identity over every (scoped) graph term
+            r = _path_pairs(triples, wrap(pred), Var("__path_arm_a"),
+                            Var("__path_arm_b"), graph_var=graph_var)
+        else:
+            r = _edge_rel(triples, pred, graph_var)
+        if inv:
+            r = r.select(F.col(_PB).alias(_PA),
+                         F.col(_PA).alias(_PB), *gcols)
+        if cur is None:
+            cur = r
+        else:
+            cur = (
+                cur.withColumnRenamed(_PB, _PM)
+                .join(r.withColumnRenamed(_PA, _PM), [_PM, *gcols])
+                .select(_PA, _PB, *gcols)
+            )
+    return cur
+
+
 def _path_pairs(triples: DataFrame, p, s_term, o_term,
                 graph_var: str | None = None) -> DataFrame:
     """Endpoint pairs of a modified path: PathPlus → the 1..n closure,
@@ -1790,6 +1879,15 @@ def _path_pairs(triples: DataFrame, p, s_term, o_term,
     stay within one named graph."""
     _path_guard(graph_var)
     start = s_term if isinstance(s_term, str) else None
+    if isinstance(p, PathAlt):
+        # union of the arms' pair relations; cross-arm duplicates are
+        # kept (SPARQL 1.1 bag union of the alternation branches)
+        rel = None
+        for arm in p.arms:
+            r = _arm_rel(triples, arm, graph_var)
+            rel = r if rel is None else rel.unionByName(r)
+        return rel.filter(F.col(_PA) == start) if start is not None \
+            else rel
     if isinstance(p, PathSeq):
         # bare parenthesized sequence: just the composed edge relation
         edges = _edge_rel(triples, p, graph_var)
@@ -1933,7 +2031,7 @@ def _unit_table(spark) -> DataFrame:
     return spark.range(1).select()
 
 
-_PATH_NODES = (PathPlus, PathStar, PathOpt, PathSeq)
+_PATH_NODES = (PathPlus, PathStar, PathOpt, PathSeq, PathAlt)
 
 
 def _compile_triples_chunk(base_triples: DataFrame, chunk: list,
@@ -1952,21 +2050,19 @@ def _compile_triples_chunk(base_triples: DataFrame, chunk: list,
         (s, _const_of(p), _const_of(o)) for (s, p, o) in patterns
         if not isinstance(p, _PATH_NODES)
     ]
-    if graph_var is not None and searches:
-        # the FTS posting table is corpus-global, not per-graph — a
-        # per-graph score would need per-graph document frequencies
-        raise ValueError(
-            "luc: search not supported inside GRAPH ?var scopes; "
-            "use a constant graph"
-        )
-
     df: DataFrame | None = None
     if patterns:
         df = bgp(base_triples, patterns, carry_meta=True,
                  graph_var=graph_var)
     for ent, q, score_var in searches:
-        sr = _eval_lucene(base_triples, ent, q, score_var)
-        df = sr if df is None else df.join(sr, on=ent, how="inner")
+        sr = _eval_lucene(base_triples, ent, q, score_var, graph_var)
+        if df is None:
+            df = sr
+        else:
+            on = [c for c in (ent, graph_var)
+                  if c is not None and c in df.columns]
+            df = df.join(sr, on=on, how="inner") if on \
+                else df.crossJoin(sr)
     for s, p, o in path_patterns:
         pairs = _path_pairs(base_triples, p, s, o, graph_var=graph_var)
 

@@ -1322,9 +1322,13 @@ def test_property_path_alternation(chain_kb):
     assert [r.o for r in df3.collect()] == [
         "the root", "urn:n:c", "urn:n:d"
     ]
-    # bare alternation with a modifier needs parentheses — loud
-    with pytest.raises(ValueError, match="parenthes"):
-        parse_sparql("SELECT ?o WHERE { ?s <p:a>|<p:b>+ ?o }")
+    # bare alternation with a modified arm: a | (b+) per §9 precedence
+    # (round 6 — previously a loud reject)
+    df4 = execute_sparql(chain_kb, """
+        SELECT ?o WHERE { <urn:n:b> rdfs:label|ex:partOf+ ?o }
+        ORDER BY ?o
+    """)
+    assert [r.o for r in df4.collect()] == ["urn:n:c", "urn:n:d"]
 
 
 def test_graph_var_transitive_path(spark):
@@ -1983,3 +1987,108 @@ def test_deep_cycle_closure_terminates(spark):
     kb = spark.createDataFrame(rows, S.TRIPLES)
     df = execute_sparql(kb, "SELECT ?x ?y WHERE { ?x ex:p+ ?y }")
     assert df.count() == 400
+
+
+# ---------------------------------------------------------------------------
+# composite path alternation (round 6): (p1/p2)|p3, ^p|q, p+|q
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def alt_kb(spark):
+    rows = [
+        ("a", "p1", "m"), ("m", "p2", "c"), ("a", "p3", "d"),
+        ("x", "q", "a"), ("a", "r", "a2"), ("a2", "r", "a3"),
+    ]
+    return spark.createDataFrame(
+        [(s, p, o, None, None, "urn:g", None) for s, p, o in rows],
+        S.TRIPLES,
+    )
+
+
+def _vals(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_alternation_sequence_arm(alt_kb):
+    df = execute_sparql(
+        alt_kb, "SELECT ?x WHERE { <a> (<p1>/<p2>)|<p3> ?x }"
+    )
+    assert _vals(df) == [("c",), ("d",)]
+
+
+def test_alternation_inverse_arm(alt_kb):
+    df = execute_sparql(alt_kb, "SELECT ?x WHERE { <a> ^<q>|<p3> ?x }")
+    assert _vals(df) == [("d",), ("x",)]
+
+
+def test_alternation_closure_arm(alt_kb):
+    df = execute_sparql(alt_kb, "SELECT ?x WHERE { <a> <r>+|<p3> ?x }")
+    assert _vals(df) == [("a2",), ("a3",), ("d",)]
+    # star arm includes the zero-length identity
+    df = execute_sparql(alt_kb, "SELECT ?x WHERE { <a> <r>*|<p3> ?x }")
+    assert _vals(df) == [("a",), ("a2",), ("a3",), ("d",)]
+
+
+def test_alternation_precedence_seq_binds_tighter(alt_kb):
+    # ^q/p3|r  ==  (^q/p3)|r  per SPARQL 1.1 §9 precedence
+    df = execute_sparql(alt_kb, "SELECT ?x WHERE { <a> ^<q>/<p3>|<r> ?x }")
+    assert _vals(df) == [("a2",)]
+
+
+def test_alternation_var_var(alt_kb):
+    df = execute_sparql(
+        alt_kb, "SELECT ?s ?x WHERE { ?s (<p1>/<p2>)|<q> ?x }"
+    )
+    assert _vals(df) == [("a", "c"), ("x", "a")]
+
+
+def test_alternation_simple_fast_path_unchanged(alt_kb):
+    # all-simple arms still compile to one isin scan, not a union
+    q = parse_sparql("SELECT ?x WHERE { <a> <p3>|<r> ?x }")
+    (s, p, o), = q.where.triples
+    assert isinstance(p, tuple) and set(p) == {"p3", "r"}
+
+
+def test_alternation_rejects_remain(alt_kb):
+    with pytest.raises(ValueError, match="negated"):
+        parse_sparql("SELECT ?x WHERE { <a> !<p1>|<p3> ?x }")
+    with pytest.raises(ValueError, match="IRIs"):
+        parse_sparql("SELECT ?x WHERE { <a> (<p1>/<p2>)|?v ?x }")
+
+
+def test_lucene_inside_graph_var(spark):
+    """luc: search inside GRAPH ?var (round 6 — restriction lifted):
+    per-graph document keys, per-graph TF scores, graph bound as the
+    variable."""
+    rows = [
+        ("urn:e:1", "rdfs:label", "marine sensor data", "en", None,
+         "urn:g:one", None),
+        ("urn:e:1", "rdfs:label", "marine marine", "en", None,
+         "urn:g:two", None),
+        ("urn:e:2", "rdfs:label", "terrestrial sensor", "en", None,
+         "urn:g:one", None),
+    ]
+    kb = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(kb, """
+        PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        SELECT ?g ?entity ?score WHERE {
+          GRAPH ?g { ?entity luc:searchIndex "marine" ;
+                             luc:score ?score . }
+        } ORDER BY ?g
+    """)
+    got = [(r.g, r.entity, r.score) for r in df.collect()]
+    # e1 matches once in g:one (tf=1) and twice in g:two (tf=2)
+    assert got == [("urn:g:one", "urn:e:1", 1.0),
+                   ("urn:g:two", "urn:e:1", 2.0)]
+    # the same search under a shared-graph join restricts both
+    # patterns to one graph
+    df2 = execute_sparql(kb, """
+        PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        SELECT ?g ?entity WHERE {
+          GRAPH ?g { ?entity luc:searchIndex "sensor" .
+                     ?entity rdfs:label ?l . }
+        }
+    """)
+    assert sorted((r.g, r.entity) for r in df2.collect()) == [
+        ("urn:g:one", "urn:e:1"), ("urn:g:one", "urn:e:2"),
+    ]
