@@ -56,6 +56,28 @@ def _run_headline(spark, QUERIES, sf_dir: str,
     return {name: round(min(ts), 3) for name, ts in samples.items()}
 
 
+SUBSTRATE_ROWS = 50_000_000
+
+
+def _substrate_wall(spark, cpus: int) -> float:
+    """Pure-CPU yardstick (md5 over spark.range, same probe as
+    tools/scaling_bench.py) measured in the SAME session immediately
+    before a rung's timed section. This VM's wall clock swings with
+    host contention; a uniform query slowdown that the substrate wall
+    reproduces is the host, not the code — divide the rung total by
+    (substrate_wall / committed reference) to normalize."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, SUBSTRATE_ROWS, 1, int(cpus))
+    expr = F.max(F.md5(F.col("id").cast("string")))
+    walls = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        df.select(expr).collect()
+        walls.append(time.monotonic() - t0)
+    return round(min(walls), 3)
+
+
 def _sf1_dir() -> str | None:
     """10× sf0.1, synthesized deterministically into /tmp (one rung
     above toy scale so shuffle effects register; ~3 s to generate,
@@ -93,6 +115,7 @@ def main() -> int:
     # between host windows, so single-run deltas are noise (round-3
     # lesson: a +37%% "regression" on an unchanged plan)
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    substrate = _substrate_wall(spark, cpus)
     times = _run_headline(spark, QUERIES, sf_dir, repeats=repeats)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -104,6 +127,11 @@ def main() -> int:
         "queries": times,
         "sf": sf,
         "repeats": repeats,
+        # per-rung pure-CPU yardstick (md5 over 50M spark.range rows,
+        # min-of-3, same session/window as the rung): host-contention
+        # slowdowns reproduce here; code regressions don't
+        "substrate_wall": substrate,
+        "substrate_rows": SUBSTRATE_ROWS,
     }
 
     # the sf1 rung is min-of-N too (round-4 lesson: single-run sf1
@@ -113,11 +141,13 @@ def main() -> int:
     if sf1:
         repeats1 = int(os.environ.get("SPARK_GRAFT_SF1_REPEATS",
                                       str(repeats)))
+        substrate1 = _substrate_wall(spark, cpus)
         times1 = _run_headline(spark, QUERIES, sf1, repeats=repeats1)
         out["sf1"] = 1.0
         out["sf1_value"] = round(sum(times1.values()), 3)
         out["sf1_queries"] = times1
         out["sf1_repeats"] = repeats1
+        out["sf1_substrate_wall"] = substrate1
 
     print(json.dumps(out))
     spark.stop()
