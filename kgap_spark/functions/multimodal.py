@@ -178,17 +178,19 @@ def _image_features(w: int, h: int, ch: int, px: bytes) -> list[float]:
 
 
 _JPEG_SIG = b"\xff\xd8"
+_GIF_SIG = b"GIF8"
 
 
 def _decode_image(payload: bytes) -> list[float] | None:
-    """PNG and baseline JPEG → REAL decode (pure stdlib+numpy:
-    ``decode_png`` here, ``jpeg.decode_jpeg``) → pooled features. A
-    recognized-signature payload that fails to decode (corrupt,
-    palette/16-bit/interlaced PNG, progressive/subsampled JPEG,
-    truncated) yields NULL features — per-row error isolation; one
-    bad image in a 10¹²-doc corpus must not fail the whole extract
-    job. Remaining formats (GIF/WebP/…): deterministic fake under
-    ``KGAP_FAKE_DECODE`` (their codecs aren't in this container)."""
+    """PNG, baseline JPEG, and GIF → REAL decode (pure stdlib+numpy:
+    ``decode_png`` here, ``jpeg.decode_jpeg``, ``gif.decode_gif``) →
+    pooled features. A recognized-signature payload that fails to
+    decode (corrupt, palette/16-bit/interlaced PNG,
+    progressive/subsampled JPEG, truncated) yields NULL features —
+    per-row error isolation; one bad image in a 10¹²-doc corpus must
+    not fail the whole extract job. Remaining formats (WebP/…):
+    deterministic fake under ``KGAP_FAKE_DECODE`` (their codecs
+    aren't in this container)."""
     data = payload or b""
     if data.startswith(_PNG_SIG):
         try:
@@ -202,9 +204,16 @@ def _decode_image(payload: bytes) -> list[float] | None:
             return _image_features(*decode_jpeg(data))
         except Exception:
             return None
+    if data.startswith(_GIF_SIG):
+        from kgap_spark.functions.gif import decode_gif
+
+        try:
+            return _image_features(*decode_gif(data))
+        except Exception:
+            return None
     if not KGAP_FAKE_DECODE:  # pragma: no cover
         raise NotImplementedError(
-            "non-PNG/JPEG image decode requires PIL — not in this image"
+            "non-PNG/JPEG/GIF image decode requires PIL — not in this image"
         )
     digest = hashlib.sha256(data).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]

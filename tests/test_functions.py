@@ -965,3 +965,158 @@ def test_jpeg_truncated_sos_header_valueerror():
     # ns=3 but only one component descriptor
     with _pytest.raises(ValueError, match="truncated SOS"):
         decode_jpeg(b"\xff\xd8" + sof + seg(0xDA, bytes([3, 1, 0])))
+
+
+# ---------------------------------------------------------------------------
+# GIF decoder (round 6): real LZW branch, pure stdlib
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(indices, min_code_size):
+    """Test-side GIF LZW encoder, 'uncompressed' flavor: every pixel
+    emitted as a literal code, a CLEAR inserted before the table
+    would force a width increase — keeps code width at
+    min_code_size+1 while remaining a fully spec-conformant stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    budget = (1 << width) - eoi - 2  # codes before width would grow
+    for i, c in enumerate(indices):
+        if i and i % budget == 0:
+            emit(clear)
+        emit(c)
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(width, height, indices, palette, interlace=False,
+                transparent=None, animated_tail=False):
+    import struct as st
+
+    size_bits = max((len(palette) - 1).bit_length(), 1) - 1
+    n = 2 << size_bits
+    gct = bytearray()
+    for r, g, b in palette:
+        gct += bytes((r, g, b))
+    gct += b"\x00" * (3 * n - len(gct))
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", width, height, 0x80 | size_bits, 0, 0)
+    out += gct
+    if transparent is not None:
+        out += b"\x21\xf9\x04" + bytes((1, 0, 0, transparent)) + b"\x00"
+    mcs = max(size_bits + 1, 2)
+    if interlace:
+        rows = [indices[y * width:(y + 1) * width] for y in range(height)]
+        order = [y for s, p in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(s, height, p)]
+        indices = [c for y in order for c in rows[y]]
+    out += b"\x2c" + st.pack("<HHHHB", 0, 0, width, height,
+                              0x40 if interlace else 0)
+    out += bytes((mcs,))
+    lzw = _lzw_encode(indices, mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00"
+    if animated_tail:  # a second (ignored) frame
+        out += st.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+        out += bytes((mcs,))
+        tail = _lzw_encode([0], mcs)
+        out += bytes((len(tail),)) + tail + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip():
+    from kgap_spark.functions.gif import decode_gif
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    w, h = 7, 5
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    data = _encode_gif(w, h, idx, palette)
+    gw, gh, ch, rgb = decode_gif(data)
+    assert (gw, gh, ch) == (w, h, 3)
+    expected = b"".join(bytes(palette[c]) for c in idx)
+    assert rgb == expected
+
+
+def test_gif_decode_larger_palette_and_multi_subblock():
+    from kgap_spark.functions.gif import decode_gif
+
+    # 64-color palette, enough pixels to span several 255-byte
+    # sub-blocks and several CLEAR resets
+    palette = [(i * 4, 255 - i * 4, (i * 7) % 256) for i in range(64)]
+    w, h = 101, 37
+    idx = [(x * y + x) % 64 for y in range(h) for x in range(w)]
+    gw, gh, ch, rgb = decode_gif(_encode_gif(w, h, idx, palette))
+    assert (gw, gh, ch) == (w, h, 3)
+    assert rgb == b"".join(bytes(palette[c]) for c in idx)
+
+
+def test_gif_decode_interlaced():
+    from kgap_spark.functions.gif import decode_gif
+
+    palette = [(0, 0, 0), (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    w, h = 6, 11
+    idx = [(3 * y + x) % 4 for y in range(h) for x in range(w)]
+    gw, gh, ch, rgb = decode_gif(
+        _encode_gif(w, h, idx, palette, interlace=True)
+    )
+    assert rgb == b"".join(bytes(palette[c]) for c in idx)
+
+
+def test_gif_transparency_and_first_frame_only():
+    from kgap_spark.functions.gif import decode_gif
+
+    palette = [(9, 9, 9), (255, 255, 255)]
+    w, h = 4, 2
+    idx = [0, 1, 0, 1, 1, 0, 1, 0]
+    data = _encode_gif(w, h, idx, palette, transparent=0,
+                       animated_tail=True)
+    gw, gh, ch, rgb = decode_gif(data)
+    # transparent index composites to black, not palette[0]
+    exp = b"".join(b"\x00\x00\x00" if c == 0 else bytes(palette[c])
+                   for c in idx)
+    assert rgb == exp and (gw, gh) == (w, h)
+
+
+def test_gif_malformed_raises_valueerror():
+    import pytest as _pt
+
+    from kgap_spark.functions.gif import decode_gif
+
+    with _pt.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+    with _pt.raises(ValueError, match="truncated|image"):
+        decode_gif(b"GIF89a" + b"\x00" * 7)
+    # truncated LZW stream
+    palette = [(0, 0, 0), (1, 1, 1)]
+    good = _encode_gif(4, 4, [0, 1] * 8, palette)
+    with _pt.raises(ValueError):
+        decode_gif(good[:len(good) - 6] + b"\x00\x3b")
+
+
+def test_gif_through_multimodal_features():
+    from kgap_spark.functions.multimodal import _decode_image
+
+    palette = [(i, i, i) for i in range(16)]
+    idx = [(x + y) % 16 for y in range(8) for x in range(8)]
+    feats = _decode_image(_encode_gif(8, 8, idx, palette))
+    assert feats is not None and len(feats) == 16
+    # corrupt GIF isolates to NULL features, never an exception
+    assert _decode_image(b"GIF89a\xff\xff\xff") is None
