@@ -73,8 +73,7 @@ def _slice(
     out_cols: dict[str, str] = {}
     for field, term in (("subj", s), ("pred", p), ("obj", o)):
         if isinstance(term, Var):
-            col = f"{term.name}"
-            out_cols[term.name] = col
+            pass  # projected below (first occurrence wins)
         elif isinstance(term, PathNeg):
             if field != "pred":
                 raise ValueError("negated property set only valid as predicate")
@@ -100,23 +99,29 @@ def _slice(
         else:
             df = df.filter(F.col(field) == F.lit(term))
     sel = []
-    for field, term in (("subj", s), ("pred", p), ("obj", o)):
-        if isinstance(term, Var):
-            sel.append(F.col(field).alias(term.name))
-            if carry_meta and field == "obj":
-                sel.append(F.col("obj_lang").alias(f"{term.name}__lang"))
-                sel.append(F.col("obj_datatype").alias(f"{term.name}__dt"))
+    # a variable used twice in one pattern (?x ?p ?x, or a pattern var
+    # equal to the GRAPH ?var) is a self-equality filter: the first
+    # occurrence projects the binding, later occurrences constrain
+    seen: dict[str, str] = {}
     if graph_var is not None:
         # GRAPH ?var matches named graphs only (SPARQL §13.3)
         df = df.filter(F.col("graph").isNotNull())
+        seen[graph_var] = "graph"
+    for field, term in (("subj", s), ("pred", p), ("obj", o)):
+        if not isinstance(term, Var):
+            continue
+        if term.name in seen:
+            df = df.filter(F.col(seen[term.name]) == F.col(field))
+            continue
+        seen[term.name] = field
+        sel.append(F.col(field).alias(term.name))
+        out_cols[term.name] = term.name
+        if carry_meta and field == "obj":
+            sel.append(F.col("obj_lang").alias(f"{term.name}__lang"))
+            sel.append(F.col("obj_datatype").alias(f"{term.name}__dt"))
+    if graph_var is not None:
         sel.append(F.col("graph").alias(graph_var))
         out_cols[graph_var] = graph_var
-    # a variable used twice in one pattern (?x ?p ?x) needs a self-equality
-    names = [t.name for t in (s, p, o) if isinstance(t, Var)]
-    if graph_var is not None:
-        names.append(graph_var)
-    if len(set(names)) != len(names):  # pragma: no cover - rare
-        raise ValueError("repeated variable within a single pattern unsupported")
     return df.select(*sel), out_cols
 
 

@@ -2511,7 +2511,11 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
             )
         maybe |= sub_cols - set(shared)
     if df is None:
-        raise ValueError("SPARQL compiler: empty WHERE group")
+        # a group that bound nothing (only MINUS elements, or empty):
+        # SPARQL evaluates {} to the unit table {μ0} — one solution
+        # binding nothing (§18.2.2.2); a leading MINUS removes
+        # nothing from it
+        df = _unit_table(triples.sparkSession)
     # FILTER EXISTS → semi join; FILTER NOT EXISTS → anti join. Same
     # compatibility condition either way.
     for how, subs in (("left_semi", g.exists), ("left_anti", g.not_exists)):
