@@ -84,7 +84,10 @@ _TOKEN_RE = re.compile(
     (?P<WS>\s+)
   | (?P<COMMENT>\#[^\n]*)
   | (?P<IRI><[^<>"{}|^`\\\s]*>)
-  | (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<STRING>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3}
+              |'{3}(?:[^'\\]|\\.|'(?!'{2}))*'{3}
+              |"(?:[^"\\]|\\.)*"
+              |'(?:[^'\\]|\\.)*')
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|[A-Za-z_][A-Za-z0-9_]*)
@@ -821,11 +824,13 @@ class _Parser:
         if t and t.kind == "OP" and t.text == "!":
             self.next()
             pred = self.negated_property_set()
-            if self.path_mod() is not None:
+            mod = self.path_mod()
+            if mod is not None and isinstance(pred, PathNegMixed):
                 raise ValueError(
-                    "modified negated property set (!p)+/*/? not supported"
+                    "modified negated set with inverse members "
+                    "!(p|^q)+/*/? not supported"
                 )
-            return (pred, None, inv)
+            return (pred, mod, inv)
         if t and t.kind == "OP" and t.text == "(":
             self.next()
             first_inv = False
@@ -1020,7 +1025,9 @@ class _Parser:
         raise ValueError(f"SPARQL parser: bad term {t.text!r}")
 
     def finish_literal(self, t: Tok) -> Lit:
-        value = _unescape_string(t.text[1:-1])
+        # short ("…" / '…') and long ("""…""" / '''…''') string forms
+        q = 3 if t.text[:3] in ('"""', "'''") else 1
+        value = _unescape_string(t.text[q:-q])
         nxt = self.peek()
         if nxt and nxt.kind == "OP" and nxt.text == "@":
             self.next()
@@ -1416,9 +1423,12 @@ def _compile_expr(e, df: DataFrame,
                 conds, plain = [], []
                 for item in e.args[1:]:
                     if isinstance(item, Var):
-                        raise ValueError(
-                            "variables in IN lists not supported"
-                        )
+                        # ?x IN (?y, …): exactly the = chain —
+                        # recurse so tagged/numeric semantics apply
+                        conds.append(_compile_expr(
+                            BinOp("=", left, item), df, resolver
+                        ))
+                        continue
                     if isinstance(item, Lit) and (
                             item.lang is not None
                             or item.datatype is not None):
@@ -1704,6 +1714,10 @@ def _eval_lucene(triples: DataFrame, ent: str, query: str,
 
 
 def _pred_cond(pred) -> Column:
+    if isinstance(pred, PathNeg):
+        # forward negated property set as a closure edge: (!p)+ walks
+        # every edge whose predicate is NOT in the excluded set
+        return ~F.col("pred").isin(*pred.preds)
     return (
         F.col("pred").isin(*pred) if isinstance(pred, (tuple, set, frozenset))
         else F.col("pred") == pred

@@ -710,8 +710,13 @@ def test_parse_errors():
         )
     with pytest.raises(ValueError, match="negated property set"):
         parse_sparql("SELECT ?s WHERE { ?s !(?v) ?o }")
-    with pytest.raises(ValueError, match="not supported"):
-        parse_sparql("SELECT ?s WHERE { ?s !<p:a>+ ?o }")
+    # round 6: (!p)+ is now supported (closure over the complement
+    # edge set) — only the inverse-member mixed form stays rejected
+    q = parse_sparql("SELECT ?s WHERE { ?s !<p:a>+ ?o }")
+    from kgap_spark.query.patterns import PathNeg
+    from kgap_spark.query.sparql import PathPlus
+    (_, pred, _), = q.where.triples
+    assert isinstance(pred, PathPlus) and isinstance(pred.pred, PathNeg)
 
 
 def test_minus_and_subselect_parse_shapes():
@@ -1220,9 +1225,11 @@ def test_review_fixes_round4_pass2(spark, kb):
         ORDER BY ?obs
     """)
     assert [r.obs for r in df2.collect()] == ["urn:obs:1", "urn:obs:3"]
-    # variables in IN lists raise cleanly, not deep in Spark
-    with pytest.raises(ValueError, match="IN lists"):
-        execute_sparql(kb, "SELECT ?x WHERE { ?x ?p ?o FILTER(?x IN (?o)) }")
+    # round 6: variables in IN lists = the ORed = chain
+    df_in = execute_sparql(
+        kb, "SELECT ?x WHERE { ?x ?p ?o FILTER(?x IN (?o)) }"
+    )
+    assert df_in.count() == kb.filter("subj = obj").count()
     # FILTER EXISTS / MINUS / sub-selects cannot hide in templates or
     # DATA blocks (previously silently discarded)
     with pytest.raises(ValueError, match="only triples"):
@@ -2092,3 +2099,35 @@ def test_lucene_inside_graph_var(spark):
     assert sorted((r.g, r.entity) for r in df2.collect()) == [
         ("urn:g:one", "urn:e:1"), ("urn:g:one", "urn:e:2"),
     ]
+
+
+def test_in_list_with_variables(alt_kb):
+    # ?x IN (?y, const) == the ORed = chain (round 6 — was a reject)
+    df = execute_sparql(alt_kb, """
+        SELECT ?s ?o WHERE { ?s <r> ?o
+          FILTER(?o IN (?s, "a3")) }
+    """)
+    assert _vals(df) == [("a2", "a3")]
+
+
+def test_modified_negated_property_set(alt_kb):
+    # (!q)+ — closure over every edge whose predicate is not excluded
+    df = execute_sparql(alt_kb, "SELECT ?o WHERE { <a> !<q>+ ?o }")
+    # from a: p1→m (then p2→c), p3→d, r→a2 (then r→a3); q excluded
+    assert _vals(df) == [("a2",), ("a3",), ("c",), ("d",), ("m",)]
+    # inverse-member mixed sets under a modifier stay a loud reject
+    with pytest.raises(ValueError, match="inverse members"):
+        parse_sparql("SELECT ?o WHERE { <a> !(<p>|^<q>)+ ?o }")
+
+
+def test_string_literal_quote_forms(alt_kb):
+    # single-quoted and long (triple-quoted) literal forms (§19.8)
+    from kgap_spark.query.sparql import parse_sparql as pq
+
+    assert pq("SELECT ?o WHERE { ?s ?p 'b' }").where.triples[0][2].value == "b"
+    assert pq("SELECT ?o WHERE { ?s ?p '''it's ok''' }") \
+        .where.triples[0][2].value == "it's ok"
+    assert pq('SELECT ?o WHERE { ?s ?p """a "q" b""" }') \
+        .where.triples[0][2].value == 'a "q" b'
+    assert pq("SELECT ?o WHERE { ?s ?p 'chat'@fr }") \
+        .where.triples[0][2].lang == "fr"
