@@ -131,6 +131,17 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _jaccard_from_intersections(inter, sizes, threshold)
+
+
+def _jaccard_from_intersections(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b, inter) + per-doc set sizes → thresholded
+    (doc_a, doc_b, jaccard). The shared scoring tail of the jaccard
+    and LSH-join paths — one definition, so any fix to the rounding or
+    threshold semantics applies to both (same policy as
+    ``_pairs_from_sorted_docs``)."""
     return (
         inter.join(sizes.withColumnRenamed("doc", "doc_a")
                    .withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -264,26 +275,10 @@ def minhash_lsh_approx_join(
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        inter.join(
-            sizes.select(F.col("doc").alias("doc_a"),
-                         F.col("sz").alias("sz_a")), "doc_a")
-        .join(
-            sizes.select(F.col("doc").alias("doc_b"),
-                         F.col("sz").alias("sz_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= 1.0 - max_jaccard_dist)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return out
+    return _jaccard_from_intersections(inter, sizes,
+                                       1.0 - max_jaccard_dist)
 
 
 def minhash_lsh_near_duplicates(

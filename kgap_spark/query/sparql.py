@@ -1637,26 +1637,53 @@ def _agg_col(agg: Agg, df: DataFrame | None = None) -> Column:
     raise ValueError(f"unsupported aggregate {agg.fn}")
 
 
-def _split_lucene(triple_list: list):
-    """Pull GraphDB's Lucene magic patterns out of a TriplesBlock:
-    (?e luc:searchIndex "query") and (?e luc:score ?s). Returns
-    (remaining_triples, searches) with searches =
-    [(entity_var, query_string, score_var|None)]. A luc:score must
-    share its block with the matching luc:searchIndex."""
-    remaining, searches = [], {}
-    score_vars = {}
-    search_preds = (LUCENE_NS + "searchIndex", "luc:searchIndex")
-    score_preds = (LUCENE_NS + "score", "luc:score")
+_LUC_SEARCH_PREDS = (LUCENE_NS + "searchIndex", "luc:searchIndex")
+_LUC_SCORE_PREDS = (LUCENE_NS + "score", "luc:score")
+
+
+def _lucene_score_map(triple_list: list) -> dict[str, str]:
+    """GROUP-wide luc:score pairing: {entity_var: score_var}, validated
+    against the group's luc:searchIndex patterns — a score may sit in
+    a different TriplesBlock than its search (GraphDB imposes no
+    adjacency requirement)."""
+    searches, score_vars = set(), {}
     for (s, p, o) in triple_list:
-        if p in search_preds and isinstance(s, Var):
+        if p in _LUC_SEARCH_PREDS and isinstance(s, Var):
+            searches.add(s.name)
+        elif p in _LUC_SCORE_PREDS and isinstance(s, Var) \
+                and isinstance(o, Var):
+            score_vars[s.name] = o.name
+    orphans = set(score_vars) - searches
+    if orphans:
+        raise ValueError(
+            "luc:score without a matching luc:searchIndex pattern for "
+            f"?{sorted(orphans)[0]}"
+        )
+    return score_vars
+
+
+def _split_lucene(triple_list: list,
+                  score_map: dict[str, str] | None = None):
+    """Pull GraphDB's Lucene magic patterns out of a TriplesBlock:
+    (?e luc:searchIndex "query") joins at ITS textual position with
+    the score variable from ``score_map`` (paired group-wide by
+    ``_lucene_score_map``); luc:score patterns are consumed wherever
+    they appear. Returns (remaining_triples, searches) with
+    searches = [(entity_var, query_string, score_var|None)]."""
+    remaining, searches = [], {}
+    score_vars = dict(score_map or {})
+    for (s, p, o) in triple_list:
+        if p in _LUC_SEARCH_PREDS and isinstance(s, Var):
             q = o.value if isinstance(o, Lit) else str(o)
             searches[s.name] = q
-        elif p in score_preds and isinstance(s, Var) and isinstance(o, Var):
+        elif p in _LUC_SCORE_PREDS and isinstance(s, Var) and isinstance(o, Var):
             score_vars[s.name] = o.name
         else:
             remaining.append((s, p, o))
-    orphans = set(score_vars) - set(searches)
-    if orphans:
+    orphans = {e for e in score_vars if e not in searches
+               and any(p in _LUC_SCORE_PREDS for (s, p, _o) in triple_list
+                       if isinstance(s, Var) and s.name == e)}
+    if score_map is None and orphans:
         raise ValueError(
             "luc:score without a matching luc:searchIndex pattern for "
             f"?{sorted(orphans)[0]}"
@@ -1847,26 +1874,45 @@ def _transitive_pairs(triples: DataFrame, pred, start: str | None,
 
 
 def _arm_rel(triples: DataFrame, elts: tuple,
-             graph_var: str | None = None) -> DataFrame:
+             graph_var: str | None = None,
+             s_term=None, o_term=None) -> DataFrame:
     """Endpoint-pair relation of ONE alternation arm — a sequence of
     path elements ``(pred, mod, inverse)`` composed by equi-joins. A
     modified element contributes its closure relation (``+`` the
     fixpoint closure, ``*``/``?`` closure ∪ zero-length identity); an
-    inverse element swaps its endpoints."""
+    inverse element swaps its endpoints.
+
+    ``s_term``/``o_term``: the enclosing path's endpoint terms. They
+    apply at the arm's BOUNDARY elements (junctions between elements
+    are existential variables): a constant start SEEDS a boundary
+    closure's frontier instead of computing the whole-graph fixpoint,
+    and extends a ``*``/``?`` boundary's zero-length identity with the
+    constant itself — ZeroLengthPath(term) = {(term, term)} even for
+    terms absent from the data (SPARQL 1.1 §18.4)."""
     gcols = [graph_var] if graph_var else []
     cur = None
-    for pred, mod, inv in elts:
+    n = len(elts)
+    for i, (pred, mod, inv) in enumerate(elts):
+        left = s_term if i == 0 else None
+        right = o_term if i == n - 1 else None
+        if inv:
+            # the relation is computed forward then endpoint-swapped,
+            # so the arm's left boundary is the pre-swap OBJECT side
+            left, right = right, left
         if mod == "+":
-            r = _transitive_pairs(triples, pred, None,
+            start = left if isinstance(left, str) else None
+            r = _transitive_pairs(triples, pred, start,
                                   graph_var=graph_var)
         elif mod in ("*", "?"):
             wrap = PathStar if mod == "*" else PathOpt
-            # Var endpoints: the full relation incl. the zero-length
-            # identity over every (scoped) graph term
-            r = _path_pairs(triples, wrap(pred), Var("__path_arm_a"),
-                            Var("__path_arm_b"), graph_var=graph_var)
+            sT = left if left is not None else Var("__path_arm_a")
+            oT = right if right is not None else Var("__path_arm_b")
+            r = _path_pairs(triples, wrap(pred), sT, oT,
+                            graph_var=graph_var)
         else:
             r = _edge_rel(triples, pred, graph_var)
+            if isinstance(left, str):
+                r = r.filter(F.col(_PA) == left)
         if inv:
             r = r.select(F.col(_PB).alias(_PA),
                          F.col(_PA).alias(_PB), *gcols)
@@ -1895,10 +1941,14 @@ def _path_pairs(triples: DataFrame, p, s_term, o_term,
     start = s_term if isinstance(s_term, str) else None
     if isinstance(p, PathAlt):
         # union of the arms' pair relations; cross-arm duplicates are
-        # kept (SPARQL 1.1 bag union of the alternation branches)
+        # kept (SPARQL 1.1 bag union of the alternation branches).
+        # Endpoint terms thread into each arm so constant starts seed
+        # boundary closures (frontier expansion, not the whole-graph
+        # fixpoint) and */? boundaries keep ZeroLengthPath(const)
         rel = None
         for arm in p.arms:
-            r = _arm_rel(triples, arm, graph_var)
+            r = _arm_rel(triples, arm, graph_var,
+                         s_term=s_term, o_term=o_term)
             rel = r if rel is None else rel.unionByName(r)
         return rel.filter(F.col(_PA) == start) if start is not None \
             else rel
@@ -2049,13 +2099,16 @@ _PATH_NODES = (PathPlus, PathStar, PathOpt, PathSeq, PathAlt)
 
 
 def _compile_triples_chunk(base_triples: DataFrame, chunk: list,
-                           graph_var: str | None) -> DataFrame | None:
+                           graph_var: str | None,
+                           score_map: dict[str, str] | None = None,
+                           ) -> DataFrame | None:
     """Compile one textual run of triple patterns (a SPARQL
     TriplesBlock): plain BGP joins + luc: magic-pattern searches +
     property-path closures, joined within the run on plain equi keys
     (a BGP never produces an unbound binding). Returns None for an
-    empty run."""
-    patterns, searches = _split_lucene(chunk)
+    empty run. ``score_map`` carries the group-wide luc:score pairing
+    so a score pattern may sit in a different block than its search."""
+    patterns, searches = _split_lucene(chunk, score_map)
     path_patterns = [
         (s, p, o) for (s, p, o) in patterns
         if isinstance(p, _PATH_NODES)
@@ -2298,8 +2351,12 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
         if _kind == "triples":
             covered.update(range(_payload[0], _payload[1]))
     hoisted = [t for i, t in enumerate(g.triples) if i not in covered]
+    # luc:score ↔ luc:searchIndex pairing is GROUP-wide (and validated
+    # here); each search joins at its own block's textual position
+    score_map = _lucene_score_map(g.triples)
     df: DataFrame | None = (
-        _compile_triples_chunk(base_triples, hoisted, graph_var)
+        _compile_triples_chunk(base_triples, hoisted, graph_var,
+                               score_map)
         if hoisted else None
     )
     # EVERY group element replays in TEXTUAL order (g.seq) — SPARQL's
@@ -2314,7 +2371,7 @@ def _compile_group_ex(triples: DataFrame, g: Group, graph=None):
         if _kind == "triples":
             cdf = _compile_triples_chunk(
                 base_triples, g.triples[_payload[0]:_payload[1]],
-                graph_var,
+                graph_var, score_map,
             )
             if cdf is not None:
                 # Join(Ω, BGP): a BGP binding never unbinds, but the

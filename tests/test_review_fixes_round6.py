@@ -82,3 +82,75 @@ def test_boolean_query_zero_token_operands_raise():
         parse_boolean_query("a NOT ***")
     # a bare should word that normalizes away stays lenient
     assert parse_boolean_query("a ***")["should"] == ["a"]
+
+
+# --- round-6 code-review pass 1 findings -----------------------------------
+
+def _kb(spark, rows):
+    from kgap_spark import schemas as S
+    return spark.createDataFrame(
+        [(s, p, o, None, None, "urn:g", None) for s, p, o in rows],
+        S.TRIPLES,
+    )
+
+
+def test_pathalt_zero_length_for_absent_constant(spark):
+    """ZeroLengthPath(term) = {(term, term)} even for terms absent
+    from the data — PathAlt ?/* arms must keep it (review finding #1:
+    the arm relation used Var placeholders and lost the constant)."""
+    from kgap_spark.query.sparql import execute_sparql
+
+    kb = _kb(spark, [("a", "c", "b")])
+    assert execute_sparql(
+        kb, "ASK { <urn:absent> (<x>/<y>)|<c>? <urn:absent> }"
+    ) is True
+    # and matches the non-alternation compile
+    assert execute_sparql(
+        kb, "ASK { <urn:absent> <c>? <urn:absent> }"
+    ) is True
+
+
+def test_pathalt_constant_start_seeds_closure(spark):
+    """A constant subject seeds each +-arm's frontier instead of the
+    whole-graph fixpoint (review finding #3) — observable as a correct
+    result over a graph with a cycle the start can't reach."""
+    from kgap_spark.query.sparql import execute_sparql
+
+    kb = _kb(spark, [("s", "p", "t"), ("u", "p", "v"), ("v", "p", "u"),
+                     ("s", "q", "w")])
+    df = execute_sparql(kb, "SELECT ?x WHERE { <s> <p>+|<q> ?x }")
+    assert sorted(r.x for r in df.collect()) == ["t", "w"]
+    # seeded plan: the +-arm's first join filters on the start
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "s" in plan  # literal start pushed into the arm scan
+
+
+def test_luc_score_in_separate_block(spark):
+    """A luc:score separated from its luc:searchIndex by a non-triple
+    element still pairs (review finding #2 — pairing is group-wide,
+    matching GraphDB's position-independent magic predicates)."""
+    from kgap_spark import schemas as S
+    from kgap_spark.query.sparql import execute_sparql
+
+    rows = [
+        ("urn:e:1", "rdfs:label", "hello world", "en", None, "urn:g", None),
+        ("urn:e:1", "ex:other", "urn:v", None, None, "urn:g", None),
+    ]
+    kb = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(kb, """
+        PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        SELECT ?e ?v ?s WHERE {
+          ?e luc:searchIndex "hello" .
+          OPTIONAL { ?e <ex:other> ?v }
+          ?e luc:score ?s .
+        }
+    """)
+    got = [(r.e, r.v, r.s) for r in df.collect()]
+    assert got == [("urn:e:1", "urn:v", 1.0)]
+    # orphan score still raises loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="luc:score without"):
+        execute_sparql(kb, """
+            PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+            SELECT ?s WHERE { ?e luc:score ?s }
+        """)
