@@ -2,10 +2,11 @@
 columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery — schemas, batch iteration, partition sizing,
-UDF signatures — is real and tested. Image decode is REAL for PNG: a
-pure-stdlib (zlib + struct) decoder handles 8-bit gray/RGB/±alpha
-non-interlaced PNGs end-to-end, including all five scanline filters —
-no PIL needed. Other formats (JPEG/audio/video) stay stubbed behind
+UDF signatures — is real and tested. Decode is REAL, pure
+stdlib+numpy, for: PNG (zlib inflate + all five scanline filters),
+baseline JPEG (``jpeg.decode_jpeg``), GIF87a/89a (``gif.decode_gif``,
+LZW), and WAV audio (``audio.decode_wav``, PCM + IEEE float).
+Remaining formats (WebP, MP3/OGG, video codecs) stay stubbed behind
 ``KGAP_FAKE_DECODE`` (their codec libraries are not in this
 container); the stub is a deterministic pure function of the bytes, so
 tests exercise the full distributed path with stable outputs. Swapping
@@ -219,11 +220,24 @@ def _decode_image(payload: bytes) -> list[float] | None:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
-def _decode_audio(payload: bytes) -> list[float]:
-    """STUB: real impl = soundfile/torchaudio load → mel pooling."""
+def _decode_audio(payload: bytes) -> list[float] | None:
+    """WAV (RIFF PCM/IEEE-float) → REAL decode (``audio.decode_wav``,
+    pure stdlib+numpy) → pooled features; a recognized RIFF payload
+    that fails to decode yields NULL features (same per-row isolation
+    as images). Compressed codecs (MP3/OGG/AAC): deterministic fake
+    under ``KGAP_FAKE_DECODE`` — soundfile/torchaudio aren't in this
+    container."""
+    data = payload or b""
+    if data[:4] == b"RIFF":
+        from kgap_spark.functions.audio import audio_features, decode_wav
+
+        try:
+            return audio_features(*decode_wav(data), dim=FEATURE_DIM)
+        except Exception:
+            return None
     if not KGAP_FAKE_DECODE:  # pragma: no cover
-        raise NotImplementedError("real audio decode requires soundfile")
-    digest = hashlib.sha256(b"audio:" + (payload or b"")).digest()
+        raise NotImplementedError("non-WAV audio decode requires soundfile")
+    digest = hashlib.sha256(b"audio:" + data).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 

@@ -1120,3 +1120,119 @@ def test_gif_through_multimodal_features():
     assert feats is not None and len(feats) == 16
     # corrupt GIF isolates to NULL features, never an exception
     assert _decode_image(b"GIF89a\xff\xff\xff") is None
+
+
+# --- WAV audio decoder (real branch) ---------------------------------------
+
+def test_wav_decode_roundtrip_16bit():
+    import numpy as np
+
+    from kgap_spark.functions.audio import decode_wav, encode_wav
+
+    t = np.arange(800) / 8000.0
+    stereo = np.stack(
+        [np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 220 * t)], axis=1
+    )
+    sr, ch, frames = decode_wav(encode_wav(8000, stereo))
+    assert (sr, ch) == (8000, 2)
+    assert frames.shape == (800, 2)
+    # 16-bit quantization: round-trip error ≤ 1/32768 scale mismatch
+    # (encode scales by 32767, decode by 32768) + half-LSB rounding
+    assert np.max(np.abs(frames - stereo)) < 1.0 / 16000
+
+
+def test_wav_decode_float32_and_8bit_and_24bit():
+    import struct
+
+    import numpy as np
+
+    from kgap_spark.functions.audio import decode_wav
+
+    def riff(tag, bits, body):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 0, 0, bits)
+        inner = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                 + b"data" + struct.pack("<I", len(body)) + body)
+        return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+    # IEEE float32 (tag 3)
+    src = np.linspace(-1, 1, 64)
+    _, _, fr = decode_wav(riff(3, 32, src.astype("<f4").tobytes()))
+    assert np.allclose(fr[:, 0], src, atol=1e-6)
+    # 8-bit unsigned PCM: 128 is zero
+    _, _, fr8 = decode_wav(riff(1, 8, bytes([0, 128, 255])))
+    assert fr8[1, 0] == 0.0 and fr8[0, 0] == -1.0
+    # 24-bit little-endian signed: 0x800000 = -1.0
+    _, _, fr24 = decode_wav(riff(1, 24, b"\x00\x00\x80" + b"\x00\x00\x00"))
+    assert fr24[0, 0] == -1.0 and fr24[1, 0] == 0.0
+
+
+def test_wav_extensible_and_chunk_skip():
+    """WAVE_FORMAT_EXTENSIBLE resolves via SubFormat; LIST chunks and
+    odd-length word alignment are walked over."""
+    import struct
+
+    import numpy as np
+
+    from kgap_spark.functions.audio import decode_wav
+
+    # 16-byte header + cbSize(22) = validbits, channelmask, then the
+    # 16-byte SubFormat GUID whose FIRST TWO bytes are the real tag
+    ext = struct.pack("<HHIIHHHHI", 0xFFFE, 1, 8000, 0, 0, 16, 22, 16, 1) \
+        + struct.pack("<H", 1) + b"\x00" * 14
+    body = np.array([16384, -16384], dtype="<i2").tobytes()
+    inner = (b"WAVE"
+             + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+             + b"fmt " + struct.pack("<I", len(ext)) + ext
+             + b"data" + struct.pack("<I", len(body)) + body)
+    sr, ch, fr = decode_wav(b"RIFF" + struct.pack("<I", len(inner)) + inner)
+    assert (sr, ch) == (8000, 1) and abs(fr[0, 0] - 0.5) < 1e-4
+
+
+def test_wav_malformed_raises_valueerror():
+    import pytest
+
+    from kgap_spark.functions.audio import decode_wav
+
+    for bad in (b"", b"RIFX1234WAVE", b"RIFF\x04\x00\x00\x00WAVE",
+                b"RIFF\xff\x00\x00\x00WAVEdata\x02\x00\x00\x00ab"):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_wav_through_multimodal_features():
+    import numpy as np
+
+    from kgap_spark.functions.audio import encode_wav
+    from kgap_spark.functions.multimodal import _decode_audio
+
+    t = np.arange(1600) / 16000.0
+    wav = encode_wav(16000, np.sin(2 * np.pi * 440 * t)[:, None])
+    feats = _decode_audio(wav)
+    assert feats is not None and len(feats) == 16
+    # sine RMS ≈ 1/sqrt(2); feature slots: [dur, sr, ch, rms, peak, zcr, ...]
+    assert abs(feats[3] - 0.707) < 0.01 and abs(feats[4] - 1.0) < 0.01
+    # corrupt RIFF isolates to NULL features; non-RIFF stays on the
+    # deterministic-fake path (list, not None)
+    assert _decode_audio(b"RIFF\x08\x00\x00\x00WAVEjunk") is None
+    assert isinstance(_decode_audio(b"\x00mp3-ish"), list)
+
+
+def test_wav_features_distributed(spark):
+    """End-to-end through extract_features mapInPandas: mixed WAV and
+    fake-path audio rows in one batch."""
+    import numpy as np
+
+    from kgap_spark.functions.audio import encode_wav
+    from kgap_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    t = np.arange(400) / 8000.0
+    wav = encode_wav(8000, np.sin(2 * np.pi * 100 * t)[:, None])
+    rows = [
+        ("m1", "audio", "audio/wav", bytearray(wav), {}),
+        ("m2", "audio", "audio/mpeg", bytearray(b"\xffmp3"), {}),
+    ]
+    out = {r["media_id"]: r["features"]
+           for r in extract_features(
+               spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert len(out["m1"]) == 16 and abs(out["m1"][3] - 0.707) < 0.01
+    assert len(out["m2"]) == 16  # deterministic fake path
