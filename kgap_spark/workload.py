@@ -1818,6 +1818,35 @@ WHERE { ?d rdf:type "ex:Short" }
 """
 
 
+SPARQL_PAGINATE = """
+SELECT ?d ?label
+WHERE { ?d rdfs:label ?label }
+ORDER BY ?label ?d
+LIMIT 15 OFFSET 10
+"""
+
+
+def q_sparql_paginate(spark, sf_dir):
+    """OFFSET pagination (SURVEY O4): ORDER BY + LIMIT + OFFSET slice
+    through the SPARQL text front-end — the notebooks' paged result
+    browsing (docs/quick-reference.md LIMIT examples; GraphDB pages
+    with OFFSET). Deterministic because the sort key (?label, ?d) is
+    unique per row; Catalyst folds orderBy+offset+limit into ONE
+    TakeOrderedAndProject over offset+limit rows (per-partition top-25
+    heaps, no global sort, offset skipped at the gather) with the
+    lang filter pushed to the parquet scan — plan-checked."""
+    from kgap_spark.query.sparql import execute_sparql
+
+    return execute_sparql(_doc_triples(spark, sf_dir), SPARQL_PAGINATE)
+
+
+ORACLE_SPARQL_PAGINATE = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS d, substr(text, 1, 20) AS label
+FROM documents WHERE lang = 'en'
+ORDER BY label, d LIMIT 15 OFFSET 10
+"""
+
+
 def q_sparql_describe(spark, sf_dir):
     """DESCRIBE ?var WHERE — the jupyter export workflow's resource-
     dump form (docs/components/jupyter.md): solutions' distinct
@@ -2255,6 +2284,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
     "emb_lsh_topk": q_emb_lsh_topk,
+    # round-6 addition: OFFSET pagination (SURVEY O4, previously
+    # documented-skip) — core window is full, verified by the harness
+    "sparql_paginate": q_sparql_paginate,
 }
 
 ORACLES: dict[str, str] = {
@@ -2330,4 +2362,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "emb_cosine_topk": ORACLE_EMB_COSINE_TOPK,
     "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "emb_lsh_topk": ORACLE_EMB_LSH,
+    "sparql_paginate": ORACLE_SPARQL_PAGINATE,
 }
