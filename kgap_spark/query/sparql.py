@@ -791,13 +791,30 @@ class _Parser:
                         and not isinstance(a[0][0], PathSeq))
 
             if all(is_simple(a) for a in arms):
-                # all-simple alternation: stay on the any-of tuple —
-                # one isin-pushdown scan, bag semantics preserved
-                preds = []
-                for a in arms:
-                    p = a[0][0]
-                    preds.extend(p if isinstance(p, tuple) else (p,))
-                return [(tuple(dict.fromkeys(preds)), None, False)]
+                # all-simple alternation with DISTINCT arms: stay on
+                # the any-of tuple — one isin-pushdown scan. Bag
+                # semantics hold only because each triple matches at
+                # most one arm; a repeated arm (p0|p1|p0) must yield
+                # its matches once PER ARM (§18.4 multiset union), so
+                # overlapping arms take the per-arm-union path below.
+                # (One arm may itself be an any-of tuple — alternate
+                # encodings of a single pname — that's one arm, not a
+                # repeat.)
+                arm_encodings = [
+                    set(p) if isinstance(p := a[0][0], tuple) else {p}
+                    for a in arms
+                ]
+                disjoint = all(
+                    arm_encodings[i].isdisjoint(arm_encodings[j])
+                    for i in range(len(arm_encodings))
+                    for j in range(i + 1, len(arm_encodings))
+                )
+                if disjoint:
+                    preds = []
+                    for a in arms:
+                        p = a[0][0]
+                        preds.extend(p if isinstance(p, tuple) else (p,))
+                    return [(tuple(dict.fromkeys(preds)), None, False)]
             # composite arm(s) — (p1/p2)|p3, ^p|q, p+|q: compile each
             # arm to its pair relation and union them
             return [(PathAlt(tuple(tuple(a) for a in arms)),
@@ -859,13 +876,30 @@ class _Parser:
                     steps.append((m if len(m) > 1 else m[0], step_inv))
                 self.expect("OP", ")")
                 return (PathSeq(tuple(steps)), self.path_mod(), inv)
-            preds = list(first)
+            members = [first]
             while self.peek() and self.peek().kind == "OP" \
                     and self.peek().text == "|":
                 self.next()
-                preds.extend(self._alt_member())
+                members.append(self._alt_member())
             self.expect("OP", ")")
-            return (tuple(dict.fromkeys(preds)), self.path_mod(), inv)
+            mod = self.path_mod()
+            # A repeated arm ((p0|p1|p0)) must yield its matches once
+            # PER ARM (§18.4 multiset union) — the flattened any-of
+            # scan is only safe when arms are disjoint, OR under a
+            # +/*/? modifier (the ALP closure is duplicate-free, so
+            # (p|p)+ ≡ p+). Otherwise compile as a PathAlt union.
+            disjoint = all(
+                set(members[i]).isdisjoint(members[j])
+                for i in range(len(members))
+                for j in range(i + 1, len(members))
+            )
+            if disjoint or mod is not None:
+                preds = [p for m in members for p in m]
+                return (tuple(dict.fromkeys(preds)), mod, inv)
+            return (PathAlt(tuple(
+                ((m if len(m) > 1 else m[0], None, False),)
+                for m in members
+            )), None, inv)
         pred = self.term(as_predicate=True)
         return (pred, self.path_mod(), inv)
 

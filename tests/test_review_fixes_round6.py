@@ -154,3 +154,30 @@ def test_luc_score_in_separate_block(spark):
             PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
             SELECT ?s WHERE { ?e luc:score ?s }
         """)
+
+
+def test_alternation_repeated_arms_bag_semantics(spark):
+    """§18.4 multiset union: a repeated alternation arm duplicates its
+    matches — p0|p1|p0 yields each p0 edge twice (found by the path
+    differential fuzz; the isin fast path had deduped arms). Under a
+    +/*/? modifier the flattened scan stays: ALP closures are
+    duplicate-free, so (p|p)+ ≡ p+."""
+    from kgap_spark.query.sparql import execute_sparql
+
+    kb = _kb(spark, [("n0", "p0", "n1"), ("n1", "p1", "n2")])
+    bare = execute_sparql(
+        kb, "SELECT ?x ?y WHERE { ?x <p0>|<p1>|<p0> ?y }")
+    assert sorted((r.x, r.y) for r in bare.collect()) == [
+        ("n0", "n1"), ("n0", "n1"), ("n1", "n2")]
+    paren = execute_sparql(
+        kb, "SELECT ?x ?y WHERE { ?x (<p0>|<p0>) ?y }")
+    assert [(r.x, r.y) for r in paren.collect()] == [
+        ("n0", "n1"), ("n0", "n1")]
+    closed = execute_sparql(
+        kb, "SELECT ?x ?y WHERE { ?x (<p0>|<p0>)+ ?y }")
+    assert [(r.x, r.y) for r in closed.collect()] == [("n0", "n1")]
+    # disjoint arms keep the single isin-pushdown scan
+    plan = execute_sparql(
+        kb, "SELECT ?x ?y WHERE { ?x <p0>|<p1> ?y }"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
