@@ -5,8 +5,10 @@ The Spark-side machinery — schemas, batch iteration, partition sizing,
 UDF signatures — is real and tested. Decode is REAL, pure
 stdlib+numpy, for: PNG (zlib inflate + all five scanline filters),
 baseline JPEG (``jpeg.decode_jpeg``), GIF87a/89a (``gif.decode_gif``,
-LZW), and WAV audio (``audio.decode_wav``, PCM + IEEE float).
-Remaining formats (WebP, MP3/OGG, video codecs) stay stubbed behind
+LZW), WAV audio (``audio.decode_wav``, PCM + IEEE float), and AVI
+video (``video.decode_avi`` — MJPEG via the JPEG decoder or BI_RGB
+DIB frames; ≤4 sampled frames, temporally pooled). Remaining formats
+(WebP, MP3/OGG, modern video codecs) stay stubbed behind
 ``KGAP_FAKE_DECODE`` (their codec libraries are not in this
 container); the stub is a deterministic pure function of the bytes, so
 tests exercise the full distributed path with stable outputs. Swapping
@@ -228,7 +230,7 @@ def _decode_audio(payload: bytes) -> list[float] | None:
     under ``KGAP_FAKE_DECODE`` — soundfile/torchaudio aren't in this
     container."""
     data = payload or b""
-    if data[:4] == b"RIFF":
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         from kgap_spark.functions.audio import audio_features, decode_wav
 
         try:
@@ -241,7 +243,25 @@ def _decode_audio(payload: bytes) -> list[float] | None:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
-_DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_image}
+def _decode_video(payload: bytes) -> list[float] | None:
+    """AVI (MJPEG / BI_RGB-24) → REAL decode (``video.decode_avi``
+    samples ≤4 evenly-spaced frames; MJPEG frames reuse
+    ``jpeg.decode_jpeg``) → temporally pooled features; a recognized
+    AVI that fails to decode yields NULL features. Non-AVI payloads
+    fall through to the image pipeline (an animated GIF IS the video
+    analog there) or the deterministic fake."""
+    data = payload or b""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from kgap_spark.functions.video import decode_avi, video_features
+
+        try:
+            return video_features(*decode_avi(data), dim=FEATURE_DIM)
+        except Exception:
+            return None
+    return _decode_image(payload)
+
+
+_DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_video}
 
 FEATURES_SCHEMA = (
     "media_id string, kind string, n_bytes long, features array<double>"

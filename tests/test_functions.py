@@ -1236,3 +1236,97 @@ def test_wav_features_distributed(spark):
                spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
     assert len(out["m1"]) == 16 and abs(out["m1"][3] - 0.707) < 0.01
     assert len(out["m2"]) == 16  # deterministic fake path
+
+
+# --- AVI video decoder (real branch) ---------------------------------------
+
+def _mk_avi_mjpeg(n_frames=6, w=16, h=16):
+    import numpy as np
+
+    from kgap_spark.functions.video import encode_avi
+
+    frames = []
+    for i in range(n_frames):
+        img = np.full((h, w), 20 + i * 40, dtype=np.uint8)
+        frames.append(_encode_jpeg(w, h, [img]))
+    return encode_avi(frames, w, h, codec="MJPG", fps=10)
+
+
+def test_avi_mjpeg_decode_and_sampling():
+    from kgap_spark.functions.video import decode_avi
+
+    data = _mk_avi_mjpeg(n_frames=6)
+    w, h, fps, n, frames = decode_avi(data, max_frames=4)
+    assert (w, h, n) == (16, 16, 6) and abs(fps - 10.0) < 1e-6
+    # 4 evenly-spaced samples of 6 frames: indices {0, 1, 3, 5}
+    assert len(frames) == 4
+    lumas = [px[0] for (_, _, _, px) in frames]
+    assert lumas == sorted(lumas)  # brightness ramp preserved in order
+
+
+def test_avi_rgb_dib_frames():
+    import struct
+
+    import numpy as np
+
+    from kgap_spark.functions.video import decode_avi, encode_avi
+
+    w, h = 5, 3  # stride 5*3=15 → padded to 16
+    stride = (w * 3 + 3) & ~3
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 0, 0)   # top-left red
+    rgb[2, 4] = (0, 0, 255)   # bottom-right blue
+    dib = np.zeros((h, stride), dtype=np.uint8)
+    dib[:, :w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = encode_avi([dib.tobytes()], w, h, codec="RGB", fps=5)
+    _, _, fps, n, frames = decode_avi(data)
+    assert n == 1 and abs(fps - 5.0) < 1e-6
+    fw, fh, ch, px = frames[0]
+    out = np.frombuffer(px, dtype=np.uint8).reshape(fh, fw, ch)
+    assert tuple(out[0, 0]) == (255, 0, 0)
+    assert tuple(out[2, 4]) == (0, 0, 255)
+
+
+def test_avi_malformed_raises_valueerror():
+    import pytest
+
+    from kgap_spark.functions.video import decode_avi, encode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no streams
+    # unsupported codec fourcc raises with the codec named
+    bad = encode_avi([b"xxxx"], 4, 4, codec="H264")
+    with pytest.raises(ValueError, match="H264"):
+        decode_avi(bad)
+
+
+def test_avi_through_multimodal_features():
+    from kgap_spark.functions.multimodal import _decode_audio, _decode_video
+
+    feats = _decode_video(_mk_avi_mjpeg())
+    assert feats is not None and len(feats) == 16
+    assert abs(feats[2] - 10.0 / 60.0) < 1e-6  # fps slot
+    # luma ramp: temporal std is non-zero
+    assert feats[5] > 0.05
+    # corrupt AVI isolates to NULL; WAV payload routed to audio decoder
+    # does not leak into the video branch (falls through to image/fake)
+    assert _decode_video(b"RIFF\x08\x00\x00\x00AVI xxxx") is None
+    assert isinstance(_decode_video(b"\x00notavideo"), list)
+    # audio decoder no longer swallows AVI payloads as WAV
+    assert isinstance(_decode_audio(b"RIFF\x08\x00\x00\x00AVI xxxx"), list)
+
+
+def test_avi_features_distributed(spark):
+    from kgap_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = [
+        ("v1", "video", "video/x-msvideo", bytearray(_mk_avi_mjpeg()), {}),
+        ("v2", "video", "video/mp4", bytearray(b"\x00mp4-ish"), {}),
+    ]
+    out = {r["media_id"]: r["features"]
+           for r in extract_features(
+               spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert len(out["v1"]) == 16 and abs(out["v1"][2] - 10.0 / 60.0) < 1e-6
+    assert len(out["v2"]) == 16  # deterministic fake path
