@@ -214,9 +214,19 @@ def _decode_image(payload: bytes) -> list[float] | None:
             return _image_features(*decode_gif(data))
         except Exception:
             return None
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from kgap_spark.functions.webp import decode_webp
+
+        try:
+            return _image_features(*decode_webp(data))
+        except NotImplementedError:
+            pass  # lossy VP8 → the env-limited stub path below
+        except Exception:
+            return None
     if not KGAP_FAKE_DECODE:  # pragma: no cover
         raise NotImplementedError(
-            "non-PNG/JPEG/GIF image decode requires PIL — not in this image"
+            "non-PNG/JPEG/GIF/VP8L image decode requires PIL — not in "
+            "this image"
         )
     digest = hashlib.sha256(data).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]

@@ -1330,3 +1330,519 @@ def test_avi_features_distributed(spark):
                spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
     assert len(out["v1"]) == 16 and abs(out["v1"][2] - 10.0 / 60.0) < 1e-6
     assert len(out["v2"]) == 16  # deterministic fake path
+
+
+# ---------------------------------------------------------------------------
+# WebP VP8L: test-side encoder (spec-direct, independent of the decoder:
+# own bit/huffman writer, own predictor/color-transform math) + round-trips
+
+
+class _VP8LWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def bits(self, value, nbits):  # LSB-first stream order
+        for i in range(nbits):
+            self.cur |= ((value >> i) & 1) << self.n
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.n = 0
+
+    def code(self, code, length):  # prefix codes are walked MSB-first
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def payload(self):
+        return bytes(self.out) + (bytes((self.cur,)) if self.n else b"")
+
+
+def _vp8l_hlengths(freq):
+    import heapq
+
+    items = sorted((f, s) for s, f in freq.items() if f > 0)
+    if not items:
+        return {}
+    if len(items) == 1:
+        return {items[0][1]: 1}
+    lengths = {s: 0 for _, s in items}
+    heap = [(f, i, [s]) for i, (f, s) in enumerate(items)]
+    heapq.heapify(heap)
+    tie = len(heap)
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, tie, g1 + g2))
+        tie += 1
+    assert max(lengths.values()) <= 15
+    return lengths
+
+
+def _vp8l_canon(lengths):
+    used = sorted((l, s) for s, l in lengths.items() if l)
+    codes = {}
+    code = 0
+    prev = used[0][0]
+    for l, s in used:
+        code <<= l - prev
+        prev = l
+        codes[s] = (code, l)
+        code += 1
+    return codes
+
+
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                   13, 14, 15)
+
+
+def _vp8l_emit_code(bw, lengths_list, alphabet_size):
+    from collections import Counter
+
+    used = [(s, l) for s, l in enumerate(lengths_list) if l]
+    assert used
+    if len(used) <= 2 and all(s < 256 for s, _ in used):
+        bw.bits(1, 1)  # simple code
+        bw.bits(len(used) - 1, 1)
+        s0 = used[0][0]
+        if s0 >= 2:
+            bw.bits(1, 1)
+            bw.bits(s0, 8)
+        else:
+            bw.bits(0, 1)
+            bw.bits(s0, 1)
+        if len(used) == 2:
+            bw.bits(used[1][0], 8)
+        return
+    bw.bits(0, 1)  # normal code: clc over the 19-symbol alphabet, no RLE
+    clc_map = _vp8l_hlengths(Counter(lengths_list))
+    assert max(clc_map.values()) <= 7
+    clc_list = [clc_map.get(v, 0) for v in range(19)]
+    num_clc = max(
+        max((i for i in range(19) if clc_list[_VP8L_CLC_ORDER[i]]),
+            default=0) + 1, 4)
+    bw.bits(num_clc - 4, 4)
+    for i in range(num_clc):
+        bw.bits(clc_list[_VP8L_CLC_ORDER[i]], 3)
+    bw.bits(0, 1)  # lengths for the whole alphabet (no max_symbol)
+    ccodes = _vp8l_canon(clc_map) if len(clc_map) > 1 else None
+    if ccodes:
+        for v in lengths_list:
+            c, l = ccodes[v]
+            bw.code(c, l)
+
+
+def _t_prefix(v):
+    """Inverse of the LZ77 prefix decode: value -> (prefix, extra, nbits)."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    eb = x.bit_length() - 2
+    lb = (x >> eb) - 2
+    return 2 * eb + 2 + lb, x - ((2 + lb) << eb), eb
+
+
+def _t_cache_slot(px, cache_bits):
+    return ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _vp8l_entropy_image(bw, pixels, is_main, cache_bits=0, lz77=False):
+    from collections import Counter
+
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    if is_main:
+        bw.bits(0, 1)  # single prefix group (no meta image)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    tokens = []
+    i, n = 0, len(pixels)
+    while i < n:
+        p = pixels[i]
+        if cache is not None and cache[_t_cache_slot(p, cache_bits)] == p:
+            tokens.append(("cache", _t_cache_slot(p, cache_bits)))
+            i += 1
+            continue
+        if lz77 and i and pixels[i - 1] == p:
+            run = 0
+            while i + run < n and pixels[i + run] == p:
+                run += 1
+            tokens.append(("copy", run, 1))
+            if cache is not None:
+                cache[_t_cache_slot(p, cache_bits)] = p
+            i += run
+            continue
+        tokens.append(("lit", p))
+        if cache is not None:
+            cache[_t_cache_slot(p, cache_bits)] = p
+        i += 1
+    gfreq, rfreq, bfreq, afreq, dfreq = (Counter() for _ in range(5))
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            gfreq[(p >> 8) & 0xFF] += 1
+            rfreq[(p >> 16) & 0xFF] += 1
+            bfreq[p & 0xFF] += 1
+            afreq[p >> 24] += 1
+        elif t[0] == "copy":
+            gfreq[256 + _t_prefix(t[1])[0]] += 1
+            dfreq[_t_prefix(t[2] + 120)[0]] += 1
+        else:
+            gfreq[280 + t[1]] += 1
+    for fr in (rfreq, bfreq, afreq, dfreq):
+        if not fr:
+            fr[0] = 1  # unused code: 1-symbol simple code, zero bits/use
+    cache_syms = (1 << cache_bits) if cache_bits else 0
+    cmaps = []
+    for fr, asize in ((gfreq, 280 + cache_syms), (rfreq, 256), (bfreq, 256),
+                      (afreq, 256), (dfreq, 40)):
+        lmap = _vp8l_hlengths(fr)
+        _vp8l_emit_code(bw, [lmap.get(s, 0) for s in range(asize)], asize)
+        cmaps.append(_vp8l_canon(lmap) if len(lmap) > 1 else None)
+    gc, rc, bc, ac, dc = cmaps
+
+    def emit(cmap, s):
+        if cmap:
+            c, l = cmap[s]
+            bw.code(c, l)
+
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            emit(gc, (p >> 8) & 0xFF)
+            emit(rc, (p >> 16) & 0xFF)
+            emit(bc, p & 0xFF)
+            emit(ac, p >> 24)
+        elif t[0] == "copy":
+            pl, ex, eb = _t_prefix(t[1])
+            emit(gc, 256 + pl)
+            bw.bits(ex, eb)
+            dl, dex, deb = _t_prefix(t[2] + 120)
+            emit(dc, dl)
+            bw.bits(dex, deb)
+        else:
+            emit(gc, 280 + t[1])
+
+
+def _t_chans(p):
+    return [(p >> s) & 0xFF for s in (24, 16, 8, 0)]
+
+
+def _t_pack(c):
+    return (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
+
+
+def _t_avg2(a, b):
+    return _t_pack([(x + y) // 2 for x, y in zip(_t_chans(a), _t_chans(b))])
+
+
+def _t_predict(mode, l, t, tr, tl):
+    """Independent predictor reimplementation from the spec text."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _t_avg2(_t_avg2(l, tr), t)
+    if mode == 6:
+        return _t_avg2(l, tl)
+    if mode == 7:
+        return _t_avg2(l, t)
+    if mode == 8:
+        return _t_avg2(tl, t)
+    if mode == 9:
+        return _t_avg2(t, tr)
+    if mode == 10:
+        return _t_avg2(_t_avg2(l, tl), _t_avg2(t, tr))
+    if mode == 11:
+        p_l = sum(abs(x - y) for x, y in zip(_t_chans(t), _t_chans(tl)))
+        p_t = sum(abs(x - y) for x, y in zip(_t_chans(l), _t_chans(tl)))
+        return l if p_l < p_t else t
+    if mode == 12:
+        return _t_pack([max(0, min(255, lc + tc - tlc)) for lc, tc, tlc in
+                        zip(_t_chans(l), _t_chans(t), _t_chans(tl))])
+    a = [(lc + tc) // 2 for lc, tc in zip(_t_chans(l), _t_chans(t))]
+    out = []
+    for ac, tlc in zip(a, _t_chans(tl)):
+        d = ac - tlc
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out.append(max(0, min(255, ac + half)))
+    return _t_pack(out)
+
+
+def _t_sub_mod(a, b):
+    return _t_pack([(x - y) % 256 for x, y in zip(_t_chans(a), _t_chans(b))])
+
+
+def _t_s8(v):
+    return v - 256 if v >= 128 else v
+
+
+def _t_delta(t, c):
+    return (_t_s8(t) * _t_s8(c)) >> 5
+
+
+def _encode_vp8l(rgba, w, h, subtract_green=False, cache_bits=0, lz77=False,
+                 palette=False, predictor_mode=None, color_cte=None):
+    px = [(a << 24) | (r << 16) | (g << 8) | b for r, g, b, a in rgba]
+    bw = _VP8LWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1, 1)  # alpha hint
+    bw.bits(0, 3)  # version
+    cur_w = w
+    if subtract_green:
+        bw.bits(1, 1)
+        bw.bits(2, 2)
+        px = [(p & 0xFF00FF00)
+              | ((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) % 256) << 16
+              | ((p & 0xFF) - ((p >> 8) & 0xFF)) % 256 for p in px]
+    if color_cte is not None:
+        g2r, g2b, r2b = color_cte
+        bw.bits(1, 1)
+        bw.bits(1, 2)
+        bits = 2
+        bw.bits(bits - 2, 3)
+        sw, sh = (cur_w + 3) >> 2, (h + 3) >> 2
+        cte_px = (0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8)
+                  | (g2r & 0xFF))
+        _vp8l_entropy_image(bw, [cte_px] * (sw * sh), is_main=False)
+        out = []
+        for p in px:
+            _a, r, g, b = _t_chans(p)
+            tr_ = (r - _t_delta(g2r & 0xFF, g)) % 256
+            tb = (b - _t_delta(g2b & 0xFF, g) - _t_delta(r2b & 0xFF, r)) % 256
+            out.append((p & 0xFF00FF00) | (tr_ << 16) | tb)
+        px = out
+    if predictor_mode is not None:
+        bw.bits(1, 1)
+        bw.bits(0, 2)
+        bits = 2  # 4x4 blocks
+        bw.bits(bits - 2, 3)
+        sw, sh = (cur_w + 3) >> 2, (h + 3) >> 2
+        _vp8l_entropy_image(bw, [0xFF000000 | (predictor_mode << 8)] * (sw * sh),
+                            is_main=False)
+        res = [0] * (cur_w * h)
+        for pos in range(cur_w * h):
+            x, y = pos % cur_w, pos // cur_w
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[pos - 1]
+            elif x == 0:
+                pred = px[pos - cur_w]
+            else:
+                pred = _t_predict(predictor_mode, px[pos - 1], px[pos - cur_w],
+                                  px[pos - cur_w + 1], px[pos - cur_w - 1])
+            res[pos] = _t_sub_mod(px[pos], pred)
+        px = res
+    if palette:
+        pal = []
+        seen = {}
+        for p in px:
+            if p not in seen:
+                seen[p] = len(pal)
+                pal.append(p)
+        n = len(pal)
+        assert n <= 256
+        bw.bits(1, 1)
+        bw.bits(3, 2)
+        bw.bits(n - 1, 8)
+        deltas = [pal[0]] + [_t_sub_mod(pal[i], pal[i - 1])
+                             for i in range(1, n)]
+        _vp8l_entropy_image(bw, deltas, is_main=False)
+        wb = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        idx = [seen[p] for p in px]
+        if wb == 0:
+            px = [0xFF000000 | (i << 8) for i in idx]
+            # width unchanged
+        else:
+            per = 8 >> wb
+            packed_w = (cur_w + (1 << wb) - 1) >> wb
+            rows = []
+            for y in range(h):
+                row = idx[y * cur_w:(y + 1) * cur_w]
+                for px_x in range(packed_w):
+                    byte = 0
+                    for k in range(1 << wb):
+                        x = (px_x << wb) + k
+                        if x < cur_w:
+                            byte |= row[x] << (k * per)
+                    rows.append(0xFF000000 | (byte << 8))
+            px = rows
+            cur_w = packed_w
+    bw.bits(0, 1)  # end of transforms
+    _vp8l_entropy_image(bw, px, is_main=True, cache_bits=cache_bits,
+                        lz77=lz77)
+    return b"\x2f" + bw.payload()
+
+
+def _wrap_webp(payload, vp8x=False, tag=b"VP8L"):
+    import struct as st
+
+    chunks = b""
+    if vp8x:
+        chunks += b"VP8X" + st.pack("<I", 10) + bytes(10)
+    chunks += tag + st.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    riff = b"WEBP" + chunks
+    return b"RIFF" + st.pack("<I", len(riff)) + riff
+
+
+def _encode_webp(rgba, w, h, **kw):
+    return _wrap_webp(_encode_vp8l(rgba, w, h, **kw))
+
+
+def _grad_rgba(w, h):
+    return [((x * 7 + y * 13) % 256, (x * 3 + 11 * y) % 256, (y * 5 + x) % 256,
+             255 if (x + y) % 3 else 128)
+            for y in range(h) for x in range(w)]
+
+
+def _rgba_bytes(rgba):
+    return bytes(b for p in rgba for b in p)
+
+
+def test_vp8l_literal_roundtrip():
+    from kgap_spark.functions.webp import decode_webp
+
+    rgba = _grad_rgba(13, 9)
+    w, h, ch, pix = decode_webp(_encode_webp(rgba, 13, 9))
+    assert (w, h, ch) == (13, 9, 4)
+    assert pix == _rgba_bytes(rgba)
+
+
+def test_vp8l_simple_codes():
+    from kgap_spark.functions.webp import decode_webp
+
+    # 1 color -> every code single-symbol (zero data bits)
+    one = [(10, 20, 30, 255)] * 12
+    assert decode_webp(_encode_webp(one, 4, 3))[3] == _rgba_bytes(one)
+    # 2 colors -> 2-symbol simple codes
+    two = [(0, 0, 0, 255) if i % 2 else (200, 100, 50, 255)
+           for i in range(20)]
+    assert decode_webp(_encode_webp(two, 5, 4))[3] == _rgba_bytes(two)
+
+
+def test_vp8l_subtract_green():
+    from kgap_spark.functions.webp import decode_webp
+
+    rgba = _grad_rgba(8, 8)
+    got = decode_webp(_encode_webp(rgba, 8, 8, subtract_green=True))
+    assert got[3] == _rgba_bytes(rgba)
+
+
+def test_vp8l_palette_bundled():
+    from kgap_spark.functions.webp import decode_webp
+
+    pal = [(255, 0, 0, 255), (0, 255, 0, 255), (0, 0, 255, 128)]
+    rgba = [pal[(x + y) % 3] for y in range(7) for x in range(11)]
+    got = decode_webp(_encode_webp(rgba, 11, 7, palette=True))
+    assert got[:3] == (11, 7, 4)
+    assert got[3] == _rgba_bytes(rgba)
+    # 2-color palette: 8 pixels per packed byte
+    rgba2 = [pal[(x * y) % 2] for y in range(5) for x in range(19)]
+    assert decode_webp(_encode_webp(rgba2, 19, 5,
+                                    palette=True))[3] == _rgba_bytes(rgba2)
+
+
+def test_vp8l_palette_unbundled():
+    from kgap_spark.functions.webp import decode_webp
+
+    colors = [(i * 3 % 256, i * 7 % 256, i * 11 % 256, 255)
+              for i in range(20)]
+    rgba = [colors[(x * 13 + y * 5) % 20] for y in range(6) for x in range(9)]
+    assert decode_webp(_encode_webp(rgba, 9, 6,
+                                    palette=True))[3] == _rgba_bytes(rgba)
+
+
+def test_vp8l_cache_and_lz77():
+    from kgap_spark.functions.webp import decode_webp
+
+    rgba = []
+    for y in range(10):
+        run = [(y * 20 % 256, 50, 200 - y * 10 % 200, 255)] * 12
+        rgba.extend(run)
+        rgba.extend([(5, 5, 5, 255), (y * 20 % 256, 50, 200 - y * 10 % 200,
+                                      255)] * 2)
+    w, h = 16, 10
+    data = _encode_webp(rgba, w, h, cache_bits=4, lz77=True)
+    assert decode_webp(data)[3] == _rgba_bytes(rgba)
+    # and lz77 without cache
+    data2 = _encode_webp(rgba, w, h, lz77=True)
+    assert decode_webp(data2)[3] == _rgba_bytes(rgba)
+
+
+def test_vp8l_predictor_modes():
+    from kgap_spark.functions.webp import decode_webp
+
+    rgba = _grad_rgba(11, 10)
+    for mode in (0, 1, 2, 3, 4, 5, 7, 10, 11, 12, 13):
+        got = decode_webp(_encode_webp(rgba, 11, 10, predictor_mode=mode))
+        assert got[3] == _rgba_bytes(rgba), f"predictor mode {mode}"
+
+
+def test_vp8l_color_transform():
+    from kgap_spark.functions.webp import decode_webp
+
+    rgba = _grad_rgba(9, 7)
+    for cte in ((32, 224, 16), (0, 0, 0), (255, 1, 128)):
+        got = decode_webp(_encode_webp(rgba, 9, 7, color_cte=cte))
+        assert got[3] == _rgba_bytes(rgba), f"cte {cte}"
+
+
+def test_vp8l_transform_combo():
+    from kgap_spark.functions.webp import decode_webp
+
+    rgba = _grad_rgba(12, 5)
+    data = _encode_webp(rgba, 12, 5, subtract_green=True, predictor_mode=7,
+                        cache_bits=3, lz77=True)
+    assert decode_webp(data)[3] == _rgba_bytes(rgba)
+
+
+def test_vp8l_vp8x_container_and_errors():
+    import pytest
+
+    from kgap_spark.functions.webp import decode_webp
+
+    rgba = _grad_rgba(4, 4)
+    payload = _encode_vp8l(rgba, 4, 4)
+    assert decode_webp(_wrap_webp(payload, vp8x=True))[3] == _rgba_bytes(rgba)
+    with pytest.raises(NotImplementedError):
+        decode_webp(_wrap_webp(b"\x00" * 10, tag=b"VP8 "))
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_webp(_wrap_webp(b"\x00" + payload[1:]))  # bad signature
+    with pytest.raises(ValueError):
+        decode_webp(_wrap_webp(payload[:8]))  # truncated stream
+    # version != 0: flip the 3 version bits (bits 29-31 after signature)
+    bad = bytearray(payload)
+    bad[4] |= 0xE0
+    with pytest.raises(ValueError):
+        decode_webp(_wrap_webp(bytes(bad)))
+
+
+def test_webp_through_multimodal_features():
+    from kgap_spark.functions.multimodal import _decode_image
+
+    feats = _decode_image(_encode_webp(_grad_rgba(16, 12), 16, 12))
+    assert feats is not None and len(feats) == 16
+    assert feats[0] == 16.0 / 4096 and feats[1] == 12.0 / 4096
+    # corrupt VP8L isolates to NULL; lossy VP8 falls to deterministic fake
+    assert _decode_image(_wrap_webp(b"\x2f\x00")) is None
+    lossy = _decode_image(_wrap_webp(b"\x00" * 10, tag=b"VP8 "))
+    assert isinstance(lossy, list) and len(lossy) == 16
