@@ -842,11 +842,6 @@ class _Parser:
             self.next()
             pred = self.negated_property_set()
             mod = self.path_mod()
-            if mod is not None and isinstance(pred, PathNegMixed):
-                raise ValueError(
-                    "modified negated set with inverse members "
-                    "!(p|^q)+/*/? not supported"
-                )
             return (pred, mod, inv)
         if t and t.kind == "OP" and t.text == "(":
             self.next()
@@ -993,10 +988,12 @@ class _Parser:
                     cur = tgt
                 node = nxt
                 continue
-            if isinstance(pred, PathNegMixed):
+            if isinstance(pred, PathNegMixed) and mod is None:
                 # !(p1|^p2) = forward-NPS ∪ inverse-NPS (§9.1): two
                 # UNION arms sharing the endpoints (just the reversed
-                # triple when the forward set is empty)
+                # triple when the forward set is empty). Under +/*/?
+                # the wrap below closes over the mixed edge relation
+                # (_edge_rel's PathNegMixed branch) instead.
                 rev_triple = (dst, PathNeg(pred.rev), src)
                 if not pred.fwd:
                     g.triples.append(rev_triple)
@@ -1812,6 +1809,21 @@ def _edge_rel(triples: DataFrame, pred,
     if graph_var:
         t = t.filter(F.col("graph").isNotNull())
         gsel = [F.col("graph").alias(graph_var)]
+    if isinstance(pred, PathNegMixed):
+        # !(p1|^p2) as a closure edge: forward-NPS edges (pred not in
+        # the forward excluded set) ∪ SWAPPED inverse-NPS edges (§9.1
+        # union rewrite) — a mixed set under +/*/? walks both
+        # directions each hop. No forward arm when every member is
+        # inverse (!(^p) is pure ^!(p)).
+        rev_arm = t.filter(~F.col("pred").isin(*pred.rev)).select(
+            F.col("obj").alias(_PA), F.col("subj").alias(_PB), *gsel
+        )
+        if not pred.fwd:
+            return rev_arm.distinct()
+        fwd_arm = t.filter(~F.col("pred").isin(*pred.fwd)).select(
+            F.col("subj").alias(_PA), F.col("obj").alias(_PB), *gsel
+        )
+        return fwd_arm.unionByName(rev_arm).distinct()
     if not isinstance(pred, PathSeq):
         return t.filter(_pred_cond(pred)).select(
             F.col("subj").alias(_PA), F.col("obj").alias(_PB), *gsel

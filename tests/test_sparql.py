@@ -2115,9 +2115,36 @@ def test_modified_negated_property_set(alt_kb):
     df = execute_sparql(alt_kb, "SELECT ?o WHERE { <a> !<q>+ ?o }")
     # from a: p1→m (then p2→c), p3→d, r→a2 (then r→a3); q excluded
     assert _vals(df) == [("a2",), ("a3",), ("c",), ("d",), ("m",)]
-    # inverse-member mixed sets under a modifier stay a loud reject
-    with pytest.raises(ValueError, match="inverse members"):
-        parse_sparql("SELECT ?o WHERE { <a> !(<p>|^<q>)+ ?o }")
+
+
+def test_modified_mixed_negated_property_set(spark):
+    """!(p|^q)+ — closure over the §9.1 union edge relation: forward
+    edges whose predicate avoids the forward set ∪ swapped edges
+    whose predicate avoids the inverse set (round 6: was the last
+    modified-NPS loud reject)."""
+    rows = [
+        ("urn:a", "ex:r", "urn:b", None, None, "urn:g", None),
+        ("urn:b", "ex:p", "urn:c", None, None, "urn:g", None),
+        ("urn:c", "ex:q", "urn:d", None, None, "urn:g", None),
+        ("urn:d", "ex:s", "urn:b", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    # edges: a→b (r fwd), b→a (r inv), c→b (p inv), c→d (q fwd),
+    # d→b (s fwd), b→d (s inv); from a: b, then a (cycle) and d
+    df = execute_sparql(t, """
+        SELECT ?x WHERE { <urn:a> !(ex:p|^ex:q)+ ?x } ORDER BY ?x
+    """)
+    assert [r.x for r in df.collect()] == ["urn:a", "urn:b", "urn:d"]
+    # ? form: zero-length start plus the one-hop mixed edges
+    df2 = execute_sparql(t, """
+        SELECT ?x WHERE { <urn:c> !(ex:p|^ex:q)? ?x } ORDER BY ?x
+    """)
+    assert [r.x for r in df2.collect()] == ["urn:b", "urn:c", "urn:d"]
+    # inverse-only member set under a closure: swapped edges only
+    df3 = execute_sparql(t, """
+        SELECT ?x WHERE { <urn:c> !(^ex:q)+ ?x } ORDER BY ?x
+    """)
+    assert [r.x for r in df3.collect()] == ["urn:a", "urn:b", "urn:d"]
 
 
 def test_string_literal_quote_forms(alt_kb):
