@@ -240,6 +240,14 @@ def _decode_audio(payload: bytes) -> list[float] | None:
     under ``KGAP_FAKE_DECODE`` — soundfile/torchaudio aren't in this
     container."""
     data = payload or b""
+    if data[:4] == b"fLaC":
+        from kgap_spark.functions.audio import audio_features
+        from kgap_spark.functions.flac import decode_flac
+
+        try:
+            return audio_features(*decode_flac(data), dim=FEATURE_DIM)
+        except Exception:
+            return None
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         from kgap_spark.functions.audio import audio_features, decode_wav
 

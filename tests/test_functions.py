@@ -1846,3 +1846,305 @@ def test_webp_through_multimodal_features():
     assert _decode_image(_wrap_webp(b"\x2f\x00")) is None
     lossy = _decode_image(_wrap_webp(b"\x00" * 10, tag=b"VP8 "))
     assert isinstance(lossy, list) and len(lossy) == 16
+
+
+# ---------------------------------------------------------------------------
+# FLAC: test-side encoder (spec-direct, independent MSB-first writer,
+# own Rice/fixed/LPC/stereo math) + round-trips
+
+
+class _FlacWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def bits(self, v, n):  # MSB-first
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.n = 0
+
+    def signed(self, v, n):
+        self.bits(v & ((1 << n) - 1), n)
+
+    def unary(self, q):  # q zeros then a terminating 1
+        self.bits(1, q + 1)
+
+    def align(self):
+        while self.n:
+            self.bits(0, 1)
+
+    def data(self):
+        assert self.n == 0
+        return bytes(self.out)
+
+
+def _f_crc8(data):
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _f_zigzag(v):
+    return (v << 1) if v >= 0 else ((-v << 1) - 1)
+
+
+def _f_rice(bw, residuals, order, blocksize, param, part_order=0,
+            escape_nbits=None):
+    bw.bits(0, 2)  # 4-bit rice method
+    bw.bits(part_order, 4)
+    idx = 0
+    for part in range(1 << part_order):
+        count = (blocksize >> part_order) - (order if part == 0 else 0)
+        if escape_nbits is not None and part == 0:
+            bw.bits(15, 4)  # escape
+            bw.bits(escape_nbits, 5)
+            for _ in range(count):
+                bw.signed(residuals[idx], escape_nbits)
+                idx += 1
+        else:
+            bw.bits(param, 4)
+            for _ in range(count):
+                u = _f_zigzag(residuals[idx])
+                bw.unary(u >> param)
+                bw.bits(u & ((1 << param) - 1), param)
+                idx += 1
+
+
+def _f_subframe(bw, samples, bps, kind, wasted=0):
+    bw.bits(0, 1)
+    if wasted:
+        samples = [s >> wasted for s in samples]
+        bps -= wasted
+    n = len(samples)
+    if kind == "constant":
+        bw.bits(0, 6)
+    elif kind == "verbatim":
+        bw.bits(1, 6)
+    elif kind == "fixed0_escape":
+        bw.bits(8, 6)  # fixed order 0
+    elif kind.startswith("fixed"):
+        order = int(kind[-1])
+        bw.bits(8 + order, 6)
+    else:  # lpc2
+        order = 2
+        bw.bits(32 + order - 1, 6)
+    if wasted:
+        bw.bits(1, 1)
+        bw.unary(wasted - 1)
+    else:
+        bw.bits(0, 1)
+    if kind == "constant":
+        assert all(s == samples[0] for s in samples)
+        bw.signed(samples[0], bps)
+        return
+    if kind == "verbatim":
+        for s in samples:
+            bw.signed(s, bps)
+        return
+    if kind == "fixed1":
+        for s in samples[:1]:
+            bw.signed(s, bps)
+        res = [samples[i] - samples[i - 1] for i in range(1, n)]
+        _f_rice(bw, res, 1, n, param=3)
+    elif kind == "fixed2":
+        for s in samples[:2]:
+            bw.signed(s, bps)
+        res = [samples[i] - 2 * samples[i - 1] + samples[i - 2]
+               for i in range(2, n)]
+        _f_rice(bw, res, 2, n, param=3, part_order=1)
+    elif kind == "fixed0_escape":
+        _f_rice(bw, samples, 0, n, param=0, part_order=0,
+                escape_nbits=bps)
+    else:  # lpc2: coefficients (2, -1) at shift 1 -> pred = s[i-1]
+        for s in samples[:2]:
+            bw.signed(s, bps)
+        bw.bits(4, 4)  # precision-1 -> 5 bits
+        bw.signed(1, 5)  # shift 1
+        bw.signed(2, 5)  # c0 (applies to s[i-1])
+        bw.signed(0, 5)  # c1
+        res = [samples[i] - ((2 * samples[i - 1]) >> 1)
+               for i in range(2, n)]
+        _f_rice(bw, res, 2, n, param=3)
+
+
+def _encode_flac(sr, chans, bps=16, blocksize=64, kind="verbatim",
+                 stereo=None, wasted=0, total_override=None):
+    """chans: per-channel int sample lists. stereo: None | 'left_side'
+    | 'right_side' | 'mid_side' (2-channel only)."""
+    import struct as st
+
+    n_total = len(chans[0])
+    out = bytearray(b"fLaC")
+    info = _FlacWriter()
+    info.bits(blocksize, 16)
+    info.bits(blocksize, 16)
+    info.bits(0, 24)
+    info.bits(0, 24)
+    info.bits(sr, 20)
+    info.bits(len(chans) - 1, 3)
+    info.bits(bps - 1, 5)
+    info.bits(n_total if total_override is None else total_override, 36)
+    body = info.data() + bytes(16)  # zero MD5
+    out += bytes((0x80,)) + st.pack(">I", len(body))[1:] + body
+    frame_no = 0
+    for start in range(0, n_total, blocksize):
+        bsz = min(blocksize, n_total - start)
+        hdr = _FlacWriter()
+        hdr.bits(0x3FFE, 14)
+        hdr.bits(0, 1)
+        hdr.bits(0, 1)  # fixed blocking
+        hdr.bits(7, 4)  # 16-bit blocksize-1 follows
+        hdr.bits(0, 4)  # sample rate from STREAMINFO
+        if stereo is None:
+            hdr.bits(len(chans) - 1, 4)
+        else:
+            hdr.bits({"left_side": 8, "right_side": 9,
+                      "mid_side": 10}[stereo], 4)
+        hdr.bits(0, 3)  # sample size from STREAMINFO
+        hdr.bits(0, 1)
+        assert frame_no < 128
+        hdr.bits(frame_no, 8)  # coded number, single byte
+        hdr.bits(bsz - 1, 16)
+        hbytes = hdr.data()
+        bw = _FlacWriter()
+        for b in hbytes:
+            bw.bits(b, 8)
+        bw.bits(_f_crc8(hbytes), 8)
+        segs = [c[start:start + bsz] for c in chans]
+        if stereo is None:
+            for seg in segs:
+                _f_subframe(bw, seg, bps, kind, wasted=wasted)
+        else:
+            left, right = segs
+            side = [l - r for l, r in zip(left, right)]
+            if stereo == "left_side":
+                _f_subframe(bw, left, bps, kind)
+                _f_subframe(bw, side, bps + 1, kind)
+            elif stereo == "right_side":
+                _f_subframe(bw, side, bps + 1, kind)
+                _f_subframe(bw, right, bps, kind)
+            else:
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                _f_subframe(bw, mid, bps, kind)
+                _f_subframe(bw, side, bps + 1, kind)
+        bw.align()
+        bw.bits(0, 16)  # footer CRC-16 (decoder does not validate)
+        out += bw.data()
+        frame_no += 1
+    return bytes(out)
+
+
+def _f_ints(arr, bps):
+    import numpy as np
+
+    return np.rint(arr * float(1 << (bps - 1))).astype(int)
+
+
+def test_flac_constant_and_verbatim():
+    import numpy as np
+
+    from kgap_spark.functions.flac import decode_flac
+
+    const = [-123] * 96
+    sr, ch, arr = decode_flac(_encode_flac(8000, [const], kind="constant"))
+    assert (sr, ch) == (8000, 1)
+    assert np.array_equal(_f_ints(arr[:, 0], 16), const)
+    samples = [((i * 37) % 1024) - 512 for i in range(200)]
+    sr, ch, arr = decode_flac(_encode_flac(44100, [samples],
+                                           kind="verbatim"))
+    assert np.array_equal(_f_ints(arr[:, 0], 16), samples)
+
+
+def test_flac_fixed_and_lpc_predictors():
+    import numpy as np
+
+    from kgap_spark.functions.flac import decode_flac
+
+    samples = [int(100 * (i % 17)) - 800 + (i // 3) for i in range(256)]
+    for kind in ("fixed1", "fixed2", "lpc2"):
+        sr, ch, arr = decode_flac(
+            _encode_flac(16000, [samples], kind=kind, blocksize=64))
+        assert np.array_equal(_f_ints(arr[:, 0], 16), samples), kind
+
+
+def test_flac_escape_partition_and_wasted_bits():
+    import numpy as np
+
+    from kgap_spark.functions.flac import decode_flac
+
+    samples = [((i * 13) % 200) - 100 for i in range(128)]
+    sr, ch, arr = decode_flac(
+        _encode_flac(8000, [samples], kind="fixed0_escape"))
+    assert np.array_equal(_f_ints(arr[:, 0], 16), samples)
+    shifted = [s * 4 for s in samples]  # 2 wasted bits
+    sr, ch, arr = decode_flac(
+        _encode_flac(8000, [shifted], kind="verbatim", wasted=2))
+    assert np.array_equal(_f_ints(arr[:, 0], 16), shifted)
+
+
+def test_flac_stereo_decorrelation():
+    import numpy as np
+
+    from kgap_spark.functions.flac import decode_flac
+
+    left = [((i * 31) % 500) - 250 for i in range(192)]
+    right = [((i * 7) % 300) - 150 + (1 if i % 2 else 0)
+             for i in range(192)]
+    for mode in ("left_side", "right_side", "mid_side"):
+        sr, ch, arr = decode_flac(
+            _encode_flac(22050, [left, right], stereo=mode, kind="verbatim"))
+        assert ch == 2
+        assert np.array_equal(_f_ints(arr[:, 0], 16), left), mode
+        assert np.array_equal(_f_ints(arr[:, 1], 16), right), mode
+
+
+def test_flac_multichannel_and_rates():
+    import numpy as np
+
+    from kgap_spark.functions.flac import decode_flac
+
+    chans = [[(i * k) % 256 - 128 for i in range(96)] for k in (3, 5, 7)]
+    sr, ch, arr = decode_flac(_encode_flac(48000, chans, kind="verbatim"))
+    assert (sr, ch) == (48000, 3)
+    for k in range(3):
+        assert np.array_equal(_f_ints(arr[:, k], 16), chans[k])
+
+
+def test_flac_malformed():
+    import pytest
+
+    from kgap_spark.functions.flac import decode_flac
+
+    good = _encode_flac(8000, [[1, 2, 3, 4] * 16], kind="verbatim")
+    with pytest.raises(ValueError):
+        decode_flac(b"fLaX" + good[4:])
+    with pytest.raises(ValueError):
+        decode_flac(good[:40])  # truncated mid-stream
+    bad = bytearray(good)
+    bad[-10] ^= 0xFF  # corrupt subframe payload tail
+    # either CRC/sync failure or truncation — must raise, not garbage
+    with pytest.raises(ValueError):
+        corrupt_hdr = bytearray(good)
+        hdr_at = good.index(b"\xff\xf8")
+        corrupt_hdr[hdr_at + 2] ^= 0x40
+        decode_flac(bytes(corrupt_hdr))
+
+
+def test_flac_through_multimodal_features():
+    from kgap_spark.functions.multimodal import _decode_audio
+
+    samples = [((i * 37) % 1024) - 512 for i in range(400)]
+    feats = _decode_audio(_encode_flac(16000, [samples], kind="fixed1"))
+    assert feats is not None and len(feats) == 16
+    assert feats[1] == 16000 / 48000.0  # sample-rate slot
+    # corrupt FLAC isolates to NULL
+    assert _decode_audio(b"fLaC" + b"\x00" * 8) is None
