@@ -2148,3 +2148,206 @@ def test_flac_through_multimodal_features():
     assert feats[1] == 16000 / 48000.0  # sample-rate slot
     # corrupt FLAC isolates to NULL
     assert _decode_audio(b"fLaC" + b"\x00" * 8) is None
+
+
+# ---------------------------------------------------------------------------
+# WAV ADPCM (IMA 0x11 / Microsoft 0x02): test-side encoders that track
+# their own decoder-identical reconstruction — the round-trip asserts
+# the decoder reproduces the encoder's state machine EXACTLY
+
+
+def _wav_wrap(tag, ch, sr, block_align, bits, spb, body):
+    import struct as st
+
+    fmt = st.pack("<HHIIHHHH", tag, ch, sr, sr * block_align, block_align,
+                  bits, 2, spb)
+    chunks = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+              + b"data" + st.pack("<I", len(body)) + body)
+    return b"RIFF" + st.pack("<I", len(chunks)) + chunks
+
+
+def _ima_encode(sr, chans):
+    import struct as st
+
+    from kgap_spark.functions.audio import _IMA_INDEX, _IMA_STEPS
+
+    ch = len(chans)
+    block_align = 4 * ch + 16 * ch  # 4 nibble groups per channel
+    spb = 1 + 32
+    n = len(chans[0])
+    nblocks = (n + spb - 1) // spb
+    padded = [list(c) + [c[-1]] * (nblocks * spb - n) for c in chans]
+    body = bytearray()
+    recon = [[] for _ in range(ch)]
+    idxs = [0] * ch
+    for b in range(nblocks):
+        seg = [c[b * spb:(b + 1) * spb] for c in padded]
+        nibs = [[] for _ in range(ch)]
+        for c in range(ch):
+            pred = seg[c][0]
+            body += st.pack("<hBB", pred, idxs[c], 0)
+            recon[c].append(pred)
+            index = idxs[c]
+            for x in seg[c][1:]:
+                step = _IMA_STEPS[index]
+                d = x - pred
+                nib = 0
+                if d < 0:
+                    nib = 8
+                    d = -d
+                if d >= step:
+                    nib |= 4
+                    d -= step
+                if d >= step >> 1:
+                    nib |= 2
+                    d -= step >> 1
+                if d >= step >> 2:
+                    nib |= 1
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred += -diff if nib & 8 else diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+                nibs[c].append(nib)
+                recon[c].append(pred)
+            idxs[c] = index
+        for g in range(4):
+            for c in range(ch):
+                for k in range(4):
+                    body.append(nibs[c][g * 8 + 2 * k]
+                                | (nibs[c][g * 8 + 2 * k + 1] << 4))
+    return _wav_wrap(0x11, ch, sr, block_align, 4, spb, bytes(body)), recon
+
+
+def _ms_encode(sr, chans):
+    import struct as st
+
+    from kgap_spark.functions.audio import _MS_ADAPT
+
+    ch = len(chans)
+    datab = 32 * ch
+    spb = 2 + (2 * datab) // ch
+    block_align = 7 * ch + datab
+    n = len(chans[0])
+    nblocks = (n + spb - 1) // spb
+    padded = [list(c) + [c[-1]] * (nblocks * spb - n) for c in chans]
+    body = bytearray()
+    recon = [[] for _ in range(ch)]
+    for b in range(nblocks):
+        seg = [c[b * spb:(b + 1) * spb] for c in padded]
+        deltas = [32] * ch
+        s2 = [seg[c][0] for c in range(ch)]
+        s1 = [seg[c][1] for c in range(ch)]
+        for c in range(ch):
+            body.append(0)  # coefficient pair 0: (256, 0)
+        for vals in (deltas, s1, s2):
+            for c in range(ch):
+                body += st.pack("<h", vals[c])
+        for c in range(ch):
+            recon[c].append(s2[c])
+            recon[c].append(s1[c])
+        nibbles = []
+        pos = [2] * ch
+        for which in range((spb - 2) * ch):
+            c = which % ch
+            x = seg[c][pos[c]]
+            pos[c] += 1
+            pred = (s1[c] * 256 + s2[c] * 0) >> 8
+            s = max(-8, min(7, round((x - pred) / deltas[c])))
+            nib = s & 0xF
+            new = max(-32768, min(32767, pred + deltas[c] * s))
+            s2[c], s1[c] = s1[c], new
+            deltas[c] = max(16, (_MS_ADAPT[nib] * deltas[c]) >> 8)
+            recon[c].append(new)
+            nibbles.append(nib)
+        for k in range(0, len(nibbles), 2):
+            body.append((nibbles[k] << 4) | nibbles[k + 1])
+    return _wav_wrap(0x02, ch, sr, block_align, 4, spb, bytes(body)), recon
+
+
+def _sig(n, k, amp=3000):
+    import math
+
+    return [int(amp * math.sin(i / k)) + (i % 7) * 11 for i in range(n)]
+
+
+def test_ima_adpcm_roundtrip():
+    import numpy as np
+
+    from kgap_spark.functions.audio import decode_wav
+
+    chans = [_sig(200, 9.0)]
+    data, recon = _ima_encode(8000, chans)
+    sr, ch, arr = decode_wav(data)
+    assert (sr, ch) == (8000, 1)
+    got = np.rint(arr[:, 0] * 32768.0).astype(int)
+    assert np.array_equal(got, recon[0][:len(got)])
+    # tracks the source once the adaptive step ramps up (the first
+    # samples lag while the step index climbs from 0)
+    assert np.max(np.abs(got[50:200] - np.array(chans[0][50:]))) < 150
+
+
+def test_ima_adpcm_stereo():
+    import numpy as np
+
+    from kgap_spark.functions.audio import decode_wav
+
+    chans = [_sig(150, 7.0), _sig(150, 13.0, amp=1500)]
+    data, recon = _ima_encode(22050, chans)
+    sr, ch, arr = decode_wav(data)
+    assert (sr, ch) == (22050, 2)
+    for c in range(2):
+        got = np.rint(arr[:, c] * 32768.0).astype(int)
+        assert np.array_equal(got, recon[c][:len(got)])
+
+
+def test_ms_adpcm_roundtrip():
+    import numpy as np
+
+    from kgap_spark.functions.audio import decode_wav
+
+    for chans, sr in (([_sig(180, 11.0)], 16000),
+                      ([_sig(140, 5.0), _sig(140, 17.0, amp=800)], 44100)):
+        data, recon = _ms_encode(sr, chans)
+        got_sr, ch, arr = decode_wav(data)
+        assert (got_sr, ch) == (sr, len(chans))
+        for c in range(ch):
+            got = np.rint(arr[:, c] * 32768.0).astype(int)
+            assert np.array_equal(got, recon[c][:len(got)])
+
+
+def test_adpcm_malformed():
+    import struct as st
+
+    import pytest
+
+    from kgap_spark.functions.audio import decode_wav
+
+    data, _ = _ima_encode(8000, [_sig(50, 9.0)])
+    # corrupt the first block's step index to 200 (> 88)
+    arr = bytearray(data)
+    at = arr.index(b"data") + 8
+    arr[at + 2] = 200
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(arr))
+    # MS predictor index out of range
+    data2, _ = _ms_encode(8000, [_sig(80, 9.0)])
+    arr2 = bytearray(data2)
+    at2 = arr2.index(b"data") + 8
+    arr2[at2] = 9
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav(bytes(arr2))
+
+
+def test_adpcm_through_multimodal():
+    from kgap_spark.functions.multimodal import _decode_audio
+
+    data, _ = _ima_encode(16000, [_sig(300, 8.0)])
+    feats = _decode_audio(data)
+    assert feats is not None and len(feats) == 16
+    assert feats[1] == 16000 / 48000.0
