@@ -1897,7 +1897,7 @@ def _f_zigzag(v):
     return (v << 1) if v >= 0 else ((-v << 1) - 1)
 
 
-def _f_rice(bw, residuals, order, blocksize, param, part_order=0,
+def _f_rice(bw, residuals, order, blocksize, param=None, part_order=0,
             escape_nbits=None):
     bw.bits(0, 2)  # 4-bit rice method
     bw.bits(part_order, 4)
@@ -1911,11 +1911,16 @@ def _f_rice(bw, residuals, order, blocksize, param, part_order=0,
                 bw.signed(residuals[idx], escape_nbits)
                 idx += 1
         else:
-            bw.bits(param, 4)
+            seg = residuals[idx:idx + count]
+            p = param
+            if p is None:  # adaptive: bound unary runs on noisy data
+                top = max((_f_zigzag(r) for r in seg), default=0)
+                p = min(14, max(0, top.bit_length() - 2))
+            bw.bits(p, 4)
             for _ in range(count):
                 u = _f_zigzag(residuals[idx])
-                bw.unary(u >> param)
-                bw.bits(u & ((1 << param) - 1), param)
+                bw.unary(u >> p)
+                bw.bits(u & ((1 << p) - 1), p)
                 idx += 1
 
 
@@ -1925,6 +1930,10 @@ def _f_subframe(bw, samples, bps, kind, wasted=0):
         samples = [s >> wasted for s in samples]
         bps -= wasted
     n = len(samples)
+    # a (final partial) block shorter than the predictor order cannot
+    # use that predictor — real encoders fall back too
+    if kind in ("fixed1", "fixed2", "lpc2") and n <= int(kind[-1]):
+        kind = "verbatim"
     if kind == "constant":
         bw.bits(0, 6)
     elif kind == "verbatim":
@@ -1954,13 +1963,14 @@ def _f_subframe(bw, samples, bps, kind, wasted=0):
         for s in samples[:1]:
             bw.signed(s, bps)
         res = [samples[i] - samples[i - 1] for i in range(1, n)]
-        _f_rice(bw, res, 1, n, param=3)
+        _f_rice(bw, res, 1, n)
     elif kind == "fixed2":
         for s in samples[:2]:
             bw.signed(s, bps)
         res = [samples[i] - 2 * samples[i - 1] + samples[i - 2]
                for i in range(2, n)]
-        _f_rice(bw, res, 2, n, param=3, part_order=1)
+        # two partitions only when the block size divides evenly
+        _f_rice(bw, res, 2, n, part_order=1 if n % 2 == 0 else 0)
     elif kind == "fixed0_escape":
         _f_rice(bw, samples, 0, n, param=0, part_order=0,
                 escape_nbits=bps)
@@ -1973,7 +1983,7 @@ def _f_subframe(bw, samples, bps, kind, wasted=0):
         bw.signed(0, 5)  # c1
         res = [samples[i] - ((2 * samples[i - 1]) >> 1)
                for i in range(2, n)]
-        _f_rice(bw, res, 2, n, param=3)
+        _f_rice(bw, res, 2, n)
 
 
 def _encode_flac(sr, chans, bps=16, blocksize=64, kind="verbatim",
