@@ -777,18 +777,17 @@ class _Parser:
                 arms.append(self.path_sequence())
             for a in arms:
                 for pred, _mod, _inv in a:
-                    if isinstance(pred, (PathNeg, PathNegMixed)):
-                        raise ValueError(
-                            "negated sets cannot join a path alternation"
-                        )
                     if isinstance(pred, (Var, Lit, Num)):
                         raise ValueError(
                             "path alternation members must be IRIs"
                         )
 
             def is_simple(a) -> bool:
+                # NPS arms are never "simple": they need _edge_rel's
+                # per-triple-multiplicity relation, not an isin scan
                 return (len(a) == 1 and a[0][1] is None and not a[0][2]
-                        and not isinstance(a[0][0], PathSeq))
+                        and not isinstance(a[0][0], (PathSeq, PathNeg,
+                                                     PathNegMixed)))
 
             if all(is_simple(a) for a in arms):
                 # all-simple alternation with DISTINCT arms: stay on
@@ -1797,11 +1796,19 @@ def _path_guard(graph_var: str | None) -> None:
 
 
 def _edge_rel(triples: DataFrame, pred,
-              graph_var: str | None = None) -> DataFrame:
+              graph_var: str | None = None,
+              triple_multiplicity: bool = False) -> DataFrame:
     """The (__path_a, __path_b[, graph]) edge relation of a predicate:
-    a simple IRI, an any-of tuple, or a composed ``PathSeq`` — the
-    ``(p1/p2)+`` inner relation, one equi-join per step (inverse steps
-    swap their endpoints)."""
+    a simple IRI, an any-of tuple, a negated set (``PathNeg`` /
+    ``PathNegMixed``), or a composed ``PathSeq`` — the ``(p1/p2)+``
+    inner relation, one equi-join per step (inverse steps swap their
+    endpoints).
+
+    ``triple_multiplicity``: keep one row per matching TRIPLE instead
+    of per endpoint pair — §18.4 NPS evaluation yields a solution per
+    triple, so two differently-labelled edges between the same
+    endpoints count twice when an NPS stands alone in an alternation
+    arm. Closures ignore this (ALP is duplicate-free by construction)."""
     _path_guard(graph_var)
     gcols = [graph_var] if graph_var else []
     t = triples
@@ -1809,23 +1816,37 @@ def _edge_rel(triples: DataFrame, pred,
     if graph_var:
         t = t.filter(F.col("graph").isNotNull())
         gsel = [F.col("graph").alias(graph_var)]
+    def _one_per_triple(frame: DataFrame, src: str, dst: str) -> DataFrame:
+        # exact per-triple rows: dedup on the full (graph-scoped)
+        # triple identity, then project the endpoints WITHOUT a
+        # second distinct — per-predicate multiplicity survives
+        keys = (["graph"] if graph_var else []) + ["subj", "pred", "obj"]
+        return frame.select(*keys).distinct().select(
+            F.col(src).alias(_PA), F.col(dst).alias(_PB), *gsel
+        )
+
     if isinstance(pred, PathNegMixed):
         # !(p1|^p2) as a closure edge: forward-NPS edges (pred not in
         # the forward excluded set) ∪ SWAPPED inverse-NPS edges (§9.1
         # union rewrite) — a mixed set under +/*/? walks both
         # directions each hop. No forward arm when every member is
         # inverse (!(^p) is pure ^!(p)).
-        rev_arm = t.filter(~F.col("pred").isin(*pred.rev)).select(
-            F.col("obj").alias(_PA), F.col("subj").alias(_PB), *gsel
-        )
+        def _mk(frame, src, dst):
+            return _one_per_triple(frame, src, dst) if triple_multiplicity \
+                else frame.select(F.col(src).alias(_PA),
+                                  F.col(dst).alias(_PB), *gsel)
+
+        rev_arm = _mk(t.filter(~F.col("pred").isin(*pred.rev)), "obj", "subj")
         if not pred.fwd:
-            return rev_arm.distinct()
-        fwd_arm = t.filter(~F.col("pred").isin(*pred.fwd)).select(
-            F.col("subj").alias(_PA), F.col("obj").alias(_PB), *gsel
-        )
-        return fwd_arm.unionByName(rev_arm).distinct()
+            return rev_arm if triple_multiplicity else rev_arm.distinct()
+        fwd_arm = _mk(t.filter(~F.col("pred").isin(*pred.fwd)), "subj", "obj")
+        both = fwd_arm.unionByName(rev_arm)
+        return both if triple_multiplicity else both.distinct()
     if not isinstance(pred, PathSeq):
-        return t.filter(_pred_cond(pred)).select(
+        matched = t.filter(_pred_cond(pred))
+        if triple_multiplicity:
+            return _one_per_triple(matched, "subj", "obj")
+        return matched.select(
             F.col("subj").alias(_PA), F.col("obj").alias(_PB), *gsel
         ).distinct()
     cur = None
@@ -1956,7 +1977,9 @@ def _arm_rel(triples: DataFrame, elts: tuple,
             r = _path_pairs(triples, wrap(pred), sT, oT,
                             graph_var=graph_var)
         else:
-            r = _edge_rel(triples, pred, graph_var)
+            r = _edge_rel(triples, pred, graph_var,
+                          triple_multiplicity=isinstance(
+                              pred, (PathNeg, PathNegMixed)))
             if isinstance(left, str):
                 r = r.filter(F.col(_PA) == left)
         if inv:

@@ -1921,6 +1921,70 @@ def q_sparql_path_deep(spark, sf_dir):
     return execute_sparql(t, SPARQL_PATH_DEEP)
 
 
+SPARQL_PATH_NPS = """
+SELECT ?a ?b
+WHERE { ?a !(ex:skip|^ex:next)+ ?b }
+ORDER BY ?a ?b
+"""
+
+
+def q_sparql_path_nps(spark, sf_dir):
+    """Mixed negated-property-set closure through the front-end
+    (round 6: ``!(p|^q)`` under ``+`` was a loud reject). The edge
+    relation is the §9.1 union — forward edges whose predicate avoids
+    {ex:skip} (the ex:next descending chain) ∪ SWAPPED edges whose
+    predicate avoids {ex:next} (the ex:skip triples become ascending
+    jumps 10→30 and 20→40) — closed to fixpoint by path-doubling.
+    Nodes ≥ 10 therefore reach everything (descend, jump, repeat);
+    nodes < 10 only descend."""
+    from kgap_spark.query.sparql import execute_sparql
+
+    d = _t(spark, sf_dir, "documents")
+    nulls = [
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit("urn:g").alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+    ]
+    chain = d.filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 40)) \
+        .select(
+            F.concat(F.lit("n:"), F.col("doc_id").cast("string"))
+            .alias("subj"),
+            F.lit("ex:next").alias("pred"),
+            F.concat(F.lit("n:"), (F.col("doc_id") - 1).cast("string"))
+            .alias("obj"), *nulls,
+        )
+    skips = d.filter(F.col("doc_id").isin(30, 40)).select(
+        F.concat(F.lit("n:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("ex:skip").alias("pred"),
+        F.concat(F.lit("n:"), (F.col("doc_id") - 20).cast("string"))
+        .alias("obj"), *nulls,
+    )
+    return execute_sparql(chain.unionByName(skips), SPARQL_PATH_NPS)
+
+
+ORACLE_SPARQL_PATH_NPS = """
+WITH RECURSIVE base AS (
+  SELECT 'n:' || CAST(doc_id AS VARCHAR) AS s, 'ex:next' AS p,
+         'n:' || CAST(doc_id - 1 AS VARCHAR) AS o
+  FROM documents WHERE doc_id BETWEEN 1 AND 40
+  UNION ALL
+  SELECT 'n:' || CAST(doc_id AS VARCHAR), 'ex:skip',
+         'n:' || CAST(doc_id - 20 AS VARCHAR)
+  FROM documents WHERE doc_id IN (30, 40)
+), edges AS (
+  SELECT s AS a, o AS b FROM base WHERE p <> 'ex:skip'
+  UNION
+  SELECT o AS a, s AS b FROM base WHERE p <> 'ex:next'
+), closure(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a
+)
+SELECT a, b FROM closure ORDER BY a, b
+"""
+
+
 # a REAL recursive oracle (DuckDB WITH RECURSIVE iterates to the same
 # fixpoint) — not a closed-form shortcut that would assume contiguity
 ORACLE_SPARQL_PATH_DEEP = """
@@ -2287,6 +2351,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-6 addition: OFFSET pagination (SURVEY O4, previously
     # documented-skip) — core window is full, verified by the harness
     "sparql_paginate": q_sparql_paginate,
+    # round-6 addition: mixed negated-property-set closure (was a
+    # loud reject) — recursive DuckDB oracle, harness-verified
+    "sparql_path_nps": q_sparql_path_nps,
 }
 
 ORACLES: dict[str, str] = {
@@ -2363,4 +2430,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "emb_lsh_topk": ORACLE_EMB_LSH,
     "sparql_paginate": ORACLE_SPARQL_PAGINATE,
+    "sparql_path_nps": ORACLE_SPARQL_PATH_NPS,
 }

@@ -2057,8 +2057,12 @@ def test_alternation_simple_fast_path_unchanged(alt_kb):
 
 
 def test_alternation_rejects_remain(alt_kb):
-    with pytest.raises(ValueError, match="negated"):
-        parse_sparql("SELECT ?x WHERE { <a> !<p1>|<p3> ?x }")
+    # NPS arms are legal since round 6 and compile to PathAlt
+    from kgap_spark.query.sparql import PathAlt
+
+    q = parse_sparql("SELECT ?x WHERE { <a> !<p1>|<p3> ?x }")
+    (_, p, _), = q.where.triples
+    assert isinstance(p, PathAlt)
     with pytest.raises(ValueError, match="IRIs"):
         parse_sparql("SELECT ?x WHERE { <a> (<p1>/<p2>)|?v ?x }")
 
@@ -2145,6 +2149,33 @@ def test_modified_mixed_negated_property_set(spark):
         SELECT ?x WHERE { <urn:c> !(^ex:q)+ ?x } ORDER BY ?x
     """)
     assert [r.x for r in df3.collect()] == ["urn:a", "urn:b", "urn:d"]
+
+
+def test_negated_set_in_path_alternation(spark):
+    """!(p)|q — an NPS alternation arm (round 6: was a parser
+    reject). §18.4 bag semantics: the NPS arm yields one row per
+    matching TRIPLE (parallel differently-labelled edges count
+    twice), and a triple matching both arms counts once per arm."""
+    rows = [
+        ("urn:s", "ex:r1", "urn:o", None, None, "urn:g", None),
+        ("urn:s", "ex:r2", "urn:o", None, None, "urn:g", None),
+        ("urn:s", "ex:p", "urn:o", None, None, "urn:g", None),
+        ("urn:s", "ex:q", "urn:x", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?o WHERE { <urn:s> !(ex:p)|ex:q ?o } ORDER BY ?o
+    """)
+    # NPS arm: r1, r2, q triples (p excluded) -> o, o, x;
+    # ex:q arm: x again -> multiset {o:2, x:2}
+    assert [r.o for r in df.collect()] == ["urn:o", "urn:o",
+                                           "urn:x", "urn:x"]
+    # mixed-set arm and inverse arm compose too
+    df2 = execute_sparql(t, """
+        SELECT ?z WHERE { <urn:o> !(^ex:p)|^ex:q ?z } ORDER BY ?z
+    """)
+    # !(^p) from o: incoming r1/r2 edges -> s, s; ^q from o: none
+    assert [r.z for r in df2.collect()] == ["urn:s", "urn:s"]
 
 
 def test_string_literal_quote_forms(alt_kb):

@@ -8,9 +8,11 @@ identity over the graph's terms ∪ any constant endpoint.
 Hypothesis generates a tiny edge KB and a random path AST from the
 grammar the engine supports (probed shapes: links, ^, +/*/?,
 two-element sequences with per-element modifiers/inverses, bare and
-parenthesized alternations, (seq)+ and (alt)+ closures), renders it to
-SPARQL text, and compares solution BAGS for all four endpoint shapes
-(var-var, const-var, var-const, const-const as ASK).
+parenthesized alternations, (seq)+ and (alt)+ closures, and negated
+property sets — !(p), !(^p), mixed !(p|^q) — standalone, inverted,
+under modifiers, in sequences, and as alternation arms), renders it
+to SPARQL text, and compares solution BAGS for all four endpoint
+shapes (var-var, const-var, var-const, const-const as ASK).
 
 Found by this fuzz (fixed in the same commit): repeated arms in an
 all-simple alternation were deduped by the isin fast path —
@@ -34,8 +36,18 @@ _PREDS = ["u:p0", "u:p1"]
 #           ("seq",a,b) | ("alt",arm,...)
 
 _link_st = st.sampled_from([("link", p) for p in _PREDS])
+# negated property sets: ("nps", fwd_preds, rev_preds) — !(p0),
+# !(^p1), !(p0|^p1), … (round 6: NPS now composes with modifiers,
+# alternation arms, sequences, and inverses)
+_nps_st = st.tuples(
+    st.lists(st.sampled_from(_PREDS), max_size=2, unique=True),
+    st.lists(st.sampled_from(_PREDS), max_size=2, unique=True),
+).filter(lambda t: t[0] or t[1]).map(
+    lambda t: ("nps", tuple(t[0]), tuple(t[1]))
+)
 _atom_st = st.one_of(
-    _link_st, _link_st.map(lambda l: ("inv", l))
+    _link_st, _link_st.map(lambda l: ("inv", l)), _nps_st,
+    _nps_st.map(lambda n: ("inv", n)),
 )
 _modded_st = st.tuples(
     st.just("mod"), _atom_st, st.sampled_from(["+", "*", "?"])
@@ -89,6 +101,10 @@ def _render_path(ast, top: bool = True) -> str:
     if k == "alt":
         s = "|".join(_render_path(a, top=False) for a in ast[1:])
         return s if top else f"({s})"
+    if k == "nps":
+        members = [f"<{p}>" for p in ast[1]] + [f"^<{p}>" for p in ast[2]]
+        return f"!({'|'.join(members)})" if len(members) > 1 \
+            else f"!{members[0]}"
     raise AssertionError(k)
 
 
@@ -112,6 +128,17 @@ def _ev(kb, ast, X, Y) -> list[tuple[str, str]]:
     nodes = {s for (s, _, _) in kb} | {o for (_, _, o) in kb}
     if k == "link":
         pairs = [(s, o) for (s, p, o) in kb if p == ast[1]]
+        return _ends(pairs, X, Y)
+    if k == "nps":
+        # §9.1 union rewrite: forward arm (pred ∉ fwd set, absent when
+        # every member is inverse) ∪ swapped inverse arm (pred ∉ rev
+        # set) — one row per matching TRIPLE (bag)
+        fwd, rev = ast[1], ast[2]
+        pairs = []
+        if fwd:
+            pairs += [(s, o) for (s, p, o) in kb if p not in fwd]
+        if rev:
+            pairs += [(o, s) for (s, p, o) in kb if p not in rev]
         return _ends(pairs, X, Y)
     if k == "inv":
         return [(b, a) for (a, b) in _ev(kb, ast[1], Y, X)]
