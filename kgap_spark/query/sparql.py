@@ -109,7 +109,10 @@ _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
           "COALESCE", "STRBEFORE", "STRAFTER", "REPLACE", "SUBSTR",
           "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
           "ABS", "ROUND", "CEIL", "FLOOR",
-          "LANGMATCHES", "STRLANG", "STRDT"}
+          "LANGMATCHES", "STRLANG", "STRDT",
+          "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+          "ENCODE_FOR_URI",
+          "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"}
 
 
 @dataclass
@@ -1610,6 +1613,41 @@ def _compile_expr(e, df: DataFrame,
                 return F.ceil(a[0].try_cast("double")).cast("double")
             if e.name == "FLOOR":
                 return F.floor(a[0].try_cast("double")).cast("double")
+            if e.name == "MD5":
+                return F.md5(a[0].cast("string"))
+            if e.name == "SHA1":
+                return F.sha1(a[0].cast("string"))
+            if e.name in ("SHA256", "SHA384", "SHA512"):
+                return F.sha2(a[0].cast("string"), int(e.name[3:]))
+            if e.name == "ENCODE_FOR_URI":
+                # §17.4.2.8 percent-encodes everything outside RFC
+                # 3986's unreserved set; url_encode is form-encoding,
+                # which differs on exactly space/'~'/'*'
+                enc = F.url_encode(a[0].cast("string"))
+                enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+                enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+                return F.replace(enc, F.lit("*"), F.lit("%2A"))
+            if e.name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+                          "SECONDS", "TZ"):
+                # LEXICAL extraction from the xsd:date/dateTime form —
+                # a timestamp cast would shift tz-suffixed literals to
+                # session time, but §17.4.5 accessors return the
+                # component in the literal's own timezone
+                ts = a[0].cast("string")
+                pats = {
+                    "YEAR": r"^(-?\d{4,})-", "MONTH": r"^-?\d{4,}-(\d{2})-",
+                    "DAY": r"^-?\d{4,}-\d{2}-(\d{2})",
+                    "HOURS": r"[T ](\d{2}):",
+                    "MINUTES": r"[T ]\d{2}:(\d{2}):",
+                    "SECONDS": r"[T ]\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+                    "TZ": r"(Z|[+-]\d{2}:\d{2})$",
+                }
+                got = F.regexp_extract(ts, pats[e.name], 1)
+                if e.name == "TZ":  # '' when the literal carries none
+                    return got
+                if e.name == "SECONDS":
+                    return got.try_cast("double")
+                return got.try_cast("int")
             if e.name == "REGEX":
                 if not isinstance(e.args[1], Lit):
                     raise ValueError("REGEX pattern must be a string literal")

@@ -1921,6 +1921,54 @@ def q_sparql_path_deep(spark, sf_dir):
     return execute_sparql(t, SPARQL_PATH_DEEP)
 
 
+SPARQL_BUILTIN_FUNCS = """
+SELECT ?e ?y ?mo ?d ?h ?tz ?hash
+WHERE { ?e ex:ts ?t .
+  BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo) BIND(DAY(?t) AS ?d)
+  BIND(HOURS(?t) AS ?h) BIND(TZ(?t) AS ?tz) BIND(MD5(?t) AS ?hash)
+}
+ORDER BY ?e
+"""
+
+
+def q_sparql_builtin_funcs(spark, sf_dir):
+    """Round-6 builtin coverage row: §17.4.5 lexical date accessors +
+    MD5 over event timestamps rendered to a fixed format (the same
+    format string on the DuckDB side keeps the hashes comparable)."""
+    from kgap_spark.query.sparql import execute_sparql
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    t = e.select(
+        F.concat(F.lit("e:"), F.col("event_id").cast("string"))
+        .alias("subj"),
+        F.lit("ex:ts").alias("pred"),
+        F.date_format(F.col("ts").cast("timestamp"),
+                      "yyyy-MM-dd HH:mm:ss").alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("xsd:dateTime").alias("obj_datatype"),
+        F.lit("urn:g").alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    return execute_sparql(t, SPARQL_BUILTIN_FUNCS)
+
+
+ORACLE_SPARQL_BUILTIN_FUNCS = r"""
+WITH t AS (
+  SELECT 'e:' || CAST(event_id AS VARCHAR) AS e,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS s
+  FROM events WHERE event_id < 200
+)
+SELECT e,
+       CAST(regexp_extract(s, '^(-?\d{4,})-', 1) AS INT) AS y,
+       CAST(regexp_extract(s, '^-?\d{4,}-(\d{2})-', 1) AS INT) AS mo,
+       CAST(regexp_extract(s, '^-?\d{4,}-\d{2}-(\d{2})', 1) AS INT) AS d,
+       CAST(regexp_extract(s, '[T ](\d{2}):', 1) AS INT) AS h,
+       regexp_extract(s, '(Z|[+-]\d{2}:\d{2})$', 1) AS tz,
+       md5(s) AS hash
+FROM t ORDER BY e
+"""
+
+
 SPARQL_PATH_NPS = """
 SELECT ?a ?b
 WHERE { ?a !(ex:skip|^ex:next)+ ?b }
@@ -2354,6 +2402,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-6 addition: mixed negated-property-set closure (was a
     # loud reject) — recursive DuckDB oracle, harness-verified
     "sparql_path_nps": q_sparql_path_nps,
+    # round-6 addition: hash + lexical date-accessor builtins
+    "sparql_builtin_funcs": q_sparql_builtin_funcs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2431,4 +2481,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "emb_lsh_topk": ORACLE_EMB_LSH,
     "sparql_paginate": ORACLE_SPARQL_PAGINATE,
     "sparql_path_nps": ORACLE_SPARQL_PATH_NPS,
+    "sparql_builtin_funcs": ORACLE_SPARQL_BUILTIN_FUNCS,
 }

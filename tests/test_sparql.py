@@ -2189,3 +2189,43 @@ def test_string_literal_quote_forms(alt_kb):
         .where.triples[0][2].value == 'a "q" b'
     assert pq("SELECT ?o WHERE { ?s ?p 'chat'@fr }") \
         .where.triples[0][2].lang == "fr"
+
+
+def test_builtin_hash_date_functions(spark):
+    """Round 6: MD5/SHA*, ENCODE_FOR_URI, and the §17.4.5 date
+    accessors — the accessors extract LEXICALLY so a tz-suffixed
+    literal keeps its own timezone's components (a timestamp cast
+    would shift them to session time)."""
+    import hashlib
+
+    rows = [
+        ("urn:e", "ex:ts", "2024-03-05T10:20:30.5+05:00", None,
+         "xsd:dateTime", "urn:g", None),
+        ("urn:e", "ex:name", "café *", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?y ?mo ?d ?h ?mi ?s ?tz WHERE {
+          <urn:e> ex:ts ?t .
+          BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo)
+          BIND(DAY(?t) AS ?d) BIND(HOURS(?t) AS ?h)
+          BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?s)
+          BIND(TZ(?t) AS ?tz)
+        }
+    """)
+    r, = df.collect()
+    assert (r.y, r.mo, r.d, r.h, r.mi, r.s, r.tz) == \
+        (2024, 3, 5, 10, 20, 30.5, "+05:00")
+    df2 = execute_sparql(t, """
+        SELECT ?hash ?sha ?enc ?tz2 WHERE {
+          <urn:e> ex:name ?n .
+          BIND(MD5(?n) AS ?hash) BIND(SHA256(?n) AS ?sha)
+          BIND(ENCODE_FOR_URI(?n) AS ?enc) BIND(TZ(?n) AS ?tz2)
+        }
+    """)
+    r2, = df2.collect()
+    raw = "café *".encode()
+    assert r2.hash == hashlib.md5(raw).hexdigest()
+    assert r2.sha == hashlib.sha256(raw).hexdigest()
+    assert r2.enc == "caf%C3%A9%20%2A"
+    assert r2.tz2 == ""  # non-dateTime literal carries no offset
