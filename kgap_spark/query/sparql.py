@@ -112,7 +112,9 @@ _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
           "LANGMATCHES", "STRLANG", "STRDT",
           "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
           "ENCODE_FOR_URI",
-          "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"}
+          "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+          "IRI", "URI", "ISNUMERIC",
+          "NOW", "UUID", "STRUUID", "RAND", "BNODE"}
 
 
 @dataclass
@@ -1249,10 +1251,14 @@ class _Parser:
         if t.kind == "KW" and t.text in _FUNCS:
             self.next()
             self.expect("OP", "(")
-            args = [self.expr()]
-            while self.peek() and self.peek().kind == "OP" and self.peek().text == ",":
-                self.next()
-                args.append(self.expr())
+            args = []
+            if not (self.peek() and self.peek().kind == "OP"
+                    and self.peek().text == ")"):  # NOW()/UUID()/RAND()
+                args = [self.expr()]
+                while self.peek() and self.peek().kind == "OP" \
+                        and self.peek().text == ",":
+                    self.next()
+                    args.append(self.expr())
             self.expect("OP", ")")
             if t.text in ("STRLANG", "STRDT"):
                 return self._fold_term_ctor(FnCall(t.text, args))
@@ -1613,6 +1619,51 @@ def _compile_expr(e, df: DataFrame,
                 return F.ceil(a[0].try_cast("double")).cast("double")
             if e.name == "FLOOR":
                 return F.floor(a[0].try_cast("double")).cast("double")
+            if e.name in ("IRI", "URI"):
+                # term strings ARE IRIs in this store; STR→IRI is a
+                # cast (queries here use absolute IRIs / pnames — no
+                # base resolution)
+                return a[0].cast("string")
+            if e.name == "ISNUMERIC":
+                # §17.4.2.4: numeric means a numeric DATATYPE — a bare
+                # "12" is xsd:string. Datatype-aware when meta rides
+                # along; otherwise lexical-parse + term-shape fallback
+                v = e.args[0]
+                c = a[0]
+                if isinstance(v, Num):
+                    return F.lit(True)
+                if isinstance(v, Var) and f"{v.name}__dt" in cols:
+                    dt = F.regexp_replace(
+                        col_or_null(f"{v.name}__dt"),
+                        "^http://www\\.w3\\.org/2001/XMLSchema#", "xsd:")
+                    return F.when(c.isNotNull(), F.coalesce(dt.isin(
+                        "xsd:integer", "xsd:decimal", "xsd:float",
+                        "xsd:double", "xsd:int", "xsd:long", "xsd:short",
+                        "xsd:byte", "xsd:nonNegativeInteger",
+                        "xsd:positiveInteger", "xsd:negativeInteger",
+                        "xsd:nonPositiveInteger", "xsd:unsignedInt",
+                        "xsd:unsignedLong", "xsd:unsignedShort",
+                        "xsd:unsignedByte"), F.lit(False)))
+                return F.when(
+                    c.isNotNull(),
+                    c.try_cast("double").isNotNull()
+                    & ~c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+                    & ~c.startswith("_:"))
+            if e.name == "NOW":
+                # constant across the whole query (§17.4.5.1)
+                return F.date_format(
+                    F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS")
+            if e.name == "UUID":
+                return F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
+            if e.name == "STRUUID":
+                return F.expr("uuid()")
+            if e.name == "BNODE":
+                if e.args:  # BNODE(str): stable label from the arg
+                    return F.concat(F.lit("_:"),
+                                    F.md5(a[0].cast("string")))
+                return F.concat(F.lit("_:"), F.expr("uuid()"))
+            if e.name == "RAND":
+                return F.rand()
             if e.name == "MD5":
                 return F.md5(a[0].cast("string"))
             if e.name == "SHA1":

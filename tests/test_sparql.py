@@ -2229,3 +2229,47 @@ def test_builtin_hash_date_functions(spark):
     assert r2.sha == hashlib.sha256(raw).hexdigest()
     assert r2.enc == "caf%C3%A9%20%2A"
     assert r2.tz2 == ""  # non-dateTime literal carries no offset
+
+
+def test_builtin_term_ctor_and_nondeterministic(spark):
+    """IRI/URI, isNumeric (datatype-aware), and the zero-arg builtins
+    NOW/UUID/STRUUID/BNODE/RAND (round 6)."""
+    import re
+
+    rows = [
+        ("urn:e", "ex:n", "12", None, "xsd:integer", "urn:g", None),
+        ("urn:e", "ex:s", "12", None, None, "urn:g", None),
+        ("urn:e", "ex:u", "urn:x", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?v ?num WHERE {
+          ?s ?p ?v . BIND(ISNUMERIC(?v) AS ?num)
+        } ORDER BY ?p
+    """)
+    got = [(r.v, r.num) for r in df.collect()]
+    # typed 12 -> numeric; bare "12" string -> NOT numeric (datatype
+    # meta rides along); IRI -> not numeric
+    assert got == [("12", True), ("12", False), ("urn:x", False)]
+    df2 = execute_sparql(t, """
+        SELECT ?i ?now ?u ?su ?b ?r WHERE {
+          <urn:e> ex:u ?x .
+          BIND(IRI(STR(?x)) AS ?i) BIND(NOW() AS ?now)
+          BIND(UUID() AS ?u) BIND(STRUUID() AS ?su)
+          BIND(BNODE() AS ?b) BIND(RAND() AS ?r)
+        }
+    """)
+    r2, = df2.collect()
+    assert r2.i == "urn:x"
+    assert re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", r2.now)
+    assert r2.u.startswith("urn:uuid:") and len(r2.su) == 36
+    assert r2.b.startswith("_:") and 0.0 <= r2.r < 1.0
+    # BNODE(str) is stable per label
+    df3 = execute_sparql(t, """
+        SELECT ?b1 ?b2 WHERE {
+          <urn:e> ex:u ?x .
+          BIND(BNODE("k") AS ?b1) BIND(BNODE("k") AS ?b2)
+        }
+    """)
+    r3, = df3.collect()
+    assert r3.b1 == r3.b2 and r3.b1.startswith("_:")
