@@ -5,10 +5,12 @@ reference treats media as opaque payloads handled by external tooling,
 so this repo's multimodal plumbing shipped with deterministic stubs;
 PNG fell to a real decoder in round 4 and this module does the same
 for baseline JPEG — JFIF/EXIF container, SOF0 (baseline sequential
-DCT), 8-bit precision, grayscale or YCbCr WITHOUT chroma subsampling
-(all sampling factors 1, i.e. 4:4:4). Restart markers and 16-bit
-quantization tables are handled; progressive (SOF2), arithmetic
-coding, and subsampled scans raise cleanly — the caller
+DCT), 8-bit precision, grayscale or YCbCr with sampling factors 1–2
+per axis: 4:4:4, 4:2:2, 4:4:0, and the web-dominant 4:2:0 (chroma
+reconstructed by pixel replication, the classic box upsample).
+Restart markers and 16-bit quantization tables are handled;
+progressive (SOF2), arithmetic
+coding, and sampling factors >2 raise cleanly — the caller
 (`_decode_image`) isolates that per row, and a PIL-backed decoder
 slots in at the same seam for full-corpus coverage.
 
@@ -143,7 +145,7 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Baseline JPEG → ``(width, height, channels, pixel_bytes)``
     row-major, channels ∈ {1 (gray), 3 (RGB)}. Raises ValueError on
-    anything outside the supported baseline 4:4:4 subset."""
+    anything outside the supported baseline subset (see module doc)."""
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -195,14 +197,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "JPEG: chroma subsampling unsupported (4:4:4 "
-                        "or grayscale only)"
+                        f"JPEG: sampling factor {hi}x{vi} unsupported "
+                        "(1 or 2 per axis: 4:4:4/4:2:2/4:4:0/4:2:0)"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             if nc not in (1, 3):
                 raise ValueError(f"JPEG: {nc} components unsupported")
+            if nc == 1:
+                # single-component scan: MCU is one data unit and the
+                # frame sampling factors don't partition it (A.2.2)
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -239,17 +246,48 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("JPEG: no scan data found")
 
 
+def _decode_block(br, dc_tab, ac_tab, q, pred, ci, T, np):
+    """One 8×8 data unit: DC diff + AC RLE → dequant → de-zigzag →
+    IDCT → level-shifted float pixels. Mutates pred[ci]."""
+    coef = [0] * 64
+    t = dc_tab.decode(br)
+    pred[ci] += _extend(br.receive(t), t)
+    coef[0] = pred[ci] * q[0]
+    k = 1
+    while k < 64:
+        rs = ac_tab.decode(br)
+        r, s = rs >> 4, rs & 15
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC index out of range")
+        coef[k] = _extend(br.receive(s), s) * q[k]
+        k += 1
+    block = np.zeros(64)
+    block[ZIGZAG] = coef
+    return T.T @ block.reshape(8, 8) @ T + 128.0
+
+
 def _decode_scan(data, pos, frame, sel, qt, huff, restart_interval, np):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     T = _idct_matrix()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
-              for _ in comps]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    # interleaved MCU grid (A.2.3): each MCU covers 8·hmax × 8·vmax
+    # image pixels and carries h_i×v_i data units per component
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                       dtype=np.float64) for c in comps]
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.restart()
                 pred = [0] * len(comps)
@@ -258,29 +296,25 @@ def _decode_scan(data, pos, frame, sel, qt, huff, restart_interval, np):
                 dc_tab = huff[(0, sel[comp["id"]][0])]
                 ac_tab = huff[(1, sel[comp["id"]][1])]
                 q = qt[comp["tq"]]
-                coef = [0] * 64
-                t = dc_tab.decode(br)
-                pred[ci] += _extend(br.receive(t), t)
-                coef[0] = pred[ci] * q[0]
-                k = 1
-                while k < 64:
-                    rs = ac_tab.decode(br)
-                    r, s = rs >> 4, rs & 15
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG: AC index out of range")
-                    coef[k] = _extend(br.receive(s), s) * q[k]
-                    k += 1
-                block = np.zeros(64)
-                block[ZIGZAG] = coef
-                px = T.T @ block.reshape(8, 8) @ T + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = px
-    planes = [p[:h, :w] for p in planes]
+                for vy in range(comp["v"]):
+                    for vx in range(comp["h"]):
+                        px = _decode_block(br, dc_tab, ac_tab, q,
+                                           pred, ci, T, np)
+                        by = my * comp["v"] + vy
+                        bx = mx * comp["h"] + vx
+                        planes[ci][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] = px
+    up = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        # box upsample by replication back to full resolution, then
+        # crop the MCU padding
+        if hmax // comp["h"] > 1:
+            p = np.repeat(p, hmax // comp["h"], axis=1)
+        if vmax // comp["v"] > 1:
+            p = np.repeat(p, vmax // comp["v"], axis=0)
+        up.append(p[:h, :w])
+    planes = up
     if len(comps) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()

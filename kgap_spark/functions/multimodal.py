@@ -189,7 +189,8 @@ def _decode_image(payload: bytes) -> list[float] | None:
     ``decode_png`` here, ``jpeg.decode_jpeg``, ``gif.decode_gif``) →
     pooled features. A recognized-signature payload that fails to
     decode (corrupt, palette/16-bit/interlaced PNG,
-    progressive/subsampled JPEG, truncated) yields NULL features —
+    progressive JPEG or sampling factors >2, truncated) yields NULL
+    features —
     per-row error isolation; one bad image in a 10¹²-doc corpus must
     not fail the whole extract job. Remaining formats (WebP/…):
     deterministic fake under ``KGAP_FAKE_DECODE`` (their codecs

@@ -664,11 +664,14 @@ class _JpegBitWriter:
             self.bits(1, 1)
 
 
-def _encode_jpeg(width, height, planes, restart_interval=0):
-    """Baseline 4:4:4 JPEG encoder (test-side): quant tables all-ones
+def _encode_jpeg(width, height, planes, restart_interval=0,
+                 sampling="444"):
+    """Baseline JPEG encoder (test-side): quant tables all-ones
     (near-lossless), the trivial Huffman tables above, optional
     restart markers. ``planes`` = list of 1 (gray) or 3 (YCbCr)
-    numpy uint8 arrays (height, width)."""
+    numpy uint8 arrays (height, width). ``sampling`` ∈ {"444",
+    "422", "440", "420"}: chroma is box-averaged down and Y carries
+    the matching (h, v) sampling factors in an interleaved scan."""
     import struct
 
     import numpy as np
@@ -691,20 +694,43 @@ def _encode_jpeg(width, height, planes, restart_interval=0):
     dc_codes = huff_codes(dc_counts, dc_syms)
     ac_codes = huff_codes(ac_counts, ac_syms)
     nc = len(planes)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+    ysamp = {"444": (1, 1), "422": (2, 1),
+             "440": (1, 2), "420": (2, 2)}[sampling]
+    samps = [(1, 1)] * nc
+    if nc == 3:
+        samps[0] = ysamp
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def pad_edge(p, ph, pw):
+        pp = np.zeros((ph, pw), dtype=np.float64)
+        h0, w0 = p.shape
+        pp[:h0, :w0] = p
+        pp[h0:, :w0] = p[-1:, :]
+        pp[:, w0:] = pp[:, w0 - 1:w0]
+        return pp
+
     padded = []
-    for p in planes:
-        pp = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        pp[:height, :width] = p
-        pp[height:, :width] = p[-1:, :]
-        pp[:, width:] = pp[:, width - 1:width]
-        padded.append(pp)
+    for ci, p in enumerate(planes):
+        hi, vi = samps[ci]
+        fh, fv = hmax // hi, vmax // vi
+        if fh > 1 or fv > 1:  # box-average chroma downsample
+            full = pad_edge(np.asarray(p, dtype=np.float64),
+                            mcuy * vmax * 8, mcux * hmax * 8)
+            p = full.reshape(full.shape[0] // fv, fv,
+                             full.shape[1] // fh, fh).mean(axis=(1, 3))
+            padded.append(p)
+        else:
+            padded.append(pad_edge(np.asarray(p, dtype=np.float64),
+                                   mcuy * vi * 8, mcux * hi * 8))
 
     w = _JpegBitWriter()
     pred = [0] * nc
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.flush()
                 w.out += bytes([0xFF, 0xD0 + ((mcu // restart_interval
@@ -712,35 +738,40 @@ def _encode_jpeg(width, height, planes, restart_interval=0):
                 pred = [0] * nc
             mcu += 1
             for ci in range(nc):
-                blk = padded[ci][by * 8:by * 8 + 8,
-                                 bx * 8:bx * 8 + 8] - 128.0
-                F = T @ blk @ T.T
-                zz = [int(round(F.reshape(64)[ZIGZAG[i]]))
-                      for i in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
-                w.bits(*reversed(dc_codes[t]))
-                if t:
-                    v = diff if diff >= 0 else diff + (1 << t) - 1
-                    w.bits(v, t)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]),
-                              default=0)
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        w.bits(*reversed(ac_codes[0xF0]))
-                        run -= 16
-                    s = abs(zz[k]).bit_length()
-                    w.bits(*reversed(ac_codes[(run << 4) | s]))
-                    v = zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1
-                    w.bits(v, s)
-                    run = 0
-                if last_nz < 63:
-                    w.bits(*reversed(ac_codes[0x00]))
+                hi, vi = samps[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        by, bx = my * vi + vy, mx * hi + vx
+                        blk = padded[ci][by * 8:by * 8 + 8,
+                                         bx * 8:bx * 8 + 8] - 128.0
+                        F = T @ blk @ T.T
+                        zz = [int(round(F.reshape(64)[ZIGZAG[i]]))
+                              for i in range(64)]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        t = (diff.bit_length() if diff >= 0
+                             else (-diff).bit_length())
+                        w.bits(*reversed(dc_codes[t]))
+                        if t:
+                            v = diff if diff >= 0 else diff + (1 << t) - 1
+                            w.bits(v, t)
+                        run = 0
+                        last_nz = max(
+                            (i for i in range(1, 64) if zz[i]), default=0)
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                w.bits(*reversed(ac_codes[0xF0]))
+                                run -= 16
+                            s = abs(zz[k]).bit_length()
+                            w.bits(*reversed(ac_codes[(run << 4) | s]))
+                            v = zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1
+                            w.bits(v, s)
+                            run = 0
+                        if last_nz < 63:
+                            w.bits(*reversed(ac_codes[0x00]))
     w.flush()
 
     def seg(marker, payload):
@@ -749,7 +780,9 @@ def _encode_jpeg(width, height, planes, restart_interval=0):
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id0, all ones
-    comps_sof = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    comps_sof = b"".join(
+        bytes([i + 1, (samps[i][0] << 4) | samps[i][1], 0])
+        for i in range(nc))
     out += seg(0xC0, struct.pack(">BHHB", 8, height, width, nc)
                + comps_sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_syms)
@@ -810,6 +843,81 @@ def test_jpeg_decode_color_roundtrip():
     err = np.abs(got.astype(int) - rgb.astype(int))
     # YCbCr forward/back conversion + DCT rounding
     assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_jpeg_decode_subsampled_roundtrip():
+    """4:2:0 / 4:2:2 / 4:4:0 interleaved MCUs. Chroma is constant per
+    2×2 cell so box-average-down + replicate-up is identity and the
+    decoded RGB must match the source within DCT rounding — exactly
+    the 4:4:4 tolerance. Non-multiple-of-16 dims exercise the MCU
+    edge padding crop."""
+    import numpy as np
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(41)
+    hgt, wid = 21, 19
+    y = rng.randint(0, 256, size=(hgt, wid)).astype(np.float64)
+    # chroma constant on the 2×2 grid (downsample-invariant)
+    cb_small = rng.randint(32, 224, size=((hgt + 1) // 2,
+                                          (wid + 1) // 2))
+    cr_small = rng.randint(32, 224, size=((hgt + 1) // 2,
+                                          (wid + 1) // 2))
+    cb = np.repeat(np.repeat(cb_small, 2, 0), 2, 1)[:hgt, :wid]
+    cr = np.repeat(np.repeat(cr_small, 2, 0), 2, 1)[:hgt, :wid]
+    yf, cbf, crf = (p.astype(np.float64) for p in (y, cb, cr))
+    r = yf + 1.402 * (crf - 128.0)
+    g = yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
+    b = yf + 1.772 * (cbf - 128.0)
+    want = np.clip(np.round(np.stack([r, g, b], -1)), 0, 255)
+    for sampling in ("420", "422", "440"):
+        data = _encode_jpeg(wid, hgt, [y, cb, cr], sampling=sampling)
+        w, h, ch, px = decode_jpeg(data)
+        assert (w, h, ch) == (wid, hgt, 3)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(hgt, wid, 3)
+        err = np.abs(got.astype(int) - want.astype(int))
+        assert err.max() <= 8 and err.mean() < 2.0, sampling
+
+
+def test_jpeg_decode_subsampled_restart_markers():
+    """DRI counts MCUs, not blocks: at 4:2:0 one restart interval of 2
+    spans 2×(4 Y + Cb + Cr) data units."""
+    import numpy as np
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    hgt, wid = 32, 48  # 2×3 MCUs at 4:2:0
+    y = rng.randint(0, 256, size=(hgt, wid)).astype(np.float64)
+    cb = np.full((hgt, wid), 90.0)
+    cr = np.full((hgt, wid), 160.0)
+    data = _encode_jpeg(wid, hgt, [y, cb, cr], restart_interval=2,
+                        sampling="420")
+    w, h, ch, px = decode_jpeg(data)
+    assert (w, h, ch) == (wid, hgt, 3)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(hgt, wid, 3)
+    yf = np.full((hgt, wid), 0.0) + y
+    r = yf + 1.402 * (160.0 - 128.0)
+    g = yf - 0.344136 * (90.0 - 128.0) - 0.714136 * (160.0 - 128.0)
+    b = yf + 1.772 * (90.0 - 128.0)
+    want = np.clip(np.round(np.stack([r, g, b], -1)), 0, 255)
+    err = np.abs(got.astype(int) - want.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_jpeg_decode_sampling_factor_3_rejected():
+    import numpy as np
+
+    from kgap_spark.functions.jpeg import decode_jpeg
+
+    img = np.full((8, 8), 100.0)
+    data = bytearray(_encode_jpeg(8, 8, [img, img, img]))
+    i = data.find(b"\xff\xc0")
+    assert i >= 0
+    # FF C0 len(2) prec h(2) w(2) nc cid samp … → samp of comp 1
+    data[i + 11] = 0x31  # Y sampling 3x1
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(data))
 
 
 def test_jpeg_decode_restart_markers():
