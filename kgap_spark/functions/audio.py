@@ -184,7 +184,10 @@ def _decode_ms_adpcm(body: bytes, ch: int, block_align: int) -> np.ndarray:
                 which += 1
                 s = nib - 16 if nib >= 8 else nib
                 c1, c2 = coefs[c]
-                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                # C-style '/ 256': truncation toward ZERO — '>> 8'
+                # floors, which drifts negative predictions by 1 LSB
+                acc = s1[c] * c1 + s2[c] * c2
+                pred = acc // 256 if acc >= 0 else -((-acc) // 256)
                 new = max(-32768, min(32767, pred + deltas[c] * s))
                 s2[c], s1[c] = s1[c], new
                 deltas[c] = max(16, (_MS_ADAPT[nib] * deltas[c]) >> 8)

@@ -135,23 +135,28 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_from_intersections(
-    inter: DataFrame, sizes: DataFrame, threshold: float
+    inter: DataFrame, sizes: DataFrame, threshold: float,
+    inclusive: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, inter) + per-doc set sizes → thresholded
     (doc_a, doc_b, jaccard). The shared scoring tail of the jaccard
     and LSH-join paths — one definition, so any fix to the rounding or
     threshold semantics applies to both (same policy as
-    ``_pairs_from_sorted_docs``)."""
+    ``_pairs_from_sorted_docs``). ``inclusive`` filters the ROUNDED
+    jaccard at ``>= threshold`` (the ngram-pairs API); the strict mode
+    filters the UNROUNDED value at ``> threshold`` — Spark ML
+    ``approxSimilarityJoin``'s ``dist < max_dist`` boundary, where a
+    4dp round-up must not admit a below-threshold pair."""
+    raw = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    cond = (F.round(raw, 4) >= threshold) if inclusive \
+        else (raw > threshold)
     return (
         inter.join(sizes.withColumnRenamed("doc", "doc_a")
                    .withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b")
               .withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(cond)
+        .withColumn("jaccard", F.round(raw, 4))
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -221,7 +226,10 @@ def minhash_lsh_approx_join(
     posting-list bucket expansion (the ONLY pair-producing step:
     bucket-join, never all-pairs); (4) distance — EXACT jaccard over
     the candidate pairs' shingle sets (what approxSimilarityJoin
-    computes via keyDistance), filtered at 1 − max_jaccard_dist.
+    computes via keyDistance), kept when jaccard > 1 − max_jaccard_dist
+    unrounded — the strict ``dist < threshold`` boundary the ML join
+    applies, so a swap between the two variants keeps boundary pairs
+    identical (up to LSH banding recall).
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be a multiple of bands")
@@ -278,7 +286,8 @@ def minhash_lsh_approx_join(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return _jaccard_from_intersections(inter, sizes,
-                                       1.0 - max_jaccard_dist)
+                                       1.0 - max_jaccard_dist,
+                                       inclusive=False)
 
 
 def minhash_lsh_near_duplicates(

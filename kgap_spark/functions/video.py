@@ -34,8 +34,8 @@ def _fourcc(b: bytes) -> str:
 def decode_avi(data: bytes, max_frames: int = 4):
     """RIFF/AVI bytes → ``(width, height, fps, n_frames, frames)``
     with ``frames`` a list of ``(w, h, channels, pixel_bytes)``
-    tuples for up to ``max_frames`` evenly-spaced video frames of
-    stream 0. Raises ``ValueError`` outside the MJPEG / BI_RGB-24
+    tuples for up to ``max_frames`` evenly-spaced frames of the first
+    video stream. Raises ``ValueError`` outside the MJPEG / BI_RGB-24
     subset — callers isolate that per row (NULL features)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
@@ -43,7 +43,7 @@ def decode_avi(data: bytes, max_frames: int = 4):
         raise ValueError("AVI payload exceeds decoder bound")
     info = {"width": None, "height": None, "usec_per_frame": None,
             "total_frames": None, "handler": None, "compression": None,
-            "bits": None, "stream_no": 0}
+            "bits": None, "stream_no": 0, "n_strh": 0}
     raw_frames: list[bytes] = []
     _walk_list(data, 12, len(data), info, raw_frames, in_movi=False)
     if info["compression"] is None:
@@ -78,11 +78,16 @@ def _walk_list(data: bytes, pos: int, end: int, info, frames,
             info["total_frames"] = total
             info["width"], info["height"] = w, h
         elif cid == b"strh" and clen >= 16:
+            # strl lists appear in stream order; the Nth strh is
+            # stream N, and its movi chunks are '{N:02d}dc'/'…db'
+            stream_idx = info["n_strh"]
+            info["n_strh"] += 1
             fcc_type = data[body_start:body_start + 4]
             if fcc_type == b"vids" and info["handler"] is None:
                 info["handler"] = _fourcc(
                     data[body_start + 4:body_start + 8]
                 )
+                info["stream_no"] = stream_idx
         elif cid == b"strf" and info["handler"] is not None \
                 and info["compression"] is None and clen >= 40:
             (_sz, bw, bh, _planes, bits, comp) = struct.unpack_from(
@@ -97,8 +102,11 @@ def _walk_list(data: bytes, pos: int, end: int, info, frames,
             if info["width"] is None:
                 info["width"], info["height"] = bw, abs(bh)
         elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
-            # '00dc'/'00db': stream-00 video frame (compressed / DIB)
-            if cid[:2] == b"00" and clen > 0:
+            # '{NN}dc'/'{NN}db': video frame of stream NN (compressed
+            # / DIB) — NN is the vids stream's hdrl ordinal, not
+            # always 00 (an audio strl may precede it)
+            want = b"%02d" % info["stream_no"]
+            if cid[:2] == want and clen > 0:
                 frames.append(data[body_start:body_end])
 
 
@@ -159,11 +167,15 @@ def video_features(width: int, height: int, fps: float, n_frames: int,
 
 
 def encode_avi(frames_payload: list[bytes], width: int, height: int,
-               codec: str = "MJPG", fps: int = 10) -> bytes:
+               codec: str = "MJPG", fps: int = 10,
+               audio_first: bool = False) -> bytes:
     """Test helper: pre-encoded frame payloads (JPEG bytes for MJPG,
     bottom-up BGR DIB rows for 'RGB') → minimal spec-shaped AVI.
-    Kept in the module so fixtures synthesize payloads with one
-    import (same policy as ``audio.encode_wav``)."""
+    ``audio_first`` places an 'auds' strl before the video strl so
+    the video is stream 01 and its movi chunks are '01dc' — the
+    layout muxers emit when audio is track 0. Kept in the module so
+    fixtures synthesize payloads with one import (same policy as
+    ``audio.encode_wav``)."""
     comp = 0 if codec == "RGB" else struct.unpack(
         "<I", codec.encode("latin-1"))[0]
     bits = 24
@@ -186,10 +198,18 @@ def encode_avi(frames_payload: list[bytes], width: int, height: int,
                           height))
     strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bits,
                        comp, 0, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh)
-                     + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", f)
+    vid_strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    strls, vid_no = vid_strl, 0
+    if audio_first:
+        aud_strh = (b"auds" + b"\x00" * 4
+                    + struct.pack("<IHHiIIIIIIi4h", 0, 0, 0, 0, 0, 1,
+                                  8000, 0, 0, 0, -1, 0, 0, 0, 0))
+        aud_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        strls = lst(b"strl", chunk(b"strh", aud_strh)
+                    + chunk(b"strf", aud_strf)) + vid_strl
+        vid_no = 1
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    movi = lst(b"movi", b"".join(chunk(b"%02ddc" % vid_no, f)
                                  for f in frames_payload))
     inner = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(inner)) + inner

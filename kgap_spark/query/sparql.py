@@ -116,6 +116,11 @@ _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
           "IRI", "URI", "ISNUMERIC",
           "NOW", "UUID", "STRUUID", "RAND", "BNODE"}
 
+# the only builtins with a legal nullary form (§17.4.1.x, §17.4.2.9);
+# COALESCE() is grammatically nullary too (ExpressionList may be empty)
+_ZERO_ARG_FUNCS = {"NOW", "UUID", "STRUUID", "RAND", "BNODE",
+                   "COALESCE"}
+
 
 @dataclass
 class Tok:
@@ -789,10 +794,13 @@ class _Parser:
 
             def is_simple(a) -> bool:
                 # NPS arms are never "simple": they need _edge_rel's
-                # per-triple-multiplicity relation, not an isin scan
+                # per-triple-multiplicity relation, not an isin scan;
+                # a nested PathAlt (overlapping inner alternation,
+                # e.g. (p|p)|q) is a relation, not an isin literal
                 return (len(a) == 1 and a[0][1] is None and not a[0][2]
                         and not isinstance(a[0][0], (PathSeq, PathNeg,
-                                                     PathNegMixed)))
+                                                     PathNegMixed,
+                                                     PathAlt)))
 
             if all(is_simple(a) for a in arms):
                 # all-simple alternation with DISTINCT arms: stay on
@@ -1260,6 +1268,13 @@ class _Parser:
                     self.next()
                     args.append(self.expr())
             self.expect("OP", ")")
+            if not args and t.text not in _ZERO_ARG_FUNCS:
+                # only the nondeterministic/constant builtins have a
+                # nullary form — STRLEN() etc. must fail at parse
+                # time, not as an IndexError mid-compile
+                raise ValueError(
+                    f"SPARQL builtin {t.text}() requires arguments"
+                )
             if t.text in ("STRLANG", "STRDT"):
                 return self._fold_term_ctor(FnCall(t.text, args))
             return FnCall(t.text, args)
@@ -1540,7 +1555,9 @@ def _compile_expr(e, df: DataFrame,
             if e.name == "BOUND":
                 return a[0].isNotNull()
             if e.name == "COALESCE":
-                return F.coalesce(*a)
+                # nullary COALESCE() is grammatical; every arg
+                # erroring/unbound (or none given) yields unbound
+                return F.coalesce(*a) if a else F.lit(None)
             if e.name in ("STRBEFORE", "STRAFTER"):
                 if not isinstance(e.args[1], Lit):
                     raise ValueError(
@@ -1658,9 +1675,20 @@ def _compile_expr(e, df: DataFrame,
             if e.name == "STRUUID":
                 return F.expr("uuid()")
             if e.name == "BNODE":
-                if e.args:  # BNODE(str): stable label from the arg
-                    return F.concat(F.lit("_:"),
-                                    F.md5(a[0].cast("string")))
+                if e.args:
+                    # BNODE(str), §17.4.2.9: the SAME node for equal
+                    # args within one solution mapping, DISTINCT
+                    # across solutions — so the label mixes a per-row
+                    # nonce (partition id ‖ row offset: equal for
+                    # every instance evaluated over the same row in
+                    # one stage) with the argument. md5(arg) alone
+                    # would merge nodes across solutions.
+                    nonce = F.monotonically_increasing_id() \
+                        .cast("string")
+                    return F.concat(
+                        F.lit("_:"),
+                        F.md5(F.concat(nonce, F.lit(":"),
+                                       a[0].cast("string"))))
                 return F.concat(F.lit("_:"), F.expr("uuid()"))
             if e.name == "RAND":
                 return F.rand()
@@ -2065,6 +2093,13 @@ def _arm_rel(triples: DataFrame, elts: tuple,
             oT = right if right is not None else Var("__path_arm_b")
             r = _path_pairs(triples, wrap(pred), sT, oT,
                             graph_var=graph_var)
+        elif isinstance(pred, PathAlt):
+            # nested alternation as an arm element ((p|p)/q …):
+            # recurse — _path_pairs unions the inner arms with the
+            # same endpoint threading
+            sT = left if left is not None else Var("__path_arm_a")
+            oT = right if right is not None else Var("__path_arm_b")
+            r = _path_pairs(triples, pred, sT, oT, graph_var=graph_var)
         else:
             r = _edge_rel(triples, pred, graph_var,
                           triple_multiplicity=isinstance(

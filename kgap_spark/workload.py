@@ -2223,7 +2223,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc
 JOIN sizes sb ON doc_b = sb.doc
-WHERE ROUND(i / (sa.sz + sb.sz - i), 4) >= 0.5
+WHERE i / (sa.sz + sb.sz - i) > 0.5
 """
 
 

@@ -138,6 +138,37 @@ def test_minhash_lsh_approx_join_matches_exact_jaccard(spark, docs):
     assert all(j >= 0.4 for j in got.values())
 
 
+def test_minhash_lsh_boundary_is_strict(spark):
+    """approxSimilarityJoin keeps dist < threshold STRICTLY: a pair at
+    exactly jaccard 0.5 is excluded at max_jaccard_dist=0.5 and
+    included at 0.51 — by both the deterministic join and Spark ML."""
+    from kgap_spark.functions.dedup import (
+        minhash_lsh_approx_join,
+        minhash_lsh_near_duplicates,
+    )
+
+    # 3 shingles each, sharing exactly 2 → jaccard 2/(3+3-2) = 0.5
+    pair = spark.createDataFrame(
+        [(0, "t1 t2 t3 t4 t5"), (1, "t1 t2 t3 t4 t6")],
+        ["doc_id", "text"],
+    )
+    # bands=16 (1 row/band): candidate iff ANY of 16 minhashes agree —
+    # deterministic under the seeded md5 family, verified nonempty at
+    # the looser threshold below
+    strict = minhash_lsh_approx_join(
+        pair, "doc_id", "text", n=3, max_jaccard_dist=0.5,
+        num_perm=16, bands=16).collect()
+    assert strict == []
+    loose = minhash_lsh_approx_join(
+        pair, "doc_id", "text", n=3, max_jaccard_dist=0.51,
+        num_perm=16, bands=16).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in loose] == [(0, 1, 0.5)]
+    ml = minhash_lsh_near_duplicates(
+        pair, "doc_id", "text", n=3, max_jaccard_dist=0.5,
+        num_hash_tables=16).collect()
+    assert ml == []
+
+
 def test_minhash_lsh_ml_agrees_with_exact(spark, docs):
     from kgap_spark.functions.dedup import minhash_lsh_near_duplicates
 
@@ -1395,6 +1426,24 @@ def test_avi_rgb_dib_frames():
     assert tuple(out[2, 4]) == (0, 0, 255)
 
 
+def test_avi_video_not_stream_zero():
+    """An audio strl before the video strl makes the video stream 01;
+    its frames live in '01dc' chunks and must still decode."""
+    import numpy as np
+
+    from kgap_spark.functions.video import decode_avi, encode_avi
+
+    frames = [_encode_jpeg(16, 16, [np.full((16, 16), 30 + i * 50,
+                                            dtype=np.uint8)])
+              for i in range(3)]
+    data = encode_avi(frames, 16, 16, codec="MJPG", fps=10,
+                      audio_first=True)
+    w, h, fps, n, out = decode_avi(data, max_frames=3)
+    assert (w, h, n) == (16, 16, 3) and len(out) == 3
+    lumas = [px[0] for (_, _, _, px) in out]
+    assert lumas == sorted(lumas)
+
+
 def test_avi_malformed_raises_valueerror():
     import pytest
 
@@ -2342,11 +2391,12 @@ def _ima_encode(sr, chans):
     return _wav_wrap(0x11, ch, sr, block_align, 4, spb, bytes(body)), recon
 
 
-def _ms_encode(sr, chans):
+def _ms_encode(sr, chans, pidx=0):
     import struct as st
 
-    from kgap_spark.functions.audio import _MS_ADAPT
+    from kgap_spark.functions.audio import _MS_ADAPT, _MS_COEFS
 
+    c1, c2 = _MS_COEFS[pidx]
     ch = len(chans)
     datab = 32 * ch
     spb = 2 + (2 * datab) // ch
@@ -2362,7 +2412,7 @@ def _ms_encode(sr, chans):
         s2 = [seg[c][0] for c in range(ch)]
         s1 = [seg[c][1] for c in range(ch)]
         for c in range(ch):
-            body.append(0)  # coefficient pair 0: (256, 0)
+            body.append(pidx)
         for vals in (deltas, s1, s2):
             for c in range(ch):
                 body += st.pack("<h", vals[c])
@@ -2375,7 +2425,9 @@ def _ms_encode(sr, chans):
             c = which % ch
             x = seg[c][pos[c]]
             pos[c] += 1
-            pred = (s1[c] * 256 + s2[c] * 0) >> 8
+            # decoder-identical: C '/ 256' truncates toward zero
+            acc = s1[c] * c1 + s2[c] * c2
+            pred = acc // 256 if acc >= 0 else -((-acc) // 256)
             s = max(-8, min(7, round((x - pred) / deltas[c])))
             nib = s & 0xF
             new = max(-32768, min(32767, pred + deltas[c] * s))
@@ -2429,9 +2481,15 @@ def test_ms_adpcm_roundtrip():
 
     from kgap_spark.functions.audio import decode_wav
 
-    for chans, sr in (([_sig(180, 11.0)], 16000),
-                      ([_sig(140, 5.0), _sig(140, 17.0, amp=800)], 44100)):
-        data, recon = _ms_encode(sr, chans)
+    # pidx 0 = (256, 0): products are multiples of 256 (floor == trunc);
+    # pidx 3 = (192, 64): negative zero-crossing sums exercise the
+    # C-style truncation-toward-zero prediction divide
+    for chans, sr, pidx in (
+            ([_sig(180, 11.0)], 16000, 0),
+            ([_sig(140, 5.0), _sig(140, 17.0, amp=800)], 44100, 0),
+            ([_sig(200, 9.0, amp=-2500)], 22050, 3),
+            ([_sig(150, 6.0), _sig(150, 13.0, amp=-900)], 8000, 3)):
+        data, recon = _ms_encode(sr, chans, pidx=pidx)
         got_sr, ch, arr = decode_wav(data)
         assert (got_sr, ch) == (sr, len(chans))
         for c in range(ch):

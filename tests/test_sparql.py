@@ -2178,6 +2178,50 @@ def test_negated_set_in_path_alternation(spark):
     assert [r.z for r in df2.collect()] == ["urn:s", "urn:s"]
 
 
+def test_nested_alternation_in_alternation_arm(spark):
+    """(p|p)|q — a non-disjoint inner alternation is a PathAlt node,
+    not an isin literal; the outer alternation must union it per-arm
+    (was: crashed converting the PathAlt dataclass to a Column).
+    §18.4 multiset: p-edges twice (inner repeat), q-edges once."""
+    rows = [
+        ("urn:s", "ex:p", "urn:o1", None, None, "urn:g", None),
+        ("urn:s", "ex:q", "urn:o2", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?o WHERE { <urn:s> (ex:p|ex:p)|ex:q ?o } ORDER BY ?o
+    """)
+    assert [r.o for r in df.collect()] == ["urn:o1", "urn:o1",
+                                           "urn:o2"]
+    # both arms nested non-disjoint: p×2 + q×2
+    df2 = execute_sparql(t, """
+        SELECT ?o WHERE { <urn:s> (ex:p|ex:p)|(ex:q|ex:q) ?o }
+        ORDER BY ?o
+    """)
+    assert [r.o for r in df2.collect()] == ["urn:o1", "urn:o1",
+                                            "urn:o2", "urn:o2"]
+
+
+def test_nested_alternation_in_sequence_arm(spark):
+    """(p|p)/q|r — alternation binds loosest (§19.8 PathAlternative ≫
+    PathSequence), so this is ((p|p)/q) | r: a PathAlt as an ELEMENT
+    of a sequence arm goes through _arm_rel's recursion; inner
+    multiplicity carries through the junction join."""
+    rows = [
+        ("urn:s", "ex:p", "urn:m", None, None, "urn:g", None),
+        ("urn:m", "ex:q", "urn:o1", None, None, "urn:g", None),
+        ("urn:s", "ex:r", "urn:o2", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?o WHERE { <urn:s> (ex:p|ex:p)/ex:q|ex:r ?o }
+        ORDER BY ?o
+    """)
+    # sequence arm: s→m twice, each →o1; r arm: o2 once
+    assert [r.o for r in df.collect()] == ["urn:o1", "urn:o1",
+                                           "urn:o2"]
+
+
 def test_string_literal_quote_forms(alt_kb):
     # single-quoted and long (triple-quoted) literal forms (§19.8)
     from kgap_spark.query.sparql import parse_sparql as pq
@@ -2273,3 +2317,20 @@ def test_builtin_term_ctor_and_nondeterministic(spark):
     """)
     r3, = df3.collect()
     assert r3.b1 == r3.b2 and r3.b1.startswith("_:")
+    # …but DISTINCT across solution mappings (§17.4.2.9): equal args
+    # in different rows must NOT merge into one blank node
+    df4 = execute_sparql(t, """
+        SELECT ?b WHERE { ?s ?p ?v . BIND(BNODE("k") AS ?b) }
+    """)
+    labels = [r.b for r in df4.collect()]
+    assert len(labels) == 3 and len(set(labels)) == 3
+    # nullary form is only legal for NOW/UUID/STRUUID/RAND/BNODE —
+    # arg-requiring builtins reject at parse time
+    with pytest.raises(ValueError, match="STRLEN"):
+        execute_sparql(t, "SELECT ?s WHERE { ?s ?p ?o "
+                          "FILTER(STRLEN() > 3) }")
+    # nullary COALESCE() is grammatical and yields unbound
+    df5 = execute_sparql(t, """
+        SELECT ?c WHERE { <urn:e> ex:u ?x . BIND(COALESCE() AS ?c) }
+    """)
+    assert [r.c for r in df5.collect()] == [None]
