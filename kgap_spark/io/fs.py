@@ -46,6 +46,49 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(p, recursive))
 
 
+def create_text_file(spark: SparkSession, path: str, content: str) -> bool:
+    """Create-if-absent write; ``False`` if the path already exists.
+
+    This is the commit primitive of the snapshot store: Hadoop's
+    ``create(path, overwrite=false)`` fails when the file exists, which
+    on HDFS is an atomic compare-and-swap — two racing writers get a
+    deterministic winner. On ``file://`` (tests) the check-then-create
+    window is not atomic and on S3 the guarantee needs a catalog or
+    conditional PUT; both seams are documented on ``SnapshotStore``.
+    """
+    from py4j.protocol import Py4JJavaError
+
+    fs, p = _jfs(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Py4JJavaError:
+        # FileAlreadyExistsException (or parent-race variants): the
+        # version number was claimed by another committer
+        return False
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def list_status(spark: SparkSession, path: str) -> list[dict]:
+    """Child entries of a directory as ``{"name", "is_dir", "length"}``
+    dicts ([] if it doesn't exist) — the sized variant of
+    ``list_names`` for manifest bookkeeping."""
+    fs, p = _jfs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        {
+            "name": st.getPath().getName(),
+            "is_dir": bool(st.isDirectory()),
+            "length": int(st.getLen()),
+        }
+        for st in fs.listStatus(p)
+    ]
+
+
 def write_text_file(spark: SparkSession, path: str, content: str) -> None:
     """Write a small metadata file (overwrite) through the Hadoop FS —
     works on file:// in tests and object stores in production."""

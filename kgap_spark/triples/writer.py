@@ -22,12 +22,17 @@ seam where an Iceberg catalog plugs in (``writeTo(...).append()`` /
 parquet implementation keeps the exact same call surface and semantics
 (partition-granular atomicity via dynamic partition overwrite).
 
-One semantic gap vs Iceberg — no snapshot isolation: a lazy DataFrame
-obtained from ``read()``/``read_graph()`` pins the *file listing* at
-creation time and becomes invalid once an overwriting write replaces
-those files. Callers that re-use a store-derived frame across writes
-must materialize it first (``df.localCheckpoint(eager=True)``);
-``merge`` does this internally for its own read-then-overwrite cycle.
+One semantic gap vs Iceberg in THIS class — no snapshot isolation: a
+lazy DataFrame obtained from ``read()``/``read_graph()`` pins the
+*file listing* at creation time and becomes invalid once an
+overwriting write replaces those files. Callers that re-use a
+store-derived frame across writes must materialize it first
+(``df.localCheckpoint(eager=True)``); ``merge`` does this internally
+for its own read-then-overwrite cycle. ``SnapshotStore``
+(``triples/snapshots.py``) closes the gap from first principles —
+immutable data files + versioned manifests + create-if-absent commit —
+with the same call surface plus time travel / rollback / vacuum; this
+class remains the plain-parquet fast path for one-shot bulk loads.
 
 Layout for scale: partition by ``graph`` (the query workload is
 graph-scoped: per-feed counts, graph-scoped import/export/clear —
