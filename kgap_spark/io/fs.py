@@ -61,10 +61,14 @@ def create_text_file(spark: SparkSession, path: str, content: str) -> bool:
     fs, p = _jfs(spark, path)
     try:
         out = fs.create(p, False)
-    except Py4JJavaError:
-        # FileAlreadyExistsException (or parent-race variants): the
-        # version number was claimed by another committer
-        return False
+    except Py4JJavaError as e:
+        # only "already exists" means losing the CAS; a permission or
+        # connectivity error must surface as itself, not masquerade as
+        # a lost commit race
+        msg = str(e.java_exception) if e.java_exception else str(e)
+        if "ExistsException" in msg or "already exists" in msg.lower():
+            return False
+        raise
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
@@ -84,6 +88,9 @@ def list_status(spark: SparkSession, path: str) -> list[dict]:
             "name": st.getPath().getName(),
             "is_dir": bool(st.isDirectory()),
             "length": int(st.getLen()),
+            # epoch seconds; drives the snapshot store's grace windows
+            # (torn-manifest recovery, orphan-dir sweep)
+            "mtime": st.getModificationTime() / 1000.0,
         }
         for st in fs.listStatus(p)
     ]

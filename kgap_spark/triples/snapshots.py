@@ -18,34 +18,51 @@ pointer), implemented here from first principles:
   graph-scoped read plans only that graph's files — no directory
   listing, no Hive pruning needed) plus an operation summary.
 - **Commit = create-if-absent of the next manifest.** The committed
-  version is simply the largest ``v<N>.json`` that exists; claiming
-  ``v<N+1>`` with Hadoop ``create(path, overwrite=false)`` is the
-  compare-and-swap (atomic on HDFS; the ``file://`` test fallback and
-  the S3 conditional-PUT seam are documented on
-  ``fs.create_text_file``). Losing the race retries against the new
+  version is the largest ``v<N>.json`` that exists AND parses;
+  claiming ``v<N+1>`` with Hadoop ``create(path, overwrite=false)``
+  is the compare-and-swap (atomic on HDFS; the ``file://`` test
+  fallback and the S3 conditional-PUT seam are documented on
+  ``fs.create_text_file``). A manifest torn by a crash mid-write never
+  bricks the store: readers skip unparseable manifests, and a later
+  committer deletes one after ``torn_grace_sec`` (a crashed writer)
+  and re-claims the slot. Losing the race retries against the new
   tip: append-style commits replay unconditionally; overwrite-style
   commits (overwrite/compact/delete) re-validate that the affected
-  graphs' file sets are unchanged since the version their input was
+  graphs' file sets are unchanged since the snapshot their input was
   read from, else raise ``SnapshotConflictError`` — the same
-  serializable-per-partition validation Iceberg applies.
+  serializable-per-partition validation Iceberg applies. Pass
+  ``expected_base=<version your read() used>`` to extend that
+  validation across the full read→commit window; without it the
+  window starts at the write call (both documented on
+  ``overwrite_graphs``).
 
 What this buys over the parent class, with the same call surface:
 
 - **Snapshot isolation**: a DataFrame from ``read()`` remains valid —
   and keeps returning the data as of its snapshot — across any number
-  of subsequent writes. No ``localCheckpoint`` anywhere.
+  of subsequent writes. No ``localCheckpoint`` anywhere: the
+  inherited read-transform-overwrite paths (``delete_quads``,
+  ``rewrite``) are re-implemented without their defensive
+  materialization (at 100 TB those checkpoints are an
+  O(affected-partitions) copy per delete).
 - **Time travel**: ``read(version=K)``, ``snapshots()``,
   ``rollback(K)`` (an O(metadata) commit restoring K's file list).
 - **O(metadata) deletes**: ``delete_graph`` edits the manifest; the
   partition-drop cost is zero data movement regardless of graph size.
-- **Vacuum**: ``expire_snapshots(keep_last=k)`` deletes manifests
-  older than the last ``k`` and every data file they alone reference.
+- **Vacuum**: ``expire_snapshots(keep_last=k)`` drops manifests older
+  than the last ``k`` and every data file they alone referenced —
+  manifests first, so a crash mid-vacuum leaves only harmless orphan
+  files (re-vacuumable), never a live manifest pointing at deleted
+  data. ``sweep_orphans=True`` also removes snapshot dirs no live
+  manifest references (failed commits, crashed vacuums) once they are
+  older than ``orphan_grace_sec``.
 
 At 100 TB the manifest is the only driver-side state: one JSON entry
 per data file (file counts are bounded by the same range-partitioned
 write + auto-compaction policy as the parent), reads plan from it
 without listing directories (on object stores, LIST is the slow call),
 and the per-version delta is O(files touched), never O(table).
+Manifests are immutable once parseable, so parses are memoized.
 """
 
 from __future__ import annotations
@@ -54,7 +71,7 @@ import json
 import re
 import time
 import uuid
-from collections import defaultdict
+from collections import Counter, defaultdict
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,7 +79,7 @@ from pyspark.sql import functions as F
 
 from kgap_spark import schemas as S
 from kgap_spark.io import fs
-from kgap_spark.triples.writer import TripleStore, _escape_partition
+from kgap_spark.triples.writer import QUAD_KEY, TripleStore, _nullsafe_anti
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -73,8 +90,8 @@ class SnapshotConflictError(RuntimeError):
 
 
 def _unescape_partition(value: str) -> str:
-    """Inverse of the Hive partition-dir escaping Spark's writer (and
-    ``_escape_partition``) applies."""
+    """Inverse of the Hive partition-dir escaping Spark's writer
+    applies (``writer._escape_partition`` is its forward twin)."""
     return re.sub(r"%([0-9A-Fa-f]{2})",
                   lambda m: chr(int(m.group(1), 16)), value)
 
@@ -83,11 +100,16 @@ class SnapshotStore(TripleStore):
     """Drop-in ``TripleStore`` with manifest-based snapshot commits.
 
     Inherits the logical operations (``merge`` dedup semantics,
-    ``delete_quads``, ``rewrite``, ``compact`` policy, orphan cleanup,
-    accounting) and overrides only the physical layer: reads plan from
-    the current manifest, writes land in immutable snapshot dirs and
-    commit by manifest swap.
+    ``compact`` policy, orphan cleanup, accounting) and overrides the
+    physical layer: reads plan from the current manifest, writes land
+    in immutable snapshot dirs and commit by manifest swap.
+    ``delete_quads``/``rewrite`` are re-implemented checkpoint-free.
     """
+
+    # a torn (unparseable) manifest younger than this may still be
+    # mid-write by a live committer; older ones are crashed commits a
+    # new committer may delete and re-claim
+    torn_grace_sec: float = 60.0
 
     def __init__(
         self, spark: SparkSession, path: str,
@@ -98,32 +120,61 @@ class SnapshotStore(TripleStore):
                          compact_threshold=compact_threshold)
         self.data_dir = fs.join(path, "_data")
         self.meta_dir = fs.join(path, "_meta")
+        # version → parsed manifest; safe because a manifest is
+        # immutable once it parses (bounded: recent entries only)
+        self._man_cache: dict[int, dict] = {}
 
     # -- manifest layer ----------------------------------------------
-    def current_version(self) -> int:
-        """Largest committed manifest version (0 = empty store)."""
-        vs = [
+    def _versions(self) -> list[int]:
+        """Committed-or-claimed manifest version numbers, ascending
+        (filename-based; torn manifests included — callers that need
+        readability use ``current_version``)."""
+        return sorted(
             int(m.group(1))
             for name in fs.list_names(self.spark, self.meta_dir)
             if (m := _MANIFEST_RE.match(name))
-        ]
-        return max(vs, default=0)
+        )
+
+    def current_version(self) -> int:
+        """Largest version whose manifest exists and parses (0 = empty
+        store). A claimed-but-torn tip (crash mid-write, or a racing
+        writer not yet closed) is skipped, never fatal."""
+        for v in reversed(self._versions()):
+            if self._try_manifest(v) is not None:
+                return v
+        return 0
 
     def _manifest_path(self, version: int) -> str:
         return fs.join(self.meta_dir, f"v{version}.json")
+
+    def _try_manifest(self, version: int) -> dict | None:
+        """Parse manifest ``version``; None if missing or torn.
+        Positive results are memoized (manifests are immutable once
+        parseable); negatives are not (a slow writer may complete)."""
+        if version in self._man_cache:
+            return self._man_cache[version]
+        try:
+            raw = fs.read_text_file(self.spark, self._manifest_path(version))
+            man = json.loads(raw)
+        except Exception:
+            return None
+        if len(self._man_cache) > 16:
+            self._man_cache.clear()
+        self._man_cache[version] = man
+        return man
 
     def _manifest(self, version: int) -> dict:
         if version == 0:
             return {"version": 0, "parent": None, "operation": "init",
                     "files": []}
-        try:
-            raw = fs.read_text_file(self.spark, self._manifest_path(version))
-        except Exception:
+        man = self._try_manifest(version)
+        if man is None:
             raise ValueError(
-                f"snapshot v{version} does not exist (expired or never "
-                f"committed; current={self.current_version()})"
-            ) from None
-        return json.loads(raw)
+                f"snapshot v{version} does not exist or is torn "
+                f"(expired, aborted, or never committed; "
+                f"current={self.current_version()})"
+            )
+        return man
 
     def _files(self, version: int) -> list[dict]:
         return self._manifest(version)["files"]
@@ -133,10 +184,12 @@ class SnapshotStore(TripleStore):
                 replace_files: list[dict] | None = None,
                 expected_base: int | None = None,
                 max_retries: int = 5) -> int:
-        """Claim the next manifest version. Retries against a moved tip;
-        overwrite-style commits (``drop_graphs``/``replace_files`` with
-        ``expected_base``) first validate that no affected graph changed
-        since ``expected_base``."""
+        """Claim the next manifest version. Retries against a moved
+        tip; overwrite-style commits (``drop_graphs``/``replace_files``
+        with ``expected_base``) first validate that no affected graph
+        changed since ``expected_base``. A torn manifest blocking the
+        next slot is deleted and re-claimed once older than
+        ``torn_grace_sec``."""
         add = list(add)
         for _ in range(max_retries):
             cur = self.current_version()
@@ -153,7 +206,7 @@ class SnapshotStore(TripleStore):
                 }
                 if base_set != cur_set:
                     raise SnapshotConflictError(
-                        f"{op}: graphs {sorted(affected)[:5]}... changed "
+                        f"{op}: graphs {sorted(affected)[:5]} changed "
                         f"between v{expected_base} and v{cur}"
                     )
             if replace_files is not None:
@@ -180,13 +233,31 @@ class SnapshotStore(TripleStore):
                 json.dumps(manifest),
             ):
                 return cur + 1
+            # slot taken: by a completed commit (loop re-reads the
+            # tip) or by a torn manifest from a crashed writer —
+            # recover the latter after the grace window
+            self._recover_torn(cur + 1)
         raise SnapshotConflictError(
             f"{op}: lost the manifest CAS {max_retries} times"
         )
 
-    def _write_snap(self, df: DataFrame) -> list[dict]:
-        """Write ``df`` to a fresh immutable snapshot dir; return its
-        manifest entries (path relative to ``_data``, graph, bytes)."""
+    def _recover_torn(self, version: int) -> None:
+        """Delete a claimed-but-unparseable manifest older than
+        ``torn_grace_sec`` so its slot can be re-claimed (crashed
+        committer). Younger torn files are left alone — their writer
+        may still be mid-close."""
+        if self._try_manifest(version) is not None:
+            return
+        for ent in fs.list_status(self.spark, self.meta_dir):
+            if (ent["name"] == f"v{version}.json"
+                    and time.time() - ent["mtime"] > self.torn_grace_sec):
+                fs.delete(self.spark, self._manifest_path(version))
+                return
+
+    def _write_snap(self, df: DataFrame) -> tuple[str, list[dict]]:
+        """Write ``df`` to a fresh immutable snapshot dir; return
+        ``(snap_rel, entries)`` with manifest entries (path relative
+        to ``_data``, graph, bytes)."""
         snap_rel = f"snap-{uuid.uuid4().hex[:12]}"
         snap_dir = fs.join(self.data_dir, snap_rel)
         (
@@ -208,7 +279,18 @@ class SnapshotStore(TripleStore):
                         "graph": graph,
                         "bytes": f_["length"],
                     })
-        return entries
+        return snap_rel, entries
+
+    def _commit_snap(self, op: str, snap_rel: str, add: list[dict],
+                     **kwargs) -> int:
+        """_commit, deleting the just-written snapshot dir if the
+        commit fails — a refused commit must not leak data files (the
+        vacuum only tracks files that made it into a manifest)."""
+        try:
+            return self._commit(op, add=add, **kwargs)
+        except Exception:
+            fs.delete(self.spark, fs.join(self.data_dir, snap_rel))
+            raise
 
     # -- reads --------------------------------------------------------
     def exists(self) -> bool:
@@ -217,9 +299,11 @@ class SnapshotStore(TripleStore):
     def _load_files(self, entries: list[dict]) -> DataFrame:
         """Plan a scan over exactly these manifest entries. Files are
         grouped per snapshot dir (each needs its own ``basePath`` for
-        the ``graph=`` partition column to parse); branches are cast to
-        the canonical schema before the union so partition-value type
-        inference can never skew a branch."""
+        the ``graph=`` partition column to parse); every branch reads
+        with the explicit canonical schema — the partition column's
+        type is taken from it, so a numeric-looking graph name
+        ("1.50") can never be inferred to double and round-trip
+        wrong, and footer-sampling schema inference is skipped."""
         if not entries:
             return self.spark.createDataFrame([], S.TRIPLES)
         by_dir: dict[str, list[str]] = defaultdict(list)
@@ -230,10 +314,6 @@ class SnapshotStore(TripleStore):
         parts = []
         for snap_rel, paths in sorted(by_dir.items()):
             base = fs.join(self.data_dir, snap_rel)
-            # explicit schema: the partition column's type is taken
-            # from it, so a numeric-looking graph name ("1.50") can
-            # never be inferred to double and round-trip as "1.5";
-            # also skips footer-sampling schema inference
             parts.append(
                 self.spark.read.schema(S.TRIPLES)
                 .option("basePath", base)
@@ -280,31 +360,46 @@ class SnapshotStore(TripleStore):
         )
 
     def _n_graph_files(self, graph: str) -> int:
-        """Live file count of one graph — a manifest scan, not an fs
-        listing (on object stores the listing is the expensive call)."""
-        return sum(
-            1 for e in self._files(self.current_version())
-            if e["graph"] == graph
+        """Live file count of one graph — a (memoized) manifest scan,
+        not an fs listing. Batch callers (``compact``) use
+        ``_graph_file_counts`` for one pass over the manifest."""
+        return self._graph_file_counts()[graph]
+
+    def _graph_file_counts(self) -> Counter:
+        return Counter(
+            e["graph"] for e in self._files(self.current_version())
         )
 
     # -- writes -------------------------------------------------------
     def append(self, df: DataFrame) -> None:
         """Replication mode: immutable snapshot dir + add-files commit
         (unconditionally replayable under concurrency)."""
-        self._commit("append", add=self._write_snap(df))
+        snap_rel, entries = self._write_snap(df)
+        self._commit_snap("append", snap_rel, entries)
 
-    def overwrite_graphs(self, df: DataFrame) -> None:
+    def overwrite_graphs(self, df: DataFrame,
+                         expected_base: int | None = None) -> None:
         """Replace exactly the graph partitions present in ``df``. The
         affected-graph set is derived from the written snapshot dir's
-        partition values — no driver-side collect of ``df``. Readers of
-        older snapshots are untouched (their files stay live until
-        ``expire_snapshots``), which is why ``df`` itself may be derived
-        from this store with no checkpoint."""
-        base = self.current_version()
-        entries = self._write_snap(df)
-        self._commit("overwrite", add=entries,
-                     drop_graphs={e["graph"] for e in entries},
-                     expected_base=base)
+        partition values — no driver-side collect of ``df``. Readers
+        of older snapshots are untouched (their files stay live until
+        ``expire_snapshots``), which is why ``df`` itself may be
+        derived from this store with no checkpoint.
+
+        ``expected_base`` extends the conflict validation window: pass
+        the version your input was read from
+        (``v = store.current_version(); df = store.read(version=v)``)
+        and a concurrent commit that touched the same graphs anywhere
+        in the read→commit window raises ``SnapshotConflictError``
+        instead of being silently overwritten. Without it the window
+        starts here (single-logical-writer-per-graph deployments don't
+        need more)."""
+        base = (self.current_version() if expected_base is None
+                else expected_base)
+        snap_rel, entries = self._write_snap(df)
+        self._commit_snap("overwrite", snap_rel, entries,
+                          drop_graphs={e["graph"] for e in entries},
+                          expected_base=base)
 
     def delete_graph(self, graph: str) -> None:
         """Graph-scoped clear as a metadata-only commit: zero data
@@ -313,17 +408,52 @@ class SnapshotStore(TripleStore):
         self._commit("delete-graph", drop_graphs={graph},
                      expected_base=self.current_version())
 
+    def delete_quads(self, quads: DataFrame) -> None:
+        """U2: DELETE DATA, checkpoint-free and in ONE commit. The
+        parent must materialize the delete set and the survivors
+        (its overwrite deletes the files its own plans read); here the
+        input plans stay valid throughout, and graphs emptied by the
+        delete are dropped by the same commit — their old files are
+        removed from the manifest and no new files replace them."""
+        base = self.current_version()
+        dels = quads.select(*QUAD_KEY).distinct()
+        graphs = [r.graph for r in dels.select("graph").distinct().collect()]
+        if not graphs:
+            return
+        gset = set(graphs)
+        existing = self._load_files([
+            e for e in self._files(base) if e["graph"] in gset
+        ])
+        remaining = _nullsafe_anti(existing, dels, QUAD_KEY)
+        snap_rel, entries = self._write_snap(remaining)
+        self._commit_snap("delete-quads", snap_rel, entries,
+                          drop_graphs=gset, expected_base=base)
+
+    def rewrite(self, match_pred: str, new_pred: str) -> None:
+        """U3 predicate rename — the parent's read-transform-overwrite
+        minus the defensive checkpoint (snapshot reads cannot be
+        invalidated by the overwrite)."""
+        base = self.current_version()
+        current = self.read(version=base)
+        affected = current.filter(
+            F.col("pred") == match_pred).select("graph").distinct()
+        scoped = current.join(F.broadcast(affected), "graph", "left_semi")
+        rewritten = scoped.withColumn(
+            "pred",
+            F.when(F.col("pred") == match_pred,
+                   F.lit(new_pred)).otherwise(F.col("pred")),
+        )
+        self.overwrite_graphs(rewritten, expected_base=base)
+
     # -- snapshot management ------------------------------------------
     def snapshots(self) -> list[dict]:
-        """Commit log, oldest first: one row per live manifest."""
-        vs = sorted(
-            int(m.group(1))
-            for name in fs.list_names(self.spark, self.meta_dir)
-            if (m := _MANIFEST_RE.match(name))
-        )
+        """Commit log, oldest first: one row per live, parseable
+        manifest."""
         out = []
-        for v in vs:
-            man = self._manifest(v)
+        for v in self._versions():
+            man = self._try_manifest(v)
+            if man is None:
+                continue
             out.append({
                 "version": v,
                 "parent": man.get("parent"),
@@ -339,62 +469,92 @@ class SnapshotStore(TripleStore):
         files = self._files(version)  # raises if expired/unknown
         return self._commit("rollback", replace_files=files)
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1,
+                         sweep_orphans: bool = False,
+                         orphan_grace_sec: float = 3600.0) -> dict:
         """Vacuum: drop all but the newest ``keep_last`` manifests and
         delete every data file only they referenced. The one operation
         that removes data files — never run it with readers holding
-        snapshots older than the kept window."""
+        snapshots older than the kept window.
+
+        Crash-safe ordering: expired MANIFESTS are deleted first, then
+        their files — a crash mid-vacuum can only leave orphan files
+        (harmless, removable by a later ``sweep_orphans=True`` run),
+        never a live manifest referencing deleted data.
+        ``sweep_orphans`` additionally removes snapshot dirs that no
+        remaining manifest references at all (failed commits already
+        clean up after themselves; this catches crashed ones) once
+        older than ``orphan_grace_sec`` — the grace window keeps the
+        sweep from racing an in-flight ``_write_snap``."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        vs = sorted(
-            int(m.group(1))
-            for name in fs.list_names(self.spark, self.meta_dir)
-            if (m := _MANIFEST_RE.match(name))
-        )
+        vs = self._versions()
         keep = set(vs[-keep_last:])
         expire = [v for v in vs if v not in keep]
         referenced = {
-            e["path"] for v in keep for e in self._files(v)
+            e["path"] for v in keep
+            for e in (self._try_manifest(v) or {"files": []})["files"]
         }
         dropped_paths = {
-            e["path"] for v in expire for e in self._files(v)
+            e["path"] for v in expire
+            for e in (self._try_manifest(v) or {"files": []})["files"]
         } - referenced
+        # manifests FIRST (see docstring), then the data files
+        for v in expire:
+            fs.delete(self.spark, self._manifest_path(v))
+            self._man_cache.pop(v, None)
         for rel in dropped_paths:
             fs.delete(self.spark, fs.join(self.data_dir, rel),
                       recursive=False)
         # prune snapshot dirs emptied by the file deletes
         for snap_rel in {p.split("/", 1)[0] for p in dropped_paths}:
-            snap_dir = fs.join(self.data_dir, snap_rel)
-            live = any(
-                f_["name"].endswith(".parquet")
-                for part in fs.list_status(self.spark, snap_dir)
-                if part["is_dir"]
-                for f_ in fs.list_status(
-                    self.spark, fs.join(snap_dir, part["name"])
-                )
+            self._delete_snap_dir_if_dead(snap_rel)
+        swept = 0
+        if sweep_orphans:
+            ref_dirs = {p.split("/", 1)[0] for p in referenced}
+            now = time.time()
+            for ent in fs.list_status(self.spark, self.data_dir):
+                if (ent["is_dir"] and ent["name"].startswith("snap-")
+                        and ent["name"] not in ref_dirs
+                        and now - ent["mtime"] > orphan_grace_sec):
+                    fs.delete(self.spark,
+                              fs.join(self.data_dir, ent["name"]))
+                    swept += 1
+        return {"expired": expire, "deleted_files": len(dropped_paths),
+                "swept_orphan_dirs": swept}
+
+    def _delete_snap_dir_if_dead(self, snap_rel: str) -> None:
+        snap_dir = fs.join(self.data_dir, snap_rel)
+        live = any(
+            f_["name"].endswith(".parquet")
+            for part in fs.list_status(self.spark, snap_dir)
+            if part["is_dir"]
+            for f_ in fs.list_status(
+                self.spark, fs.join(snap_dir, part["name"])
             )
-            if not live:
-                fs.delete(self.spark, snap_dir)
-        for v in expire:
-            fs.delete(self.spark, self._manifest_path(v))
-        return {"expired": expire, "deleted_files": len(dropped_paths)}
+        )
+        if not live:
+            fs.delete(self.spark, snap_dir)
 
     # the parent's physical-layout helper targets Hive partition dirs;
     # keep the API but route through the manifest layer
     def compact(self, graphs: list[str] | None = None) -> dict:
-        """Same policy as the parent (consolidate fragmented graphs into
-        the canonical range-partitioned layout) — but old snapshots keep
-        reading the pre-compaction files, so no checkpoint is needed."""
+        """Same policy as the parent (consolidate fragmented graphs
+        into the canonical range-partitioned layout) — but old
+        snapshots keep reading the pre-compaction files, so no
+        checkpoint is needed, and file accounting is one manifest pass
+        per side, not one listing per graph."""
+        base = self.current_version()
+        counts = self._graph_file_counts()
         if graphs is None:
-            graphs = sorted({
-                e["graph"] for e in self._files(self.current_version())
-            })
+            graphs = sorted(counts)
         if not graphs:
             return {"graphs": 0, "files_before": 0, "files_after": 0}
-        before = sum(self._n_graph_files(g) for g in graphs)
+        before = sum(counts[g] for g in graphs)
         self.overwrite_graphs(
-            self.read().filter(F.col("graph").isin(graphs))
+            self.read(version=base).filter(F.col("graph").isin(graphs)),
+            expected_base=base,
         )
-        after = sum(self._n_graph_files(g) for g in graphs)
+        after_counts = self._graph_file_counts()
         return {"graphs": len(graphs), "files_before": before,
-                "files_after": after}
+                "files_after": sum(after_counts[g] for g in graphs)}

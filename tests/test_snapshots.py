@@ -77,13 +77,14 @@ def test_parity_with_triplestore_operation_script(spark, tmp_path):
         st.merge(_quads(spark, ops_rows["merge2"]))
         st.delete_graph("urn:g:3")
         st.delete_quads(_quads(spark, [("c", "p", "3", "urn:g:1")]))
+        # a delete that EMPTIES a graph must drop it entirely
+        st.delete_quads(_quads(spark, [("d", "p", "4", "urn:g:2")]))
         results.append(
             sorted((r.subj, r.pred, r.obj, r.graph)
                    for r in st.read().collect())
         )
     assert results[0] == results[1]
-    assert results[0] == [("a", "p", "1", "urn:g:1"),
-                          ("d", "p", "4", "urn:g:2")]
+    assert results[0] == [("a", "p", "1", "urn:g:1")]
 
 
 def test_time_travel_and_commit_log(spark, tmp_path):
@@ -177,14 +178,78 @@ def test_overwrite_conflict_on_changed_graph_raises(spark, tmp_path):
     g = "urn:g:1"
     st.append(_quads(spark, [("a", "p", "1", g)]))
     base = st.current_version()
-    entries = st._write_snap(_quads(spark, [("a", "p", "9", g)]))
+    snap_rel, entries = st._write_snap(_quads(spark, [("a", "p", "9", g)]))
     # concurrent writer appends to the SAME graph before our commit
     st.append(_quads(spark, [("z", "p", "0", g)]))
     with pytest.raises(SnapshotConflictError):
-        st._commit("overwrite", add=entries, drop_graphs={g},
-                   expected_base=base)
-    # the concurrent append survives untouched
+        st._commit_snap("overwrite", snap_rel, entries, drop_graphs={g},
+                        expected_base=base)
+    # the concurrent append survives untouched...
     assert {r.subj for r in st.read_graph(g).collect()} == {"a", "z"}
+    # ...and the refused commit's data files were cleaned up, not
+    # leaked (the vacuum only tracks manifest-referenced files)
+    assert not glob.glob(f"{path}/_data/{snap_rel}")
+
+
+def test_overwrite_expected_base_covers_read_window(spark, tmp_path):
+    """Passing expected_base = the version the input was read from
+    extends conflict validation across the whole read→commit window:
+    a concurrent commit landing between read() and overwrite_graphs()
+    raises instead of being silently dropped."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    g = "urn:g:1"
+    st.append(_quads(spark, [("a", "p", "1", g)]))
+    v = st.current_version()
+    df = st.read(version=v).withColumn("obj", F.lit("9"))
+    # concurrent append to the same graph AFTER our read
+    st.append(_quads(spark, [("z", "p", "0", g)]))
+    with pytest.raises(SnapshotConflictError):
+        st.overwrite_graphs(df, expected_base=v)
+    assert {r.subj for r in st.read_graph(g).collect()} == {"a", "z"}
+    # without expected_base the window starts at the call — documented
+    # single-writer semantics: the overwrite proceeds
+    st.overwrite_graphs(st.read().withColumn("obj", F.lit("7")))
+    assert {r.obj for r in st.read_graph(g).collect()} == {"7"}
+
+
+def test_torn_manifest_never_bricks_and_is_recovered(spark, tmp_path):
+    """A manifest torn by a crash mid-write (truncated JSON) is
+    skipped by readers and, once past the grace window, deleted and
+    re-claimed by the next committer."""
+    path = str(tmp_path / "s")
+    st = SnapshotStore(spark, path)
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))
+    # simulate a crashed committer: v2 exists but is truncated
+    with open(f"{path}/_meta/v2.json", "w") as f:
+        f.write('{"version": 2, "files": [{"pa')
+    # readers skip the torn tip
+    assert st.current_version() == 1
+    assert st.read().count() == 1
+    assert [s["version"] for s in st.snapshots()] == [1]
+    with pytest.raises(ValueError, match="torn"):
+        st.read(version=2)
+    # a committer past the grace window recovers the slot
+    st.torn_grace_sec = 0.0
+    st.append(_quads(spark, [("b", "p", "2", "urn:g:2")]))
+    assert st.current_version() == 2
+    assert st.read().count() == 2
+
+
+def test_expire_sweeps_orphan_snapshot_dirs(spark, tmp_path):
+    """sweep_orphans removes snapshot dirs no live manifest references
+    (crashed commits) once older than the grace window."""
+    path = str(tmp_path / "s")
+    st = SnapshotStore(spark, path)
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))
+    # simulate a crashed commit: data landed, no manifest references it
+    orphan_rel, _ = st._write_snap(_quads(spark, [("x", "p", "0",
+                                                   "urn:g:9")]))
+    assert glob.glob(f"{path}/_data/{orphan_rel}")
+    out = st.expire_snapshots(keep_last=1, sweep_orphans=True,
+                              orphan_grace_sec=0.0)
+    assert out["swept_orphan_dirs"] == 1
+    assert not glob.glob(f"{path}/_data/{orphan_rel}")
+    assert st.read().count() == 1  # live data untouched
 
 
 def test_graph_names_roundtrip_escaping_and_types(spark, tmp_path):
