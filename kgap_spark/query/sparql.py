@@ -2815,7 +2815,7 @@ def _is_internal(col: str) -> bool:
 def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFrame:
     has_agg = bool(q.group_by) or any(
         isinstance(p, tuple) and isinstance(p[0], Agg) for p in q.projections
-    ) or isinstance(q.having, BinOp)
+    ) or q.having is not None
 
     if not has_agg:
         if q.projections == ["*"]:
@@ -2854,30 +2854,36 @@ def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFram
             else:
                 raise ValueError("non-aggregate projection expression "
                                  "requires GROUP BY variable")
-    having_col = None
+    having_expr = None
+    having_names: list[str] = []
     if q.having is not None:
-        def agg_of(e):
+        # General HAVING (§11.1): an arbitrary boolean expression over
+        # aggregates, group keys, and constants — HAVING (SUM(?x) > 3
+        # && COUNT(*) < AVG(?y) || ?g != "a"). Each Agg node is LIFTED
+        # into a hidden aggregate column computed alongside the
+        # projected ones, then the rewritten expression compiles
+        # through the normal FILTER machinery against the grouped
+        # frame (numeric-vs-lexical coercion, && / || / !, functions —
+        # one semantics for FILTER and HAVING).
+        def _lift(e):
             if isinstance(e, Agg):
-                return _agg_col(e)
-            return None
+                name = f"__having{len(having_names)}"
+                having_names.append(name)
+                aggs.append(_agg_col(e, df).alias(name))
+                return Var(name)
+            if isinstance(e, BinOp):
+                return BinOp(e.op, _lift(e.left), _lift(e.right))
+            if isinstance(e, NotExpr):
+                return NotExpr(_lift(e.inner))
+            if isinstance(e, FnCall):
+                return FnCall(e.name, [_lift(a) for a in e.args])
+            return e
 
-        # HAVING (COUNT(?x) > 1): compute the aggregate as a hidden
-        # column, filter after the agg
-        h = q.having
-        if isinstance(h, BinOp) and isinstance(h.left, Agg):
-            aggs.append(_agg_col(h.left, df).alias("__having"))
-            rhs = h.right.value if isinstance(h.right, Num) else h.right
-            having_col = ("__having", h.op, rhs)
-        else:
-            raise ValueError("HAVING supports <aggregate> <op> <number>")
+        having_expr = _lift(q.having)
 
     gdf = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
-    if having_col is not None:
-        name, op, rhs = having_col
-        c = F.col(name)
-        cond = {"=": c == rhs, "!=": c != rhs, "<": c < rhs,
-                ">": c > rhs, "<=": c <= rhs, ">=": c >= rhs}[op]
-        gdf = gdf.filter(cond).drop(name)
+    if having_expr is not None:
+        gdf = gdf.filter(_compile_expr(having_expr, gdf))
     return gdf.select(*post_sel)
 
 
@@ -2911,7 +2917,7 @@ def _select_result(q: Query, df: DataFrame) -> DataFrame:
     sorting.)"""
     has_agg = bool(q.group_by) or any(
         isinstance(p, tuple) and isinstance(p[0], Agg) for p in q.projections
-    ) or isinstance(q.having, BinOp)
+    ) or q.having is not None
     proj_names = set()
     for p in q.projections:
         if isinstance(p, Var):
@@ -2946,7 +2952,7 @@ def _select_result_scoped(q: Query, df: DataFrame, graph_var: str):
     group_by = list(q.group_by)
     has_agg = bool(group_by) or any(
         isinstance(p, tuple) and isinstance(p[0], Agg) for p in projections
-    ) or isinstance(q.having, BinOp)
+    ) or q.having is not None
     if has_agg and graph_var not in {v.name for v in group_by}:
         group_by.append(Var(graph_var))
     q2 = _dc_replace(q, projections=projections, group_by=group_by,

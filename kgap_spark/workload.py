@@ -1457,6 +1457,40 @@ FROM t GROUP BY 1 ORDER BY 2 DESC, 1
 """
 
 
+SPARQL_HAVING = """
+SELECT ?g (COUNT(*) AS ?n)
+WHERE { GRAPH ?g { ?s rdf:type ?t } }
+GROUP BY ?g
+HAVING ((COUNT(*) > 32 && MIN(?t) = "ex:Short") || STRLEN(?g) <= 10)
+ORDER BY ?g
+"""
+
+
+def q_sparql_having(spark, sf_dir):
+    """General HAVING through the SPARQL-text front-end (§11.1 widened
+    past `<aggregate> <op> <number>` in round 6): boolean combination
+    of two aggregates (one of them projected nowhere — lifted into a
+    hidden aggregate column) and a function over the group key,
+    compiling through the same expression machinery as FILTER."""
+    from kgap_spark.query.sparql import execute_sparql
+
+    return execute_sparql(
+        _doc_triples(spark, sf_dir, multigraph=True), SPARQL_HAVING
+    )
+
+
+ORACLE_SPARQL_HAVING = """
+WITH t AS (
+  SELECT 'urn:g:' || source AS g, source AS tt FROM documents
+  UNION ALL
+  SELECT 'urn:g:' || source, 'ex:Short' FROM documents WHERE n_chars < 200
+)
+SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY g
+HAVING (COUNT(*) > 32 AND MIN(tt) = 'ex:Short') OR LENGTH(g) <= 10
+ORDER BY g
+"""
+
+
 SPARQL_SUBSELECT = """
 SELECT ?d (COUNT(?type) AS ?n_types)
 WHERE {
@@ -2404,6 +2438,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_path_nps": q_sparql_path_nps,
     # round-6 addition: hash + lexical date-accessor builtins
     "sparql_builtin_funcs": q_sparql_builtin_funcs,
+    # round-6 addition: general HAVING expressions (boolean combos,
+    # hidden aggregates, functions over group keys)
+    "sparql_having": q_sparql_having,
 }
 
 ORACLES: dict[str, str] = {
@@ -2482,4 +2519,5 @@ EXTRA_ORACLES: dict[str, str] = {
     "sparql_paginate": ORACLE_SPARQL_PAGINATE,
     "sparql_path_nps": ORACLE_SPARQL_PATH_NPS,
     "sparql_builtin_funcs": ORACLE_SPARQL_BUILTIN_FUNCS,
+    "sparql_having": ORACLE_SPARQL_HAVING,
 }

@@ -2334,3 +2334,53 @@ def test_builtin_term_ctor_and_nondeterministic(spark):
         SELECT ?c WHERE { <urn:e> ex:u ?x . BIND(COALESCE() AS ?c) }
     """)
     assert [r.c for r in df5.collect()] == [None]
+
+
+def test_having_general_expressions(spark):
+    """§11.1 HAVING widened past `<aggregate> <op> <number>`: boolean
+    combinations, group keys, agg-vs-agg comparisons, and functions
+    all compile through the shared FILTER machinery (each Agg node is
+    lifted into a hidden aggregate column)."""
+    rows = []
+    for g, vals in (("urn:a", [1, 2, 3]), ("urn:b", [10]),
+                    ("urn:c", [4, 4])):
+        for i, v in enumerate(vals):
+            rows.append((g, "ex:v", str(v), None,
+                         "http://www.w3.org/2001/XMLSchema#integer",
+                         "urn:g", None))
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    # boolean conjunction of two aggregates
+    df = execute_sparql(t, """
+        SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ex:v ?v }
+        GROUP BY ?s HAVING (SUM(?v) > 5 && COUNT(*) >= 2)
+        ORDER BY ?s
+    """)
+    assert [(r.s, r.n) for r in df.collect()] == [("urn:a", 3),
+                                                  ("urn:c", 2)]
+    # group key in HAVING, disjunction
+    df2 = execute_sparql(t, """
+        SELECT ?s WHERE { ?s ex:v ?v }
+        GROUP BY ?s HAVING (?s = <urn:b> || MIN(?v) > 3)
+        ORDER BY ?s
+    """)
+    assert [r.s for r in df2.collect()] == ["urn:b", "urn:c"]
+    # aggregate vs aggregate
+    df3 = execute_sparql(t, """
+        SELECT ?s WHERE { ?s ex:v ?v }
+        GROUP BY ?s HAVING (MAX(?v) > AVG(?v))
+        ORDER BY ?s
+    """)
+    assert [r.s for r in df3.collect()] == ["urn:a"]
+    # negation + function over a group key
+    df4 = execute_sparql(t, """
+        SELECT ?s WHERE { ?s ex:v ?v }
+        GROUP BY ?s HAVING (!(COUNT(*) = 2) && CONTAINS(STR(?s), "urn"))
+        ORDER BY ?s
+    """)
+    assert [r.s for r in df4.collect()] == ["urn:a", "urn:b"]
+    # HAVING without GROUP BY: implicit single group
+    df5 = execute_sparql(t, """
+        SELECT (COUNT(*) AS ?n) WHERE { ?s ex:v ?v }
+        HAVING (COUNT(*) > 100)
+    """)
+    assert df5.collect() == []
