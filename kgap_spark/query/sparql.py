@@ -105,6 +105,7 @@ _KEYWORDS = {
 }
 _AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG", "SAMPLE", "GROUP_CONCAT"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
+          "CONCAT", "IF",
           "DATATYPE", "STRSTARTS", "STRENDS", "LCASE", "UCASE",
           "COALESCE", "STRBEFORE", "STRAFTER", "REPLACE", "SUBSTR",
           "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
@@ -299,7 +300,7 @@ class Query:
     distinct: bool = False
     projections: list = field(default_factory=list)  # Var | (expr, alias)
     where: Group | None = None
-    group_by: list = field(default_factory=list)     # [Var]
+    group_by: list = field(default_factory=list)     # [Var | (expr, Var)]
     having: object | None = None
     order_by: list = field(default_factory=list)     # [(expr, asc: bool)]
     limit: int | None = None
@@ -442,8 +443,27 @@ class _Parser:
             if self.at_kw("GROUP"):
                 self.next()
                 self.expect("KW", "BY")
-                while self.peek() and self.peek().kind == "VAR":
-                    q.group_by.append(Var(self.next().text[1:]))
+                # GroupCondition ::= Var | '(' Expression 'AS' Var ')'
+                # (§19.8; the bare-builtin form without AS binds an
+                # unreferenceable implicit var — not supported, loud)
+                while True:
+                    t = self.peek()
+                    if t and t.kind == "VAR":
+                        q.group_by.append(Var(self.next().text[1:]))
+                    elif t and t.kind == "OP" and t.text == "(":
+                        self.next()
+                        e = self.expr()
+                        self.expect("KW", "AS")
+                        vt = self.next()
+                        if vt is None or vt.kind != "VAR":
+                            raise ValueError(
+                                "GROUP BY (expr AS ?var): expected "
+                                "a variable after AS"
+                            )
+                        self.expect("OP", ")")
+                        q.group_by.append((e, Var(vt.text[1:])))
+                    else:
+                        break
             elif self.at_kw("HAVING"):
                 self.next()
                 q.having = self.expr()
@@ -1552,6 +1572,19 @@ def _compile_expr(e, df: DataFrame,
                 return F.lower(a[0])
             if e.name == "UCASE":
                 return F.upper(a[0])
+            if e.name == "CONCAT":
+                # §17.4.3.12: variadic; any erroring/unbound arg makes
+                # the whole call an error (F.concat's NULL propagation
+                # matches exactly)
+                return F.concat(*[x.cast("string") for x in a])
+            if e.name == "IF":
+                # §17.4.1.2: IF(c,t,f) — an ERROR condition is an
+                # error (unbound), NOT the else-branch: the chained
+                # when with no otherwise leaves NULL cond → NULL
+                if len(a) != 3:
+                    raise ValueError("IF takes exactly 3 arguments")
+                cond = a[0].cast("boolean")
+                return F.when(cond, a[1]).when(~cond, a[2])
             if e.name == "BOUND":
                 return a[0].isNotNull()
             if e.name == "COALESCE":
@@ -2836,7 +2869,17 @@ def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFram
             out = df.select(*sel)
         return out.distinct() if q.distinct else out
 
-    group_cols = [v.name for v in q.group_by]
+    # GROUP BY ?v | GROUP BY (expr AS ?v): computed group keys are
+    # materialized as columns BEFORE the grouping (so aggregates and
+    # HAVING may reference them like any bound variable)
+    group_cols = []
+    for gb in q.group_by:
+        if isinstance(gb, Var):
+            group_cols.append(gb.name)
+        else:
+            e, v = gb
+            df = df.withColumn(v.name, _compile_expr(e, df))
+            group_cols.append(v.name)
     aggs, post_sel = [], []
     for p in q.projections:
         if isinstance(p, Var):
@@ -2851,9 +2894,18 @@ def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFram
             if isinstance(e, Agg):
                 aggs.append(_agg_col(e, df).alias(alias.name))
                 post_sel.append(F.col(alias.name))
+            elif _vars_of(e) <= set(group_cols):
+                # §18.2.4.4: a non-aggregate projection expression is
+                # legal when every variable it uses is a group key —
+                # SELECT (UCASE(?g) AS ?u) … GROUP BY ?g. Compiled
+                # AFTER the aggregation, against the grouped frame
+                # (deferred: the frame doesn't exist yet).
+                post_sel.append(("__post_expr", e, alias.name))
             else:
-                raise ValueError("non-aggregate projection expression "
-                                 "requires GROUP BY variable")
+                raise ValueError(
+                    "non-aggregate projection expression may only use "
+                    "GROUP BY variables"
+                )
     having_expr = None
     having_names: list[str] = []
     if q.having is not None:
@@ -2884,7 +2936,12 @@ def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFram
     gdf = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
     if having_expr is not None:
         gdf = gdf.filter(_compile_expr(having_expr, gdf))
-    return gdf.select(*post_sel)
+    final_sel = [
+        _compile_expr(c[1], gdf).alias(c[2])
+        if isinstance(c, tuple) and c[0] == "__post_expr" else c
+        for c in post_sel
+    ]
+    return gdf.select(*final_sel)
 
 
 def _order_limit(q: Query, df: DataFrame) -> DataFrame:
@@ -2953,7 +3010,9 @@ def _select_result_scoped(q: Query, df: DataFrame, graph_var: str):
     has_agg = bool(group_by) or any(
         isinstance(p, tuple) and isinstance(p[0], Agg) for p in projections
     ) or q.having is not None
-    if has_agg and graph_var not in {v.name for v in group_by}:
+    gb_names = {(v.name if isinstance(v, Var) else v[1].name)
+                for v in group_by}
+    if has_agg and graph_var not in gb_names:
         group_by.append(Var(graph_var))
     q2 = _dc_replace(q, projections=projections, group_by=group_by,
                      order_by=[], limit=None, offset=None)

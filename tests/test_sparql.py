@@ -2384,3 +2384,75 @@ def test_having_general_expressions(spark):
         HAVING (COUNT(*) > 100)
     """)
     assert df5.collect() == []
+
+
+def test_group_by_expression_and_projection_expression(spark):
+    """§18.2.4.4 / §19.8 GroupCondition: GROUP BY (expr AS ?var)
+    materializes the computed key before grouping, and non-aggregate
+    projection expressions over group keys compile post-aggregation
+    (SELECT (UCASE(?g) AS ?u) … GROUP BY ?g — was a loud reject)."""
+    rows = [
+        ("urn:a", "ex:v", "Apple", None, None, "urn:g", None),
+        ("urn:a", "ex:v", "avocado", None, None, "urn:g", None),
+        ("urn:b", "ex:v", "Banana", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    # computed group key: group by the UPPERCASED first letter
+    df = execute_sparql(t, """
+        SELECT ?k (COUNT(*) AS ?n)
+        WHERE { ?s ex:v ?o }
+        GROUP BY (UCASE(SUBSTR(?o, 1, 1)) AS ?k)
+        ORDER BY ?k
+    """)
+    assert [(r.k, r.n) for r in df.collect()] == [("A", 2), ("B", 1)]
+    # projection expression over a plain group key
+    df2 = execute_sparql(t, """
+        SELECT (UCASE(STR(?s)) AS ?u) (COUNT(*) AS ?n)
+        WHERE { ?s ex:v ?o }
+        GROUP BY ?s ORDER BY ?u
+    """)
+    assert [(r.u, r.n) for r in df2.collect()] == [("URN:A", 2),
+                                                   ("URN:B", 1)]
+    # computed key referenced by projection expression AND aggregate
+    df3 = execute_sparql(t, """
+        SELECT (CONCAT("k=", ?k) AS ?label) (COUNT(?k) AS ?n)
+        WHERE { ?s ex:v ?o }
+        GROUP BY (STRLEN(?o) AS ?k)
+        ORDER BY ?label
+    """)
+    got = [(r.label, r.n) for r in df3.collect()]
+    assert got == [("k=5", 1), ("k=6", 1), ("k=7", 1)]
+    # a projection expression using a NON-grouped variable stays loud
+    with pytest.raises(ValueError, match="GROUP BY"):
+        execute_sparql(t, """
+            SELECT (UCASE(?o) AS ?u) WHERE { ?s ex:v ?o } GROUP BY ?s
+        """)
+
+
+def test_concat_and_if_builtins(spark):
+    """CONCAT (§17.4.3.12, variadic) and IF (§17.4.1.2) in the text
+    front-end — both previously missing (the F4/F5 operators were
+    DataFrame-API-only). IF's error condition yields unbound, not the
+    else branch."""
+    rows = [
+        ("urn:a", "ex:v", "5", None, None, "urn:g", None),
+        ("urn:b", "ex:v", "15", None, None, "urn:g", None),
+        ("urn:c", "ex:w", "x", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT ?s (CONCAT("v=", ?o, "!") AS ?c)
+               (IF(?o > 10, "big", "small") AS ?sz)
+        WHERE { ?s ex:v ?o } ORDER BY ?s
+    """)
+    assert [(r.c, r.sz) for r in df.collect()] == [
+        ("v=5!", "small"), ("v=15!", "big")]
+    # IF over an ERROR condition (unbound var comparison) → unbound,
+    # NOT the else branch; CONCAT with an unbound arg → unbound
+    df2 = execute_sparql(t, """
+        SELECT ?s ?m (IF(?m > 0, "y", "n") AS ?i)
+               (CONCAT("p", ?m) AS ?c)
+        WHERE { ?s ex:w ?o OPTIONAL { ?s ex:missing ?m } }
+    """)
+    r, = df2.collect()
+    assert (r.m, r.i, r.c) == (None, None, None)
