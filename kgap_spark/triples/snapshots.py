@@ -340,6 +340,98 @@ class SnapshotStore(TripleStore):
             [e for e in self._files(v) if e["graph"] == graph]
         )
 
+    def _diff_filesets(self, files_a: list[dict],
+                       files_b: list[dict]) -> tuple[DataFrame, DataFrame]:
+        """(inserts, deletes) going from file list ``a`` to ``b``,
+        planned with two levels of pruning so the cost is O(rows in
+        files actually touched), never O(table):
+
+        - **File-level**: a path present in both manifests is an
+          immutable file — identical content, skipped entirely.
+        - **Graph-level**: a graph whose changed files all sit on ONE
+          side needs no content diff — its rows are pure inserts (new
+          files in an appended/new graph) or pure deletes (a dropped
+          graph). Only graphs with changed files on BOTH sides (an
+          overwrite/delete-quads/compaction rewrite) pay the
+          ``exceptAll`` shuffle, and only over those graphs' changed
+          files.
+
+        ``exceptAll`` is multiset difference over all columns, so a
+        rewrite that re-emits identical content (compaction, a
+        rollback past a rollback) nets to zero changes — the changelog
+        reports LOGICAL change, not file churn."""
+        paths_a = {e["path"] for e in files_a}
+        paths_b = {e["path"] for e in files_b}
+        only_a = [e for e in files_a if e["path"] not in paths_b]
+        only_b = [e for e in files_b if e["path"] not in paths_a]
+        mixed = ({e["graph"] for e in only_a}
+                 & {e["graph"] for e in only_b})
+        ins = self._load_files(
+            [e for e in only_b if e["graph"] not in mixed])
+        dels = self._load_files(
+            [e for e in only_a if e["graph"] not in mixed])
+        if mixed:
+            new = self._load_files(
+                [e for e in only_b if e["graph"] in mixed])
+            old = self._load_files(
+                [e for e in only_a if e["graph"] in mixed])
+            ins = ins.unionByName(new.exceptAll(old))
+            dels = dels.unionByName(old.exceptAll(new))
+        return ins, dels
+
+    def read_changes(self, from_version: int,
+                     to_version: int | None = None,
+                     net: bool = True) -> DataFrame:
+        """Incremental (changelog) scan: the logical row changes going
+        from snapshot ``from_version`` to ``to_version`` (default:
+        current tip), as the table columns plus ``_change``
+        (``insert`` | ``delete``). This is what a resumable downstream
+        consumer polls instead of re-reading the table: record the
+        version you last processed, then
+        ``read_changes(last_seen)`` + ``current_version()`` on each
+        cycle — the plan touches only files that changed (public table
+        formats call this an incremental/changelog scan; same design:
+        manifest diff first, content diff only where file sets
+        overlap per graph, see ``_diff_filesets``).
+
+        ``net=True`` (default) diffs the two endpoint manifests in one
+        pass: row churn that cancels out inside the window (an insert
+        later deleted, a compaction rewrite, a rollback that restores
+        the starting file list) is absent from the result. ``net=False``
+        walks each commit in ``(from, to]`` and emits its individual
+        changes tagged with ``_commit_version`` — an audit/CDC view;
+        every intermediate manifest must still be live (a vacuumed
+        window raises, same as ``read(version=...)``)."""
+        end = self.current_version() if to_version is None else to_version
+        if from_version > end:
+            raise ValueError(
+                f"read_changes: from_version {from_version} is newer "
+                f"than to_version {end}"
+            )
+        if net:
+            ins, dels = self._diff_filesets(
+                self._files(from_version), self._files(end))
+            return (
+                ins.withColumn("_change", F.lit("insert"))
+                .unionByName(dels.withColumn("_change", F.lit("delete")))
+            )
+        parts = []
+        prev = self._files(from_version)
+        for v in range(from_version + 1, end + 1):
+            cur = self._files(v)
+            ins, dels = self._diff_filesets(prev, cur)
+            parts.append(
+                ins.withColumn("_change", F.lit("insert"))
+                .unionByName(dels.withColumn("_change", F.lit("delete")))
+                .withColumn("_commit_version", F.lit(v))
+            )
+            prev = cur
+        if not parts:
+            empty = self._load_files([]).withColumn(
+                "_change", F.lit("insert"))
+            return empty.withColumn("_commit_version", F.lit(0)).limit(0)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def _graph_pruned_scan(self, update: DataFrame,
                            graphs: list | None = ...) -> DataFrame:
         """Manifest-pruned variant of the parent's scan: with a bounded

@@ -2319,6 +2319,62 @@ FROM documents
 """
 
 
+def q_kg_changelog(spark, sf_dir):
+    """Incremental (changelog/CDC) scan of the snapshot store — what a
+    resumable downstream consumer reads instead of the full table
+    (reference analog: LDES consumers poll a feed for new members,
+    ``ldes-consumer/app.py``; here the consumer polls the store's
+    commit log). Builds a three-commit store in a fresh temp dir —
+    v1 appends the nation dim as triples, v2 appends the region dim,
+    v3 deletes the region-0 nations — then reads the v1→v3 window:
+    the region inserts plus the nation deletes, and nothing from the
+    untouched v1 remainder (the plan prunes at the manifest level, so
+    unchanged files are never scanned). The temp dir must outlive the
+    returned plan, so it is not cleaned up here (OS tmp reaping)."""
+    import tempfile
+
+    from kgap_spark.triples import SnapshotStore
+
+    def to_quads(df, kind, key, name):
+        return df.select(
+            F.concat(F.lit(f"urn:{kind}:"),
+                     F.col(key).cast("string")).alias("subj"),
+            F.lit("urn:p:name").alias("pred"),
+            F.col(name).cast("string").alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(f"urn:g:{kind}").alias("graph"),
+            F.lit(None).cast("string").alias("src_url"),
+        )
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    st = SnapshotStore(
+        spark, tempfile.mkdtemp(prefix="kgap-changelog-") + "/store")
+    st.append(to_quads(nation, "nation", "n_nationkey", "n_name"))
+    st.append(to_quads(region, "region", "r_regionkey", "r_name"))
+    st.delete_quads(to_quads(nation.filter(F.col("n_regionkey") == 0),
+                             "nation", "n_nationkey", "n_name"))
+    return st.read_changes(1).select(
+        F.col("_change").alias("change"), "subj", "obj", "graph"
+    )
+
+
+ORACLE_KG_CHANGELOG = """
+SELECT 'insert' AS change,
+       'urn:region:' || CAST(r_regionkey AS VARCHAR) AS subj,
+       r_name AS obj,
+       'urn:g:region' AS graph
+FROM region
+UNION ALL
+SELECT 'delete' AS change,
+       'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+       n_name AS obj,
+       'urn:g:nation' AS graph
+FROM nation WHERE n_regionkey = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 #
@@ -2367,7 +2423,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_band": q_minhash_band,
-    "simhash": q_simhash,
     # the Python-adjacent path sits mid-registry on purpose: a driver
     # that trims the tail of a long run must not silently drop it
     # (round-2 lesson — it was last and absent from
@@ -2398,6 +2453,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # group_count) to keep the window at exactly 50
     "sparql_path_deep": q_sparql_path_deep,
     "sparql_describe": q_sparql_describe,
+    # round-6 addition: snapshot-store incremental/changelog scan —
+    # newest, inside the window; simhash moved to the stable overflow
+    # (the dedup family keeps four in-core rows: dedup_exact,
+    # ngram_jaccard, minhash_band, minhash_lsh)
+    "kg_changelog": q_kg_changelog,
 }
 
 # Stable overflow past the driver's 50-entry window: unchanged code
@@ -2411,7 +2471,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_mix": q_doc_mix,
     "sessionize_native": q_sessionize_native,
     # moved from the core window in round 6 to make room for
-    # sparql_path_deep / sparql_describe / minhash_lsh
+    # sparql_path_deep / sparql_describe / minhash_lsh / kg_changelog
+    "simhash": q_simhash,
     "sparql_select": q_sparql_select,
     "type_distribution": q_type_distribution,
     "minhash_lsh_ml": q_minhash_lsh_ml,
@@ -2479,7 +2540,6 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_band": ORACLE_MINHASH_BAND,
-    "simhash": ORACLE_SIMHASH,
     "minhash_lsh": ORACLE_MINHASH_LSH,
     "fts_search": ORACLE_FTS_SEARCH,
     "fts_search_indexed": ORACLE_FTS_TFIDF,
@@ -2494,9 +2554,11 @@ ORACLES: dict[str, str] = {
     "sparql_path_deep": ORACLE_SPARQL_PATH_DEEP,
     "sparql_describe": ORACLE_SPARQL_DESCRIBE,
     "multimodal_features": ORACLE_MULTIMODAL,
+    "kg_changelog": ORACLE_KG_CHANGELOG,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "simhash": ORACLE_SIMHASH,
     "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
     "doc_mix": ORACLE_DOC_MIX,
     "sessionize_native": ORACLE_SESSIONIZE,

@@ -305,3 +305,90 @@ def test_resumable_pipeline_runs_on_snapshot_store(spark, tiny, tmp_path):
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0
     # every pipeline stage is a recorded snapshot commit
     assert st.current_version() >= 2
+
+
+# -- incremental / changelog scan -------------------------------------------
+
+def _changes(df):
+    return {(r._change, r.subj, r.pred, r.obj, r.graph)
+            for r in df.collect()}
+
+
+def test_read_changes_append_is_pure_inserts(spark, tmp_path):
+    """Append-only windows never pay a content diff: the changes are
+    exactly the appended rows (and the plan, by construction, scans
+    only the new snapshot's files — _diff_filesets routes one-sided
+    graphs straight to a scan, no exceptAll)."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))   # v1
+    st.append(_quads(spark, [("b", "p", "2", "urn:g:1"),
+                             ("c", "p", "3", "urn:g:2")]))   # v2
+    assert _changes(st.read_changes(1)) == {
+        ("insert", "b", "p", "2", "urn:g:1"),
+        ("insert", "c", "p", "3", "urn:g:2"),
+    }
+    # full window from the empty store = everything as inserts
+    assert len(_changes(st.read_changes(0))) == 3
+    # empty window
+    assert st.read_changes(2, 2).count() == 0
+
+
+def test_read_changes_overwrite_and_delete(spark, tmp_path):
+    """Overwrites and quad deletes produce insert+delete pairs scoped
+    to the touched graphs; untouched graphs contribute nothing."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1"),
+                             ("keep", "p", "9", "urn:g:2")]))  # v1
+    st.overwrite_graphs(_quads(spark, [("a", "p", "2", "urn:g:1")]))  # v2
+    st.delete_quads(_quads(spark, [("keep", "p", "9", "urn:g:2")]))   # v3
+    assert _changes(st.read_changes(1)) == {
+        ("delete", "a", "p", "1", "urn:g:1"),
+        ("insert", "a", "p", "2", "urn:g:1"),
+        ("delete", "keep", "p", "9", "urn:g:2"),
+    }
+
+
+def test_read_changes_nets_out_churn(spark, tmp_path):
+    """net=True reports logical change only: an insert deleted inside
+    the window, a compaction rewrite, and a rollback to the starting
+    version all net to zero."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    g = "urn:g:1"
+    st.append(_quads(spark, [("a", "p", "1", g)]))            # v1
+    base = st.current_version()
+    st.append(_quads(spark, [("tmp", "p", "x", g)]))          # v2
+    st.delete_quads(_quads(spark, [("tmp", "p", "x", g)]))    # v3
+    st.compact([g])                                           # v4
+    assert st.read_changes(base).count() == 0
+    st.append(_quads(spark, [("b", "p", "2", g)]))            # v5
+    st.rollback(base)                                         # v6
+    assert st.read_changes(base).count() == 0
+
+
+def test_read_changes_per_commit_mode(spark, tmp_path):
+    """net=False is the CDC/audit view: every commit's own changes,
+    tagged with _commit_version — churn is visible, compaction is
+    still content-neutral (empty contribution)."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    g = "urn:g:1"
+    st.append(_quads(spark, [("a", "p", "1", g)]))            # v1
+    st.append(_quads(spark, [("b", "p", "2", g)]))            # v2
+    st.delete_quads(_quads(spark, [("b", "p", "2", g)]))      # v3
+    st.compact([g])                                           # v4
+    rows = {(r._commit_version, r._change, r.subj)
+            for r in st.read_changes(0, net=False).collect()}
+    assert rows == {
+        (1, "insert", "a"),
+        (2, "insert", "b"),
+        (3, "delete", "b"),
+    }
+    assert st.read_changes(2, 2, net=False).count() == 0
+
+
+def test_read_changes_validates_window(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))
+    with pytest.raises(ValueError, match="newer than"):
+        st.read_changes(1, 0)
+    with pytest.raises(ValueError, match="does not exist"):
+        st.read_changes(0, 7)
