@@ -2878,6 +2878,13 @@ def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFram
             group_cols.append(gb.name)
         else:
             e, v = gb
+            if v.name in df.columns:
+                # same in-scope rule as BIND (§18.2.4.1 Group/Extend):
+                # silently overwriting would fabricate groups
+                raise ValueError(
+                    f"GROUP BY (… AS ?{v.name}): variable is already "
+                    "bound in the group"
+                )
             df = df.withColumn(v.name, _compile_expr(e, df))
             group_cols.append(v.name)
     aggs, post_sel = [], []
@@ -2933,7 +2940,14 @@ def _project(q: Query, df: DataFrame, keep: list[str] | None = None) -> DataFram
 
         having_expr = _lift(q.having)
 
-    gdf = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+    if aggs:
+        gdf = (df.groupBy(*group_cols).agg(*aggs) if group_cols
+               else df.agg(*aggs))
+    else:
+        # GROUP BY with no aggregate anywhere (keys-only projection,
+        # HAVING over keys only): the grouped frame is the distinct
+        # keys — Spark's GroupedData.agg() asserts on an empty list
+        gdf = df.select(*group_cols).distinct()
     if having_expr is not None:
         gdf = gdf.filter(_compile_expr(having_expr, gdf))
     final_sel = [

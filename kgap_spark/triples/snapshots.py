@@ -40,11 +40,13 @@ What this buys over the parent class, with the same call surface:
 
 - **Snapshot isolation**: a DataFrame from ``read()`` remains valid —
   and keeps returning the data as of its snapshot — across any number
-  of subsequent writes. No ``localCheckpoint`` anywhere: the
-  inherited read-transform-overwrite paths (``delete_quads``,
-  ``rewrite``) are re-implemented without their defensive
-  materialization (at 100 TB those checkpoints are an
-  O(affected-partitions) copy per delete).
+  of subsequent writes. No defensive ``localCheckpoint`` of
+  table-sized data: the read-transform-overwrite paths
+  (``delete_quads``, ``rewrite``) re-implement the parent's flow
+  without materializing the SURVIVORS side (at 100 TB that
+  checkpoint is an O(affected-partitions) copy per delete; only the
+  small delete-key set is materialized, and only because it is
+  consumed twice).
 - **Time travel**: ``read(version=K)``, ``snapshots()``,
   ``rollback(K)`` (an O(metadata) commit restoring K's file list).
 - **O(metadata) deletes**: ``delete_graph`` edits the manifest; the
@@ -123,6 +125,8 @@ class SnapshotStore(TripleStore):
         # version → parsed manifest; safe because a manifest is
         # immutable once it parses (bounded: recent entries only)
         self._man_cache: dict[int, dict] = {}
+        # (version, Counter) for _graph_file_counts
+        self._counts_cache: tuple[int, Counter] | None = None
 
     # -- manifest layer ----------------------------------------------
     def _versions(self) -> list[int]:
@@ -237,8 +241,19 @@ class SnapshotStore(TripleStore):
             # tip) or by a torn manifest from a crashed writer —
             # recover the latter after the grace window
             self._recover_torn(cur + 1)
+            if (self.current_version() == cur
+                    and self._try_manifest(cur + 1) is None):
+                # the slot is blocked by a torn manifest still inside
+                # torn_grace_sec (its writer may be mid-close), not by
+                # a completed commit: back off instead of burning the
+                # remaining retries in microseconds
+                time.sleep(min(0.05 * (2 ** _), 1.0))
         raise SnapshotConflictError(
-            f"{op}: lost the manifest CAS {max_retries} times"
+            f"{op}: could not claim manifest v{self.current_version() + 1} "
+            f"after {max_retries} attempts (heavy commit contention, or a "
+            f"torn manifest younger than torn_grace_sec="
+            f"{self.torn_grace_sec}s holding the slot — retry after the "
+            f"grace window)"
         )
 
     def _recover_torn(self, version: int) -> None:
@@ -458,9 +473,14 @@ class SnapshotStore(TripleStore):
         return self._graph_file_counts()[graph]
 
     def _graph_file_counts(self) -> Counter:
-        return Counter(
-            e["graph"] for e in self._files(self.current_version())
-        )
+        """Per-graph live file counts, memoized per version — the
+        inherited ``merge`` calls ``_n_graph_files`` once per affected
+        graph, which must not re-scan the manifest each time."""
+        v = self.current_version()
+        if self._counts_cache is None or self._counts_cache[0] != v:
+            self._counts_cache = (
+                v, Counter(e["graph"] for e in self._files(v)))
+        return self._counts_cache[1]
 
     # -- writes -------------------------------------------------------
     def append(self, df: DataFrame) -> None:
@@ -501,15 +521,36 @@ class SnapshotStore(TripleStore):
                      expected_base=self.current_version())
 
     def delete_quads(self, quads: DataFrame) -> None:
-        """U2: DELETE DATA, checkpoint-free and in ONE commit. The
-        parent must materialize the delete set and the survivors
-        (its overwrite deletes the files its own plans read); here the
-        input plans stay valid throughout, and graphs emptied by the
-        delete are dropped by the same commit — their old files are
-        removed from the manifest and no new files replace them."""
+        """U2: DELETE DATA in ONE commit. The delete-KEY set is
+        materialized once — it is consumed twice (graph discovery,
+        anti-join) and, for SPARQL DELETE WHERE, may be an expensive
+        derived plan. The SURVIVORS side stays checkpoint-free: its
+        plan reads immutable snapshot files the commit never touches
+        (the parent must materialize it — its overwrite deletes the
+        files its own plans read). Graphs emptied by the delete are
+        dropped by the same commit — their old files leave the
+        manifest and no new files replace them.
+
+        The affected-graph list honors the parent's MAX_GRAPH_LIST
+        bound: a delete set naming more graphs than that is
+        intersected with the manifest's LIVE graphs via a broadcast
+        semi-join — the result is bounded by the manifest, which is
+        already driver-held state, so no new unboundedness."""
         base = self.current_version()
-        dels = quads.select(*QUAD_KEY).distinct()
-        graphs = [r.graph for r in dels.select("graph").distinct().collect()]
+        dels = quads.select(*QUAD_KEY).distinct().localCheckpoint(
+            eager=True)
+        live = {e["graph"] for e in self._files(base)}
+        graphs = self._graph_list(dels)
+        if graphs is None:
+            live_df = self.spark.createDataFrame(
+                [(g,) for g in sorted(live)], "graph string")
+            graphs = [
+                r.graph for r in dels.select("graph").distinct()
+                .join(F.broadcast(live_df), "graph", "left_semi")
+                .collect()
+            ]
+        else:
+            graphs = [g for g in graphs if g in live]
         if not graphs:
             return
         gset = set(graphs)
@@ -580,9 +621,19 @@ class SnapshotStore(TripleStore):
         sweep from racing an in-flight ``_write_snap``."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        vs = self._versions()
+        # the keep window counts PARSEABLE manifests only: a torn
+        # (claimed-but-unreadable) tip must never displace the live
+        # snapshot out of the window — with filename-based counting,
+        # keep_last=1 under a torn tip would vacuum the current
+        # snapshot's manifest and data (total data loss). Torn
+        # manifests are not expired here either; past the grace
+        # window they are recovered like on the commit path.
+        vs = [v for v in self._versions()
+              if self._try_manifest(v) is not None]
         keep = set(vs[-keep_last:])
         expire = [v for v in vs if v not in keep]
+        for v in set(self._versions()) - set(vs):
+            self._recover_torn(v)
         referenced = {
             e["path"] for v in keep
             for e in (self._try_manifest(v) or {"files": []})["files"]

@@ -392,3 +392,172 @@ def test_read_changes_validates_window(spark, tmp_path):
         st.read_changes(1, 0)
     with pytest.raises(ValueError, match="does not exist"):
         st.read_changes(0, 7)
+
+
+# -- round-6 review-pass regressions ----------------------------------------
+
+def test_expire_with_torn_tip_never_vacuums_live_data(spark, tmp_path):
+    """Data-loss regression (review finding): a claimed-but-torn tip
+    manifest must not count toward keep_last — with filename counting,
+    expire(keep_last=1) under a torn v2 kept only the torn file and
+    deleted the LIVE snapshot's manifest and data."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))   # v1 (live)
+    # simulate a writer crash mid-commit: torn v2, recent mtime
+    (tmp_path / "s" / "_meta" / "v2.json").write_text("{ torn")
+    out = st.expire_snapshots(keep_last=1)
+    assert out["expired"] == [] and out["deleted_files"] == 0
+    assert {r.subj for r in st.read().collect()} == {"a"}
+    # and the torn file was left alone inside the grace window
+    assert (tmp_path / "s" / "_meta" / "v2.json").exists()
+    # past the grace window the vacuum recovers it like the commit path
+    st.torn_grace_sec = 0.0
+    st.expire_snapshots(keep_last=1)
+    assert not (tmp_path / "s" / "_meta" / "v2.json").exists()
+    assert st.current_version() == 1
+
+
+def test_commit_blocked_by_young_torn_manifest_backs_off(spark, tmp_path):
+    """A torn manifest inside the grace window makes commits fail with
+    an explanatory error (after bounded backoff), and succeed again
+    once the grace window passes."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))
+    (tmp_path / "s" / "_meta" / "v2.json").write_text("{ torn")
+    with pytest.raises(SnapshotConflictError, match="torn manifest"):
+        st.append(_quads(spark, [("b", "p", "2", "urn:g:1")]))
+    st.torn_grace_sec = 0.0
+    st.append(_quads(spark, [("b", "p", "2", "urn:g:1")]))
+    assert {r.subj for r in st.read().collect()} == {"a", "b"}
+
+
+def test_delete_quads_ignores_graphs_not_in_store(spark, tmp_path):
+    """A delete set naming only absent graphs is a no-op (no empty
+    commit), and one mixing live and absent graphs touches only the
+    live ones."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))   # v1
+    st.delete_quads(_quads(spark, [("x", "p", "9", "urn:g:ghost")]))
+    assert st.current_version() == 1  # no commit happened
+    st.delete_quads(_quads(spark, [("a", "p", "1", "urn:g:1"),
+                                   ("x", "p", "9", "urn:g:ghost")]))
+    assert st.current_version() == 2
+    assert st.read().count() == 0
+
+
+def test_delete_quads_unbounded_graph_list_falls_back(spark, tmp_path):
+    """Past MAX_GRAPH_LIST distinct graphs in the delete set, the
+    affected-graph discovery switches to the broadcast semi-join
+    against the manifest's live graphs (bounded driver memory)."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1"),
+                             ("b", "p", "2", "urn:g:2")]))
+    old_max = SnapshotStore.MAX_GRAPH_LIST
+    SnapshotStore.MAX_GRAPH_LIST = 2
+    try:
+        dels = [("a", "p", "1", "urn:g:1")] + [
+            ("x", "p", "9", f"urn:g:ghost{i}") for i in range(5)
+        ]
+        st.delete_quads(_quads(spark, dels))
+    finally:
+        SnapshotStore.MAX_GRAPH_LIST = old_max
+    assert {(r.subj, r.graph) for r in st.read().collect()} == {
+        ("b", "urn:g:2")
+    }
+
+
+# -- changelog consumer (durable cursor) -------------------------------------
+
+def test_changelog_cursor_poll_commit_resume(spark, tmp_path):
+    """The consumer-side continuation contract: poll→sink→commit
+    cycles deliver each window exactly once across process restarts
+    (a NEW cursor object on the same dir resumes at the committed
+    position), and an idle store polls cheaply to (None, tip)."""
+    from kgap_spark.streaming import ChangelogCursor
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    cdir = str(tmp_path / "cursor")
+    delivered: list[set] = []
+
+    def sink(df):
+        delivered.append({(r._change, r.subj) for r in df.collect()})
+
+    cur = ChangelogCursor(st, cdir)
+    assert cur.run_once(sink) is False          # empty store: idle
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))
+    assert cur.run_once(sink) is True
+    st.append(_quads(spark, [("b", "p", "2", "urn:g:1")]))
+    st.delete_quads(_quads(spark, [("a", "p", "1", "urn:g:1")]))
+    # restart: a fresh cursor object resumes after the commit
+    cur2 = ChangelogCursor(st, cdir)
+    assert cur2.run_once(sink) is True
+    assert cur2.run_once(sink) is False         # drained
+    assert delivered == [
+        {("insert", "a")},
+        {("insert", "b"), ("delete", "a")},
+    ]
+
+
+def test_changelog_cursor_crash_between_sink_and_commit_replays(
+        spark, tmp_path):
+    """At-least-once: a crash after the sink but before commit()
+    replays the SAME window on restart — with an idempotent sink
+    that is exactly-once end-to-end."""
+    from kgap_spark.streaming import ChangelogCursor
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    cdir = str(tmp_path / "cursor")
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))
+
+    cur = ChangelogCursor(st, cdir)
+    changes, tip = cur.poll()
+    assert changes.count() == 1
+    # crash here: no commit. Restarted consumer sees the same window.
+    cur2 = ChangelogCursor(st, cdir)
+    changes2, tip2 = cur2.poll()
+    assert tip2 == tip and changes2.count() == 1
+    cur2.commit(tip2)
+    assert cur2.poll() == (None, tip)
+
+
+def test_changelog_cursor_vacuumed_window_raises_then_bootstraps(
+        spark, tmp_path):
+    """A vacuumed cursor position is a LOUD error by default (silent
+    full-resend could double-apply at a non-idempotent sink); with
+    allow_bootstrap=True the consumer resyncs from the full tip."""
+    import pytest as _pytest
+
+    from kgap_spark.streaming import ChangelogCursor, ChangelogExpiredError
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    cdir = str(tmp_path / "cursor")
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))   # v1
+    cur = ChangelogCursor(st, cdir)
+    cur.run_once(lambda df: df.count())                       # at v1
+    st.overwrite_graphs(_quads(spark, [("b", "p", "2", "urn:g:1")]))  # v2
+    st.expire_snapshots(keep_last=1)                          # v1 gone
+    with _pytest.raises(ChangelogExpiredError, match="vacuumed"):
+        cur.poll()
+    changes, tip = cur.poll(allow_bootstrap=True)
+    assert {(r._change, r.subj) for r in changes.collect()} == {
+        ("insert", "b")
+    }
+    cur.commit(tip)
+    assert cur.poll() == (None, tip)
+
+
+def test_changelog_cursor_commit_is_idempotent_and_monotonic(
+        spark, tmp_path):
+    from kgap_spark.streaming import ChangelogCursor
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))
+    cur = ChangelogCursor(st, str(tmp_path / "cursor"))
+    cur.commit(1)
+    cur.commit(1)                 # replay of a claimed version: no-op
+    assert cur.position() == 1
+    with pytest.raises(ValueError, match="backwards"):
+        ChangelogCursor(st, str(tmp_path / "cursor")).commit(0)
+    # torn cursor file is skipped, older position stands
+    (tmp_path / "cursor" / "cursor-5.json").write_text("{ torn")
+    assert cur.position() == 1

@@ -2429,6 +2429,46 @@ def test_group_by_expression_and_projection_expression(spark):
         """)
 
 
+def test_group_by_without_any_aggregate(spark):
+    """Valid GROUP BY with no aggregate anywhere — keys-only
+    projection, and HAVING over group keys only — must return the
+    distinct keys, not crash (Spark's GroupedData.agg() asserts on an
+    empty aggregate list; review finding, round 6)."""
+    rows = [
+        ("urn:a", "ex:v", "x", None, None, "urn:g", None),
+        ("urn:a", "ex:v", "y", None, None, "urn:g", None),
+        ("urn:b", "ex:v", "z", None, None, "urn:g", None),
+    ]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(
+        t, "SELECT ?s WHERE { ?s ex:v ?o } GROUP BY ?s ORDER BY ?s")
+    assert [r.s for r in df.collect()] == ["urn:a", "urn:b"]
+    # HAVING over the group key only (no aggregate to lift)
+    df2 = execute_sparql(t, """
+        SELECT ?s WHERE { ?s ex:v ?o }
+        GROUP BY ?s HAVING (STRLEN(STR(?s)) > 2 && ?s != "urn:b")
+    """)
+    assert [r.s for r in df2.collect()] == ["urn:a"]
+    # computed keys-only grouping
+    df3 = execute_sparql(t, """
+        SELECT ?k WHERE { ?s ex:v ?o }
+        GROUP BY (UCASE(?o) AS ?k) ORDER BY ?k
+    """)
+    assert [r.k for r in df3.collect()] == ["X", "Y", "Z"]
+
+
+def test_group_by_as_onto_bound_variable_raises(spark):
+    """GROUP BY (expr AS ?v) onto an in-scope variable is forbidden
+    (§18.2.4.1, same rule as BIND) — silently overwriting would
+    fabricate groups (review finding, round 6)."""
+    rows = [("urn:a", "ex:v", "x", None, None, "urn:g", None)]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    with pytest.raises(ValueError, match="already bound"):
+        execute_sparql(t, """
+            SELECT ?o WHERE { ?s ex:v ?o } GROUP BY (STRLEN(?o) AS ?o)
+        """)
+
+
 def test_concat_and_if_builtins(spark):
     """CONCAT (§17.4.3.12, variadic) and IF (§17.4.1.2) in the text
     front-end — both previously missing (the F4/F5 operators were

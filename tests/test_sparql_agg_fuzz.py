@@ -1,6 +1,8 @@
 """Differential fuzz for the SPARQL aggregation pipeline (round 6):
-GROUP BY (plain and computed keys), COUNT/COUNT DISTINCT/SUM/MIN/MAX,
-and general HAVING expressions vs a naive reference evaluator.
+GROUP BY (plain and computed ``(STRLEN(?v) AS ?k)`` keys, including
+keys-only groupings with NO aggregate anywhere — the empty-agg crash
+found by review), COUNT/COUNT DISTINCT/SUM/MIN/MAX, and general
+HAVING expressions vs a naive reference evaluator.
 
 The reference mirrors the ENGINE's documented numeric conventions
 (the store keeps lexical forms): SUM casts by value and SKIPS
@@ -74,8 +76,12 @@ _having_st = st.one_of(
 _case_st = st.tuples(
     _kb_st,
     st.lists(_pattern_st, min_size=1, max_size=2),
-    st.integers(0, 2),            # how many group keys
-    st.lists(_agg_st, min_size=1, max_size=2),
+    # group keys: each either a plain ?var or a computed
+    # (STRLEN(?var) AS ?kN) key (exercises the materialize-before-
+    # grouping path and the keys-only/no-aggregate fix, round 6)
+    st.lists(st.sampled_from(["plain", "strlen"]),
+             min_size=0, max_size=2),
+    st.lists(_agg_st, min_size=0, max_size=2),
     _having_st,
 )
 
@@ -132,7 +138,11 @@ def _ref_eval(kb, pats, keys, aggs, agg_var, having):
         sols = [m for mu in sols for m in _match(kb, pat, mu)]
     groups: dict[tuple, list] = {}
     for mu in sols:
-        k = tuple(mu.get(v) for v in keys)
+        k = tuple(
+            (len(mu[v]) if v in mu else None) if kind == "strlen"
+            else mu.get(v)
+            for kind, v in keys
+        )
         groups.setdefault(k, []).append(mu)
     if not keys and not groups:
         groups[()] = []  # implicit single group over empty solutions
@@ -163,7 +173,14 @@ def _ref_eval(kb, pats, keys, aggs, agg_var, having):
 # ---------------------------------------------------------------------------
 
 def _render(pats, keys, aggs, agg_var, having) -> str:
-    sel = [f"?{v}" for v in keys]
+    sel, gb = [], []
+    for i, (kind, v) in enumerate(keys):
+        if kind == "plain":
+            sel.append(f"?{v}")
+            gb.append(f"?{v}")
+        else:
+            sel.append(f"?k{i}")
+            gb.append(f"(STRLEN(?{v}) AS ?k{i})")
     for i, (fn, arg, dis) in enumerate(aggs):
         inner = "*" if arg == "*" else (
             f"DISTINCT ?{agg_var}" if dis else f"?{agg_var}")
@@ -173,7 +190,7 @@ def _render(pats, keys, aggs, agg_var, having) -> str:
     )
     q = f"SELECT {' '.join(sel)} WHERE {{ {body} }}"
     if keys:
-        q += " GROUP BY " + " ".join(f"?{v}" for v in keys)
+        q += " GROUP BY " + " ".join(gb)
     if having is not None:
         if having[0] == "count_ge":
             q += f" HAVING (COUNT(*) >= {having[1]})"
@@ -198,13 +215,15 @@ def _norm(v):
 @given(_case_st)
 @settings(max_examples=_EXAMPLES, deadline=None)
 def test_aggregation_agrees_with_naive_evaluator(spark, case):
-    kb, pats, n_keys, aggs, having = case
+    kb, pats, key_kinds, aggs, having = case
     bound = sorted({t[1] for pat in pats for t in pat
                     if isinstance(t, tuple)})
     if not bound:
         return  # need at least one variable for agg args
     agg_var = bound[0]
-    keys = bound[1:1 + n_keys]
+    keys = list(zip(key_kinds, bound[1:1 + len(key_kinds)]))
+    if not keys and not aggs:
+        return  # empty projection — not a well-formed query
     # HAVING's SUM needs the agg var; COUNT-only forms always fine
     query = _render(pats, keys, aggs, agg_var, having)
 
@@ -215,7 +234,9 @@ def test_aggregation_agrees_with_naive_evaluator(spark, case):
     t = spark.createDataFrame(rows, S.TRIPLES)
 
     df = execute_sparql(t, query)
-    cols = keys + [f"a{i}" for i in range(len(aggs))]
+    cols = [v if kind == "plain" else f"k{i}"
+            for i, (kind, v) in enumerate(keys)]
+    cols += [f"a{i}" for i in range(len(aggs))]
     got = sorted(
         (tuple(_norm(r[c]) for c in cols) for r in df.collect()),
     )
