@@ -102,6 +102,9 @@ _KEYWORDS = {
     "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION", "BIND",
     "VALUES", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA",
     "MINUS", "IN",
+    # graph-management update forms (SPARQL 1.1 Update §3.2)
+    "CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD", "LOAD",
+    "SILENT", "TO", "INTO", "DEFAULT", "NAMED", "ALL",
 }
 _AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG", "SAMPLE", "GROUP_CONCAT"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
@@ -254,11 +257,17 @@ class Agg:
 class Update:
     """A SPARQL Update request (quick-reference.md:224-244)."""
 
-    form: str                     # "insert_data" | "delete_data" | "modify"
+    form: str   # "insert_data" | "delete_data" | "modify" | "graphman"
     data: list = field(default_factory=list)       # ground (s,p,o,graph)
     delete_template: list = field(default_factory=list)
     insert_template: list = field(default_factory=list)
     where: object | None = None
+    # graph-management forms (§3.2)
+    op: str | None = None         # clear|drop|create|copy|move|add|load
+    silent: bool = False
+    src: str | None = None        # graph IRI | "DEFAULT" | "NAMED" | "ALL"
+    dst: str | None = None        # graph IRI | "DEFAULT"
+    load_path: str | None = None  # LOAD document IRI/path
 
 
 @dataclass
@@ -385,6 +394,9 @@ class _Parser:
             self.prefixes[pn.rstrip(":")] = iri[1:-1]
         if self.at_kw("INSERT", "DELETE"):
             return self.parse_update()
+        if self.at_kw("CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD",
+                      "LOAD"):
+            return self.parse_graph_update()
         if self.at_kw("ASK"):
             self.next()
             q = Query(form="ask")
@@ -492,6 +504,64 @@ class _Parser:
             else:
                 break
         return q
+
+    def _graph_iri(self) -> str:
+        """An exact graph name: ``<iri>`` or a DECLARED pname (an
+        undeclared well-known prefix expands to an any-of tuple —
+        ambiguous as a graph IDENTITY, so it is rejected here)."""
+        t = self.term(as_predicate=False)
+        if isinstance(t, str):
+            return t
+        if isinstance(t, tuple):
+            raise ValueError(
+                "graph name uses an undeclared prefix — add a PREFIX "
+                "line (a graph name is an exact identity, not a match)"
+            )
+        raise ValueError(f"expected a graph IRI, got {t!r}")
+
+    def _graph_ref(self, named_all: bool) -> str:
+        """``GRAPH <iri>`` | ``DEFAULT`` [| ``NAMED`` | ``ALL``]."""
+        if self.at_kw("GRAPH"):
+            self.next()
+            return self._graph_iri()
+        for kw in ("DEFAULT",) + (("NAMED", "ALL") if named_all else ()):
+            if self.at_kw(kw):
+                self.next()
+                return kw
+        raise ValueError(
+            "expected GRAPH <iri> or DEFAULT"
+            + (" or NAMED or ALL" if named_all else "")
+        )
+
+    def parse_graph_update(self) -> Update:
+        """Graph-management forms (SPARQL 1.1 Update §3.2):
+        CLEAR/DROP [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL),
+        CREATE [SILENT] GRAPH <g>,
+        COPY/MOVE/ADD [SILENT] (GRAPH <g>|DEFAULT) TO (GRAPH <g>|DEFAULT),
+        LOAD [SILENT] <doc> [INTO GRAPH <g>]."""
+        u = Update(form="graphman")
+        u.op = self.next().text.lower()
+        if self.at_kw("SILENT"):
+            self.next()
+            u.silent = True
+        if u.op == "load":
+            u.load_path = self.expect("IRI").text[1:-1]
+            if self.at_kw("INTO"):
+                self.next()
+                self.expect("KW", "GRAPH")
+                u.dst = self._graph_iri()
+            return u
+        if u.op in ("clear", "drop"):
+            u.src = self._graph_ref(named_all=True)
+            return u
+        if u.op == "create":
+            self.expect("KW", "GRAPH")
+            u.src = self._graph_iri()
+            return u
+        u.src = self._graph_ref(named_all=False)
+        self.expect("KW", "TO")
+        u.dst = self._graph_ref(named_all=False)
+        return u
 
     def parse_update(self) -> Update:
         """INSERT DATA { … } | DELETE DATA { … } |
@@ -3180,6 +3250,106 @@ def _instantiate(template: list, sols: DataFrame) -> DataFrame:
     return result.distinct()
 
 
+_LOAD_FMT = {
+    "nt": "ntriples", "ntriples": "ntriples",
+    "nq": "nquads", "nquads": "nquads",
+    "ttl": "turtle", "turtle": "turtle", "trig": "turtle",
+    "jsonld": "jsonld", "json": "jsonld",
+    "rdf": "rdfxml", "xml": "rdfxml", "owl": "rdfxml",
+}
+
+
+def _execute_graph_update(store, u, default_graph: str | None) -> dict:
+    """Graph-management forms (SPARQL 1.1 Update §3.2) over the store.
+
+    Store model notes (documented divergences, GraphDB-context-like):
+    the store is all-named-graphs — ``DEFAULT`` resolves to the
+    ``default_graph`` argument, and ``NAMED``/``ALL`` both mean every
+    live graph. ``CREATE`` validates per spec (error on an existing
+    graph unless SILENT) but is otherwise a no-op: the store has no
+    representation of an empty graph — graphs exist exactly while
+    they hold quads (same as GraphDB contexts). ``SILENT`` suppresses
+    the spec's existence failures, never data errors."""
+    spark = store.spark
+
+    def resolve(ref: str) -> str:
+        if ref == "DEFAULT":
+            if default_graph is None:
+                raise ValueError(
+                    f"{u.op.upper()}: DEFAULT graph referenced but no "
+                    "default_graph was configured"
+                )
+            return default_graph
+        return ref
+
+    def exists(g: str) -> bool:
+        return bool(store.read().filter(F.col("graph") == g).take(1))
+
+    if u.op == "load":
+        path = u.load_path
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        ext = path.rsplit(".", 1)[-1].lower()
+        fmt = _LOAD_FMT.get(ext)
+        try:
+            if fmt is None:
+                raise ValueError(
+                    f"LOAD: cannot infer RDF format from {u.load_path!r} "
+                    f"(known extensions: {sorted(set(_LOAD_FMT))})"
+                )
+            from kgap_spark.io.rdf import read_rdf
+
+            quads = read_rdf(
+                spark, path, fmt=fmt,
+                default_graph=resolve(u.dst or "DEFAULT"),
+            )
+            out = store.merge(quads)
+        except Exception:
+            if u.silent:   # LOAD SILENT: failure to load is success
+                return {"op": "load", "loaded": False}
+            raise
+        return {"op": "load", "loaded": True, "merge": out}
+
+    if u.op in ("clear", "drop"):
+        if u.src in ("NAMED", "ALL"):
+            graphs = [r.graph for r in
+                      store.read().select("graph").distinct().collect()]
+        else:
+            g = resolve(u.src)
+            if not exists(g):
+                if u.op == "drop" and not u.silent:
+                    raise ValueError(f"DROP GRAPH <{g}>: no such graph")
+                graphs = []     # CLEAR of an absent graph is a success
+            else:
+                graphs = [g]
+        for g in graphs:
+            store.delete_graph(g)
+        return {"op": u.op, "graphs": graphs}
+
+    if u.op == "create":
+        if exists(u.src) and not u.silent:
+            raise ValueError(f"CREATE GRAPH <{u.src}>: already exists")
+        return {"op": "create", "graph": u.src}
+
+    # COPY | MOVE | ADD
+    src, dst = resolve(u.src), resolve(u.dst)
+    if src == dst:
+        return {"op": u.op, "src": src, "dst": dst, "noop": True}
+    if not exists(src):
+        if u.silent:
+            return {"op": u.op, "src": src, "dst": dst, "noop": True}
+        raise ValueError(f"{u.op.upper()}: source graph <{src}> is empty "
+                         "or does not exist")
+    data = store.read_graph(src).withColumn("graph", F.lit(dst))
+    if u.op == "add":
+        store.merge(data)              # set semantics: quad-key dedup
+    else:
+        store.overwrite_graphs(data)   # COPY/MOVE: dst := src exactly
+        if u.op == "move":
+            store.delete_graph(src)
+    return {"op": u.op, "src": src, "dst": dst, "noop": False}
+
+
 def execute_sparql_update(store, text: str,
                           default_graph: str | None = None) -> dict:
     """Run a SPARQL Update string against a ``TripleStore``
@@ -3189,7 +3359,11 @@ def execute_sparql_update(store, text: str,
     - DELETE DATA → row-level delete of the named quads;
     - DELETE/INSERT … WHERE → solutions instantiate both templates;
       deleted quads are matched on (subj, pred, obj) across graphs,
-      inserts land in ``default_graph``.
+      inserts land in ``default_graph``;
+    - CLEAR/DROP/CREATE/COPY/MOVE/ADD/LOAD (§3.2 graph management) →
+      store-level graph operations (see ``_execute_graph_update``) —
+      COPY/MOVE are O(src) partition rewrites, CLEAR/DROP are
+      metadata-level partition drops, LOAD is the bulk RDF import.
 
     Returns a small stats dict. All set logic runs as DataFrame plans;
     only the commit touches the store."""
@@ -3197,6 +3371,8 @@ def execute_sparql_update(store, text: str,
     if not isinstance(u, Update):
         raise ValueError("not a SPARQL Update request; use execute_sparql")
     spark = store.spark
+    if u.form == "graphman":
+        return _execute_graph_update(store, u, default_graph)
     if u.form in ("insert_data", "delete_data"):
         # nullable staging schema: a DELETE DATA row with no graph term
         # is a cross-graph wildcard (graph = NULL here, resolved below)

@@ -2496,3 +2496,135 @@ def test_concat_and_if_builtins(spark):
     """)
     r, = df2.collect()
     assert (r.m, r.i, r.c) == (None, None, None)
+
+
+@pytest.mark.parametrize("store_cls", ["plain", "snapshot"])
+def test_graph_management_updates(spark, tmp_path, store_cls):
+    """SPARQL 1.1 Update §3.2 graph management: CLEAR/DROP/CREATE/
+    COPY/MOVE/ADD/LOAD over both store implementations."""
+    from kgap_spark.query.sparql import execute_sparql_update
+    from kgap_spark.triples import SnapshotStore, TripleStore
+
+    cls = TripleStore if store_cls == "plain" else SnapshotStore
+    st = cls(spark, str(tmp_path / "store"))
+
+    def seed(rows):
+        st.merge(spark.createDataFrame(
+            [(s, p, o, None, None, g, None) for s, p, o, g in rows],
+            S.TRIPLES))
+
+    def graphs():
+        return {r.graph for r in st.read().select("graph")
+                .distinct().collect()}
+
+    def content(g):
+        return {(r.subj, r.obj) for r in st.read_graph(g).collect()}
+
+    seed([("a", "p", "1", "urn:g:1"), ("b", "p", "2", "urn:g:1"),
+          ("c", "p", "3", "urn:g:2")])
+
+    # COPY replaces dst exactly (pre-seeding dst to prove the clear)
+    seed([("old", "p", "9", "urn:g:dst")])
+    r = execute_sparql_update(st, "COPY GRAPH <urn:g:1> TO GRAPH <urn:g:dst>")
+    assert r["noop"] is False
+    assert content("urn:g:dst") == {("a", "1"), ("b", "2")}
+    assert content("urn:g:1") == {("a", "1"), ("b", "2")}  # src intact
+
+    # COPY onto itself: no-op
+    assert execute_sparql_update(
+        st, "COPY GRAPH <urn:g:1> TO GRAPH <urn:g:1>")["noop"] is True
+
+    # ADD merges (set semantics: re-adding is idempotent)
+    execute_sparql_update(st, "ADD GRAPH <urn:g:2> TO GRAPH <urn:g:dst>")
+    execute_sparql_update(st, "ADD GRAPH <urn:g:2> TO GRAPH <urn:g:dst>")
+    assert content("urn:g:dst") == {("a", "1"), ("b", "2"), ("c", "3")}
+
+    # MOVE: dst := src, src dropped
+    execute_sparql_update(st, "MOVE GRAPH <urn:g:2> TO GRAPH <urn:g:moved>")
+    assert content("urn:g:moved") == {("c", "3")}
+    assert "urn:g:2" not in graphs()
+
+    # COPY/MOVE/ADD from an absent graph: loud, SILENT degrades to no-op
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_sparql_update(st, "COPY GRAPH <urn:g:nope> TO GRAPH <urn:g:1>")
+    assert execute_sparql_update(
+        st, "ADD SILENT GRAPH <urn:g:nope> TO GRAPH <urn:g:1>")["noop"]
+    assert content("urn:g:1") == {("a", "1"), ("b", "2")}
+
+    # CREATE: error on existing, SILENT ok, new ok (validation-only)
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sparql_update(st, "CREATE GRAPH <urn:g:1>")
+    execute_sparql_update(st, "CREATE SILENT GRAPH <urn:g:1>")
+    execute_sparql_update(st, "CREATE GRAPH <urn:g:fresh>")
+
+    # CLEAR one graph; CLEAR of an absent graph succeeds; DROP of an
+    # absent graph is loud unless SILENT
+    execute_sparql_update(st, "CLEAR GRAPH <urn:g:moved>")
+    assert "urn:g:moved" not in graphs()
+    execute_sparql_update(st, "CLEAR GRAPH <urn:g:moved>")
+    with pytest.raises(ValueError, match="no such graph"):
+        execute_sparql_update(st, "DROP GRAPH <urn:g:moved>")
+    execute_sparql_update(st, "DROP SILENT GRAPH <urn:g:moved>")
+
+    # DEFAULT needs default_graph
+    with pytest.raises(ValueError, match="default_graph"):
+        execute_sparql_update(st, "CLEAR DEFAULT")
+    execute_sparql_update(st, "CLEAR DEFAULT", default_graph="urn:g:dst")
+    assert "urn:g:dst" not in graphs()
+
+    # CLEAR ALL empties the store
+    execute_sparql_update(st, "CLEAR ALL")
+    assert graphs() == set()
+
+
+def test_graph_management_load(spark, tmp_path):
+    """LOAD <doc> [INTO GRAPH <g>]: bulk import through the format
+    dispatch; SILENT turns a missing/undecodable document into a
+    no-op success."""
+    from kgap_spark.query.sparql import execute_sparql_update
+    from kgap_spark.triples import TripleStore
+
+    st = TripleStore(spark, str(tmp_path / "store"))
+    doc = tmp_path / "data.nt"
+    doc.write_text(
+        '<urn:s:1> <urn:p:name> "alpha" .\n'
+        '<urn:s:2> <urn:p:name> "beta" .\n'
+    )
+    r = execute_sparql_update(
+        st, f"LOAD <file://{doc}> INTO GRAPH <urn:g:loaded>")
+    assert r["loaded"] is True
+    got = {(x.subj, x.obj) for x in st.read_graph("urn:g:loaded").collect()}
+    assert got == {("urn:s:1", "alpha"), ("urn:s:2", "beta")}
+
+    # idempotent re-LOAD (merge dedup)
+    execute_sparql_update(
+        st, f"LOAD <file://{doc}> INTO GRAPH <urn:g:loaded>")
+    assert st.read_graph("urn:g:loaded").count() == 2
+
+    # without INTO: needs default_graph
+    with pytest.raises(ValueError, match="default_graph"):
+        execute_sparql_update(st, f"LOAD <file://{doc}>")
+    execute_sparql_update(st, f"LOAD <file://{doc}>",
+                          default_graph="urn:g:dflt")
+    assert st.read_graph("urn:g:dflt").count() == 2
+
+    # unknown extension is loud; SILENT suppresses load failures
+    with pytest.raises(ValueError, match="cannot infer"):
+        execute_sparql_update(st, "LOAD <file:///nope.bin>")
+    assert execute_sparql_update(
+        st, "LOAD SILENT <file:///missing.nt>")["loaded"] is False
+
+
+def test_graph_management_parse_rejects(spark, tmp_path):
+    from kgap_spark.query.sparql import parse_sparql
+
+    # a WELL-KNOWN undeclared prefix expands to an any-of tuple —
+    # ambiguous as a graph IDENTITY (a project-specific compact pname
+    # like g:1 stays compact and IS a valid exact name)
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        parse_sparql("CLEAR GRAPH rdf:stmts")
+    assert parse_sparql("CLEAR GRAPH g:1").src == "g:1"
+    with pytest.raises(ValueError, match="expected GRAPH"):
+        parse_sparql("COPY NAMED TO GRAPH <urn:g:1>")
+    with pytest.raises(ValueError, match="GRAPH"):
+        parse_sparql("CREATE DEFAULT")
