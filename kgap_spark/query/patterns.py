@@ -129,6 +129,53 @@ def _is_meta(col: str) -> bool:
     return col.endswith("__lang") or col.endswith("__dt")
 
 
+def _pattern_order(patterns: list[tuple]) -> list[int]:
+    """Static join ordering for a BGP (greedy selectivity +
+    connectivity — the classic SPARQL optimization, e.g. Stocker et
+    al., WWW'08): start from the most selective pattern, then always
+    extend with the most selective pattern SHARING a variable with the
+    bound set (never introduce a cartesian while a connected pattern
+    exists). Selectivity is the standard constant-position heuristic:
+    a constant subject narrows more than a constant object, which
+    narrows more than a constant predicate.
+
+    Catalyst cannot do this itself: every pattern is a filter over the
+    SAME triple relation, and without CBO statistics inner equi-joins
+    keep their written order — so a query that opens with
+    ``?s ?p ?o`` drags the whole table through the first join even
+    when a later pattern pins a single subject. Inner joins commute,
+    so the rewrite is semantics-free; the one order-sensitive artifact
+    — meta columns (``{var}__lang``/``__dt``) are textually-first-
+    binding-wins — is preserved by ``bgp``'s owner tracking, not by
+    restricting the order. Set ``KGAP_BGP_REORDER=0`` to disable (A/B
+    yardstick; see BENCH/BGP_ORDER.md)."""
+    import os
+
+    if len(patterns) < 2 or os.environ.get("KGAP_BGP_REORDER") == "0":
+        return list(range(len(patterns)))
+
+    def pvars(p) -> set:
+        return {t.name for t in p if isinstance(t, Var)}
+
+    def selectivity(p) -> int:
+        s, pr, o = p
+        return ((0 if isinstance(s, Var) else 4)
+                + (0 if isinstance(o, Var) else 2)
+                + (0 if isinstance(pr, (Var, PathNeg)) else 1))
+
+    remaining = list(range(len(patterns)))
+    order: list[int] = []
+    bound: set = set()
+    while remaining:
+        pool = ([i for i in remaining if pvars(patterns[i]) & bound]
+                if bound else remaining) or remaining
+        best = max(pool, key=lambda i: (selectivity(patterns[i]), -i))
+        order.append(best)
+        remaining.remove(best)
+        bound |= pvars(patterns[best])
+    return order
+
+
 def bgp(
     triples: DataFrame,
     patterns: list[tuple],
@@ -151,19 +198,26 @@ def bgp(
         triples = triples.filter(F.col("graph") == graph)
     acc: DataFrame | None = None
     bound: set[str] = set()
-    for i, pattern in enumerate(patterns):
-        sl, _ = _slice(triples, pattern, i, carry_meta=carry_meta,
-                       graph_var=graph_var)
+    # meta columns are TEXTUALLY-first-binding-wins; under the static
+    # reordering that owner is tracked by original pattern index, so
+    # the join order never changes which pattern's @lang/^^dt a
+    # variable carries
+    meta_owner: dict[str, int] = {}
+    for i, orig_idx in enumerate(_pattern_order(patterns)):
+        sl, _ = _slice(triples, patterns[orig_idx], i,
+                       carry_meta=carry_meta, graph_var=graph_var)
         if acc is None:
             acc = sl
         else:
-            # join on shared VARIABLES only; drop meta columns the
-            # accumulated side already carries (first binding wins)
-            dup_meta = [
-                c for c in sl.columns if _is_meta(c) and c in acc.columns
-            ]
-            if dup_meta:
-                sl = sl.drop(*dup_meta)
+            # join on shared VARIABLES only; of duplicate meta
+            # columns, the one from the textually-earlier pattern wins
+            for c in [c for c in sl.columns
+                      if _is_meta(c) and c in acc.columns]:
+                var = c.rsplit("__", 1)[0]
+                if orig_idx < meta_owner.get(var, orig_idx + 1):
+                    acc = acc.drop(c)
+                else:
+                    sl = sl.drop(c)
             shared = sorted(
                 bound & {c for c in sl.columns if not _is_meta(c)}
             )
@@ -171,6 +225,11 @@ def bgp(
                 acc = acc.join(sl, on=shared, how="inner")
             else:
                 acc = acc.crossJoin(sl)
+        for c in sl.columns:
+            if _is_meta(c):
+                var = c.rsplit("__", 1)[0]
+                meta_owner[var] = min(meta_owner.get(var, orig_idx),
+                                      orig_idx)
         bound |= {c for c in sl.columns if not _is_meta(c)}
     if acc is None:
         raise ValueError("empty BGP")

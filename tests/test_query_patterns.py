@@ -205,3 +205,117 @@ def test_construct_template_instantiation(spark):
                     ("urn:c", "rdf:type", "Grandchild")}
     assert {r.graph for r in out.collect()} == {"urn:derived"}
     assert out.columns[:3] == ["subj", "pred", "obj"]  # TRIPLES shape
+
+
+def test_bgp_pattern_order_selectivity_and_connectivity():
+    """Static BGP join ordering: most selective pattern first, then
+    always a CONNECTED pattern (never a cartesian while one exists);
+    repeated object variables keep textual order (meta columns are
+    first-binding-wins); KGAP_BGP_REORDER=0 disables."""
+    import os
+
+    from kgap_spark.query.patterns import Var, _pattern_order
+
+    v = Var
+    pats = [
+        (v("s"), v("p"), v("o")),          # 0: unselective scan
+        (v("s"), "u:p1", v("x")),          # 1: pred const
+        ("u:s0", "u:p2", v("x")),          # 2: subj+pred const (best)
+    ]
+    order = _pattern_order(pats)
+    # opens with the most selective, then its CONNECTED neighbor (1,
+    # shares ?x) even though 0 ties on nothing; 0 last
+    assert order == [2, 1, 0]
+
+    # connectivity beats raw selectivity: 1 connects to 2 via ?x while
+    # the more-selective 0 is disconnected until ?s arrives
+    pats2 = [
+        (v("a"), "u:p0", "o1"),            # 0: pred+obj const (sel 3)
+        (v("x"), "u:p1", v("y")),          # 1: pred const (sel 1)
+        ("u:s0", "u:p2", v("x")),          # 2: subj+pred (sel 5)
+    ]
+    assert _pattern_order(pats2) == [2, 1, 0]
+
+    # repeated OBJECT var reorders too — meta ownership is tracked by
+    # original index in bgp(), not by restricting the order
+    pats3 = [
+        (v("s"), v("p"), v("o")),
+        ("u:s0", "u:p1", v("o")),
+    ]
+    assert _pattern_order(pats3) == [1, 0]
+
+    os.environ["KGAP_BGP_REORDER"] = "0"
+    try:
+        assert _pattern_order(pats) == [0, 1, 2]
+    finally:
+        del os.environ["KGAP_BGP_REORDER"]
+
+
+def test_bgp_reorder_results_unchanged(spark):
+    """The rewrite is semantics-free: a badly-ordered query returns
+    identical rows with reordering on and off."""
+    import os
+
+    rows = [(f"u:s{i}", "u:knows", f"u:s{i+1}", None, None, "g", None)
+            for i in range(30)]
+    rows += [(f"u:s{i}", "u:name", f"n{i}", None, None, "g", None)
+             for i in range(31)]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    )
+    pats = [
+        (Var("a"), Var("p"), Var("n")),        # full scan first (bad)
+        (Var("a"), "u:knows", Var("b")),
+        ("u:s3", "u:name", Var("n")),
+    ]
+
+    def run():
+        return {(r.a, r.b, r.n, r.p)
+                for r in bgp(t, pats).collect()}
+
+    fast = run()
+    os.environ["KGAP_BGP_REORDER"] = "0"
+    try:
+        slow = run()
+    finally:
+        del os.environ["KGAP_BGP_REORDER"]
+    assert fast == slow and fast
+
+
+def test_bgp_reorder_preserves_textual_meta_ownership(spark):
+    """A variable bound in OBJECT position by two patterns carries the
+    TEXTUALLY-first pattern's @lang meta even when the optimizer joins
+    the textually-later (more selective) pattern first."""
+    import os
+
+    rows = [
+        # p1 binds ?o with @en; p2 binds the same lexical form @fr
+        ("u:s0", "u:p1", "label", "en", None, "g", None),
+        ("u:s0", "u:p2", "label", "fr", None, "g", None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_datatype string, graph string, src_url string",
+    )
+    # textual order: the UNSELECTIVE p1 pattern first (its meta must
+    # win) — the optimizer will start from the p2 pattern (subj const)
+    pats = [
+        (Var("s"), "u:p1", Var("o")),
+        ("u:s0", "u:p2", Var("o")),
+    ]
+
+    def lang():
+        out = bgp(t, pats, carry_meta=True).collect()
+        assert len(out) == 1
+        return out[0]["o__lang"]
+
+    reordered = lang()
+    os.environ["KGAP_BGP_REORDER"] = "0"
+    try:
+        textual = lang()
+    finally:
+        del os.environ["KGAP_BGP_REORDER"]
+    assert reordered == textual == "en"
