@@ -2375,6 +2375,130 @@ FROM nation WHERE n_regionkey = 0
 """
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank centrality over a KG edge list (customer→nation→region
+    membership edges — nations are hubs with thousands of in-edges,
+    regions are dangling sinks): 3 deterministic power iterations of
+    the textbook formulation with uniform dangling redistribution
+    (`kgap_spark/graph.py`). The oracle is the SAME formulation
+    unrolled into per-iteration CTEs, so values match to double
+    precision (both sides round to 6 decimals)."""
+    from kgap_spark.graph import pagerank
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("urn:c:"),
+                 F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("urn:n:"),
+                 F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("urn:n:"),
+                 F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("urn:r:"),
+                 F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(cust.unionByName(nat), iters=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    """The q_kg_pagerank formulation with the power iteration unrolled
+    into CTE stages (recursive CTEs cannot aggregate over their own
+    recursive reference, so a fixed-iteration unroll is the exact-SQL
+    form)."""
+    parts = ["""WITH edges AS (
+  SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS src,
+         'urn:n:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR),
+         'urn:r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+           FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0/nn.n AS rank FROM nodes, nn)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node, SUM(r.rank/od.deg) AS contrib
+  FROM edges e JOIN r{i - 1} r ON r.node = e.src
+  JOIN outdeg od ON od.node = e.src GROUP BY e.dst),
+d{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS mass FROM r{i - 1} r
+  LEFT JOIN outdeg od ON od.node = r.node WHERE od.node IS NULL),
+r{i} AS (SELECT n.node,
+  (1-{d})/nn.n + {d}*(COALESCE(c.contrib, 0) + di.mass/nn.n) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{i} di
+  LEFT JOIN c{i} c ON c.node = n.node)""")
+    parts.append(f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+ORACLE_KG_PAGERANK = _pagerank_oracle_sql()
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Per-node triangle counts (`kgap_spark/graph.py`,
+    degree-ordered wedge enumeration — O(E^1.5) bound under hub skew)
+    over a triangle-rich KG: same-region nation pairs form five
+    cliques, customer→nation membership edges add bipartite bulk that
+    must contribute zero triangles. The oracle enumerates canonical
+    a<b<c triangles directly — triangle counts are
+    orientation-independent, so the simple SQL form is exact."""
+    from kgap_spark.graph import triangle_counts
+
+    nat = _t(spark, sf_dir, "nation")
+    a, b = nat.alias("a"), nat.alias("b")
+    cliques = (
+        a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+               & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
+        .select(
+            F.concat(F.lit("urn:n:"),
+                     F.col("a.n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:n:"),
+                     F.col("b.n_nationkey").cast("string")).alias("dst"),
+        )
+    )
+    membership = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("urn:c:"),
+                 F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("urn:n:"),
+                 F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    return triangle_counts(cliques.unionByName(membership))
+
+
+ORACLE_KG_TRIANGLES = """
+WITH edges AS (
+  SELECT 'urn:n:' || CAST(a.n_nationkey AS VARCHAR) AS src,
+         'urn:n:' || CAST(b.n_nationkey AS VARCHAR) AS dst
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey
+   AND a.n_nationkey < b.n_nationkey
+  UNION ALL
+  SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR),
+         'urn:n:' || CAST(c_nationkey AS VARCHAR) FROM customer
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM edges WHERE src != dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tnode AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM tnode GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 #
@@ -2410,12 +2534,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_version": q_latest_version,
     "dereference": q_dereference,
     "doc_token_count": q_doc_token_count,
-    "frame_sample_plan": q_frame_sample_plan,
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
     "pii_redact": q_pii_redact,
     "doc_lang_id": q_doc_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
     "quality_topk_per_source": q_quality_topk_per_source,
     "doc_split": q_doc_split,
     "doc_len_quantiles": q_doc_len_quantiles,
@@ -2458,6 +2580,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (the dedup family keeps four in-core rows: dedup_exact,
     # ngram_jaccard, minhash_band, minhash_lsh)
     "kg_changelog": q_kg_changelog,
+    # round-6 addition: PageRank centrality (iterative DataFrame
+    # power method, exact-SQL unrolled oracle) — doc_fingerprint
+    # moved to the stable overflow (textstats keeps five in-core)
+    "kg_pagerank": q_kg_pagerank,
+    # round-6 addition: degree-ordered triangle counting —
+    # frame_sample_plan moved to the stable overflow (multimodal
+    # stays covered in-core by multimodal_features)
+    "kg_triangles": q_kg_triangles,
 }
 
 # Stable overflow past the driver's 50-entry window: unchanged code
@@ -2472,7 +2602,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_native": q_sessionize_native,
     # moved from the core window in round 6 to make room for
     # sparql_path_deep / sparql_describe / minhash_lsh / kg_changelog
+    # / kg_pagerank
     "simhash": q_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
+    "frame_sample_plan": q_frame_sample_plan,
     "sparql_select": q_sparql_select,
     "type_distribution": q_type_distribution,
     "minhash_lsh_ml": q_minhash_lsh_ml,
@@ -2527,12 +2660,10 @@ ORACLES: dict[str, str] = {
     "latest_version": ORACLE_LATEST_VERSION,
     "dereference": ORACLE_DEREFERENCE,
     "doc_token_count": ORACLE_DOC_TOKEN_COUNT,
-    "frame_sample_plan": ORACLE_FRAME_SAMPLE,
     "doc_quality": ORACLE_DOC_QUALITY,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "pii_redact": ORACLE_PII_REDACT,
     "doc_lang_id": ORACLE_DOC_LANG_ID,
-    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "quality_topk_per_source": ORACLE_QUALITY_TOPK,
     "doc_split": ORACLE_DOC_SPLIT,
     "doc_len_quantiles": ORACLE_DOC_LEN_QUANTILES,
@@ -2555,10 +2686,14 @@ ORACLES: dict[str, str] = {
     "sparql_describe": ORACLE_SPARQL_DESCRIBE,
     "multimodal_features": ORACLE_MULTIMODAL,
     "kg_changelog": ORACLE_KG_CHANGELOG,
+    "kg_pagerank": ORACLE_KG_PAGERANK,
+    "kg_triangles": ORACLE_KG_TRIANGLES,
 }
 
 EXTRA_ORACLES: dict[str, str] = {
     "simhash": ORACLE_SIMHASH,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "frame_sample_plan": ORACLE_FRAME_SAMPLE,
     "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
     "doc_mix": ORACLE_DOC_MIX,
     "sessionize_native": ORACLE_SESSIONIZE,

@@ -1,9 +1,10 @@
 """Differential fuzz: the SPARQL compiler vs a naive in-memory
 evaluator (round 6 — VERDICT r5 item #8).
 
-Hypothesis generates a tiny KB plus a random group pattern (triple
-patterns, OPTIONAL, MINUS, FILTER — in random TEXTUAL order, which
-exercises the g.seq left-to-right fold), renders it to SPARQL text,
+Hypothesis generates a tiny QUAD KB (two named graphs) plus a random
+group pattern (triple patterns, OPTIONAL, MINUS, GRAPH <g>/GRAPH ?g
+scopes, FILTER — in random TEXTUAL order, which exercises the g.seq
+left-to-right fold), renders it to SPARQL text,
 runs it through parse→compile→execute on Spark, and independently
 evaluates the same structure with a ~60-line reference implementation
 of SPARQL 1.1 §18.2 group semantics (compatible-mapping joins,
@@ -44,9 +45,11 @@ def _render_term(t) -> str:
 # ---------------------------------------------------------------------------
 # strategies: a KB and a group-element sequence in textual order
 
+_GRAPHS = ["urn:g:0", "urn:g:1"]
+
 _kb_st = st.lists(
     st.tuples(st.sampled_from(_SUBJECTS), st.sampled_from(_PREDS),
-              st.sampled_from(_OBJECTS)),
+              st.sampled_from(_OBJECTS), st.sampled_from(_GRAPHS)),
     min_size=1, max_size=10, unique=True,
 )
 
@@ -64,12 +67,20 @@ _pred_st = st.one_of(
 )
 _pattern_st = st.tuples(_subj_st, _pred_st, _term_st)
 
+_graph_term_st = st.one_of(
+    st.sampled_from(_GRAPHS),
+    st.just(("var", "g")),       # GRAPH ?g (g reserved for the scope)
+)
+
 _elem_st = st.one_of(
     st.tuples(st.just("triple"), _pattern_st),
     st.tuples(st.just("optional"),
               st.lists(_pattern_st, min_size=1, max_size=2)),
     st.tuples(st.just("minus"),
               st.lists(_pattern_st, min_size=1, max_size=2)),
+    st.tuples(st.just("graph"),
+              st.tuples(_graph_term_st,
+                        st.lists(_pattern_st, min_size=1, max_size=2))),
 )
 
 _filter_st = st.tuples(
@@ -123,20 +134,39 @@ def _compatible(a, b):
 
 
 def _eval_group(kb, elements, filt):
+    """``kb`` is a list of QUADS; the default graph is the union of
+    the named graphs (this engine's store convention), GRAPH scopes
+    restrict to one graph (per-graph for ``GRAPH ?g``, §18.2.2.3)."""
+    kb3 = [q[:3] for q in kb]
     sols = [{}]
     for kind, payload in elements:
         if kind == "triple":
-            sols = [m for mu in sols for m in _match(kb, payload, mu)]
+            sols = [m for mu in sols for m in _match(kb3, payload, mu)]
         elif kind == "optional":
-            sub = _eval_patterns(kb, payload)
+            sub = _eval_patterns(kb3, payload)
             nxt = []
             for mu in sols:
                 exts = [dict(mu, **nu) for nu in sub
                         if _compatible(mu, nu)]
                 nxt.extend(exts or [mu])
             sols = nxt
+        elif kind == "graph":
+            gterm, pats = payload
+            sub = []
+            if isinstance(gterm, tuple):
+                for gi in sorted({q[3] for q in kb}):
+                    g3 = [q[:3] for q in kb if q[3] == gi]
+                    for nu in _eval_patterns(g3, pats):
+                        if gterm[1] in nu and nu[gterm[1]] != gi:
+                            continue
+                        sub.append(dict(nu, **{gterm[1]: gi}))
+            else:
+                g3 = [q[:3] for q in kb if q[3] == gterm]
+                sub = _eval_patterns(g3, pats)
+            sols = [dict(mu, **nu) for mu in sols for nu in sub
+                    if _compatible(mu, nu)]
         else:  # minus
-            sub = _eval_patterns(kb, payload)
+            sub = _eval_patterns(kb3, payload)
             sols = [
                 mu for mu in sols
                 if not any(
@@ -167,6 +197,12 @@ def _in_scope_vars(elements):
         elif kind == "optional":
             for pat in payload:
                 vs |= {t[1] for t in pat if isinstance(t, tuple)}
+        elif kind == "graph":
+            gterm, pats = payload
+            if isinstance(gterm, tuple):
+                vs.add(gterm[1])
+            for pat in pats:
+                vs |= {t[1] for t in pat if isinstance(t, tuple)}
     return vs
 
 
@@ -175,6 +211,14 @@ def _render(elements, filt) -> str:
     for kind, payload in elements:
         if kind == "triple":
             parts.append(" ".join(_render_term(t) for t in payload) + " .")
+        elif kind == "graph":
+            gterm, pats = payload
+            gt = (f"?{gterm[1]}" if isinstance(gterm, tuple)
+                  else f"<{gterm}>")
+            inner = " . ".join(
+                " ".join(_render_term(t) for t in pat) for pat in pats
+            )
+            parts.append(f"GRAPH {gt} {{ {inner} }}")
         else:
             kw = "OPTIONAL" if kind == "optional" else "MINUS"
             inner = " . ".join(
@@ -207,13 +251,9 @@ def test_engine_agrees_with_naive_evaluator(spark, case):
     from kgap_spark import schemas as S
     from kgap_spark.query.sparql import execute_sparql
 
-    rows = [
-        (s, p, o, None, None if _is_lit(o) else "u:iri", "urn:g", None)
-        for s, p, o in kb
-    ]
     # plain literals carry no datatype; IRIs are written as-is in this
     # store convention — mark nothing, both are plain strings
-    rows = [(s, p, o, None, None, "urn:g", None) for s, p, o in kb]
+    rows = [(s, p, o, None, None, g, None) for s, p, o, g in kb]
     t = spark.createDataFrame(rows, S.TRIPLES)
 
     df = execute_sparql(t, query)
