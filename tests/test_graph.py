@@ -60,7 +60,9 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         M[idx[t], idx[s]] += 1.0
     outdeg = M.sum(axis=0)
     dangling = outdeg == 0
-    M = np.divide(M, outdeg, where=outdeg > 0)
+    # out= is REQUIRED with where=: unselected entries are otherwise
+    # left uninitialized (this flaked as NaN, not a pagerank bug)
+    M = np.divide(M, outdeg, out=np.zeros_like(M), where=outdeg > 0)
     r = np.full(n, 1.0 / n)
     for _ in range(iters):
         r = (1 - d) / n + d * (M @ r + r[dangling].sum() / n)
