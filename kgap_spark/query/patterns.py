@@ -233,7 +233,18 @@ def bgp(
         bound |= {c for c in sl.columns if not _is_meta(c)}
     if acc is None:
         raise ValueError("empty BGP")
-    return acc
+    # SELECT * expands from df.columns: present variables in TEXTUAL
+    # first-occurrence order regardless of the join order chosen
+    textual = []
+    seen: set[str] = set()
+    for pat in patterns:
+        for t in pat:
+            if isinstance(t, Var) and t.name not in seen \
+                    and t.name in acc.columns:
+                seen.add(t.name)
+                textual.append(t.name)
+    rest = [c for c in acc.columns if c not in seen]
+    return acc.select(*textual, *rest)
 
 
 def optional_pattern(base: DataFrame, triples: DataFrame, pattern: tuple,

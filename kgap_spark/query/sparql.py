@@ -106,6 +106,13 @@ _KEYWORDS = {
     "CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD", "LOAD",
     "SILENT", "TO", "INTO", "DEFAULT", "NAMED", "ALL",
 }
+# …but those 13 double as ordinary colon-less terms in TERM position:
+# pre-round-6 queries could use bare `all`/`to`/`add` as compact store
+# terms (expand_pname's passthrough), and promoting them query-wide
+# would regress that
+_TERM_OK_KWS = {"CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD",
+                "LOAD", "SILENT", "TO", "INTO", "DEFAULT", "NAMED",
+                "ALL"}
 _AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG", "SAMPLE", "GROUP_CONCAT"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
           "CONCAT", "IF",
@@ -130,6 +137,7 @@ _ZERO_ARG_FUNCS = {"NOW", "UUID", "STRUUID", "RAND", "BNODE",
 class Tok:
     kind: str
     text: str
+    raw: str | None = None   # original spelling for KW tokens
 
 
 def _tokenize(q: str) -> list[Tok]:
@@ -145,7 +153,7 @@ def _tokenize(q: str) -> list[Tok]:
             continue
         text = m.group(0)
         if kind == "PNAME" and text.upper() in _KEYWORDS | _AGGS | _FUNCS:
-            toks.append(Tok("KW", text.upper()))
+            toks.append(Tok("KW", text.upper(), raw=text))
         else:
             toks.append(Tok(kind, text))
     return toks
@@ -520,7 +528,10 @@ class _Parser:
         raise ValueError(f"expected a graph IRI, got {t!r}")
 
     def _graph_ref(self, named_all: bool) -> str:
-        """``GRAPH <iri>`` | ``DEFAULT`` [| ``NAMED`` | ``ALL``]."""
+        """``GRAPH? <iri>`` | ``DEFAULT`` [| ``NAMED`` | ``ALL``] —
+        the GRAPH keyword is optional before a bare IRI per the
+        GraphOrDefault production (the spec's own COPY example is
+        ``COPY DEFAULT TO <g>`` / ``COPY <g> TO DEFAULT``)."""
         if self.at_kw("GRAPH"):
             self.next()
             return self._graph_iri()
@@ -528,8 +539,11 @@ class _Parser:
             if self.at_kw(kw):
                 self.next()
                 return kw
+        t = self.peek()
+        if t and t.kind in ("IRI", "PNAME"):
+            return self._graph_iri()
         raise ValueError(
-            "expected GRAPH <iri> or DEFAULT"
+            "expected GRAPH <iri>, a bare <iri>, or DEFAULT"
             + (" or NAMED or ALL" if named_all else "")
         )
 
@@ -1155,6 +1169,10 @@ class _Parser:
             return self.finish_literal(t)
         if t.kind == "NUM":
             return Num(float(t.text), t.text)
+        if t.kind == "KW" and t.text in _TERM_OK_KWS:
+            # graph-management keyword used as a bare compact term
+            # (`?s ?p all`) — verbatim passthrough, original spelling
+            return t.raw if t.raw is not None else t.text
         raise ValueError(f"SPARQL parser: bad term {t.text!r}")
 
     def finish_literal(self, t: Tok) -> Lit:
@@ -3291,6 +3309,9 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
             path = path[len("file://"):]
         ext = path.rsplit(".", 1)[-1].lower()
         fmt = _LOAD_FMT.get(ext)
+        # config errors resolve OUTSIDE the SILENT net: a missing
+        # default_graph is an operator mistake, not a failed document
+        target = resolve(u.dst or "DEFAULT")
         try:
             if fmt is None:
                 raise ValueError(
@@ -3299,10 +3320,7 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
                 )
             from kgap_spark.io.rdf import read_rdf
 
-            quads = read_rdf(
-                spark, path, fmt=fmt,
-                default_graph=resolve(u.dst or "DEFAULT"),
-            )
+            quads = read_rdf(spark, path, fmt=fmt, default_graph=target)
             out = store.merge(quads)
         except Exception:
             if u.silent:   # LOAD SILENT: failure to load is success
@@ -3312,18 +3330,20 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
 
     if u.op in ("clear", "drop"):
         if u.src in ("NAMED", "ALL"):
-            graphs = [r.graph for r in
-                      store.read().select("graph").distinct().collect()]
-        else:
+            graphs = store.graphs()   # manifest/partition metadata,
+        else:                         # never a data scan
             g = resolve(u.src)
             if not exists(g):
-                if u.op == "drop" and not u.silent:
+                # CLEAR of an absent graph succeeds; so does
+                # DROP DEFAULT (§3.2.2: ≡ CLEAR DEFAULT — the default
+                # graph always exists); DROP of an absent NAMED graph
+                # is the one loud case (unless SILENT)
+                if u.op == "drop" and u.src != "DEFAULT" and not u.silent:
                     raise ValueError(f"DROP GRAPH <{g}>: no such graph")
-                graphs = []     # CLEAR of an absent graph is a success
+                graphs = []
             else:
                 graphs = [g]
-        for g in graphs:
-            store.delete_graph(g)
+        store.delete_graphs(graphs)   # ONE commit on the snapshot store
         return {"op": u.op, "graphs": graphs}
 
     if u.op == "create":
@@ -3340,13 +3360,16 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
             return {"op": u.op, "src": src, "dst": dst, "noop": True}
         raise ValueError(f"{u.op.upper()}: source graph <{src}> is empty "
                          "or does not exist")
-    data = store.read_graph(src).withColumn("graph", F.lit(dst))
-    if u.op == "add":
-        store.merge(data)              # set semantics: quad-key dedup
+    if u.op == "move":
+        # one atomic commit on the snapshot store; documented
+        # copy-then-delete on the plain store (writer.move_graph)
+        store.move_graph(src, dst)
+    elif u.op == "add":
+        store.merge(store.read_graph(src)
+                    .withColumn("graph", F.lit(dst)))   # quad-key dedup
     else:
-        store.overwrite_graphs(data)   # COPY/MOVE: dst := src exactly
-        if u.op == "move":
-            store.delete_graph(src)
+        store.overwrite_graphs(store.read_graph(src)
+                               .withColumn("graph", F.lit(dst)))
     return {"op": u.op, "src": src, "dst": dst, "noop": False}
 
 

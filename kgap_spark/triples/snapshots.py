@@ -81,7 +81,12 @@ from pyspark.sql import functions as F
 
 from kgap_spark import schemas as S
 from kgap_spark.io import fs
-from kgap_spark.triples.writer import QUAD_KEY, TripleStore, _nullsafe_anti
+from kgap_spark.triples.writer import (
+    QUAD_KEY,
+    TripleStore,
+    _nullsafe_anti,
+    _unescape_partition,
+)
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -91,11 +96,6 @@ class SnapshotConflictError(RuntimeError):
     operation's read snapshot and its commit attempt."""
 
 
-def _unescape_partition(value: str) -> str:
-    """Inverse of the Hive partition-dir escaping Spark's writer
-    applies (``writer._escape_partition`` is its forward twin)."""
-    return re.sub(r"%([0-9A-Fa-f]{2})",
-                  lambda m: chr(int(m.group(1), 16)), value)
 
 
 class SnapshotStore(TripleStore):
@@ -519,6 +519,37 @@ class SnapshotStore(TripleStore):
         semantics the parent class emulates with a directory delete)."""
         self._commit("delete-graph", drop_graphs={graph},
                      expected_base=self.current_version())
+
+    def delete_graphs(self, graphs: list[str]) -> None:
+        """Drop several graphs in ONE metadata commit (the parent
+        loops one directory delete per graph) — CLEAR ALL on a
+        thousand-graph store is a single manifest swap."""
+        if graphs:
+            self._commit("delete-graphs", drop_graphs=set(graphs),
+                         expected_base=self.current_version())
+
+    def graphs(self) -> list[str]:
+        """Live graph names from the current manifest — O(metadata),
+        no data scan, no directory listing."""
+        return sorted({
+            e["graph"] for e in self._files(self.current_version())
+        })
+
+    def move_graph(self, src: str, dst: str) -> None:
+        """Rename graph ``src`` to ``dst`` (dst replaced) in ONE
+        atomic commit: the rewritten data lands in a fresh snapshot
+        dir, and a single manifest swap drops BOTH the old src files
+        and dst's previous files while adding the new ones — no
+        intermediate state where both graphs are populated (the
+        parent's copy-then-delete exposes one)."""
+        if src == dst:
+            return
+        base = self.current_version()
+        data = self.read_graph(src, version=base).withColumn(
+            "graph", F.lit(dst))
+        snap_rel, entries = self._write_snap(data)
+        self._commit_snap("move-graph", snap_rel, entries,
+                          drop_graphs={src, dst}, expected_base=base)
 
     def delete_quads(self, quads: DataFrame) -> None:
         """U2: DELETE DATA in ONE commit. The delete-KEY set is

@@ -360,6 +360,38 @@ class TripleStore:
         part_dir = fs.join(self.path, f"graph={_escape_partition(graph)}")
         fs.delete(self.spark, part_dir)
 
+    def delete_graphs(self, graphs: list[str]) -> None:
+        """Drop several graphs. On this store: one directory delete
+        each (the snapshot store overrides with a single atomic
+        manifest commit)."""
+        for g in graphs:
+            self.delete_graph(g)
+
+    def graphs(self) -> list[str]:
+        """Live graph names from the physical layout — a partition-dir
+        listing, no data scan (the snapshot store overrides with a
+        manifest read)."""
+        if not fs.exists(self.spark, self.path):
+            return []
+        return sorted(
+            _unescape_partition(name[len("graph="):])
+            for name in fs.list_names(self.spark, self.path)
+            if name.startswith("graph=")
+        )
+
+    def move_graph(self, src: str, dst: str) -> None:
+        """Rename graph ``src`` to ``dst`` (dst replaced). On this
+        store this is copy-then-delete — TWO physical steps; a crash
+        between them leaves both populated (re-running the MOVE is
+        the recovery). The snapshot store overrides with one atomic
+        commit."""
+        if src == dst:
+            return
+        data = self.read_graph(src).withColumn(
+            "graph", F.lit(dst)).localCheckpoint(eager=True)
+        self.overwrite_graphs(data)
+        self.delete_graph(src)
+
     def write_bucketed_table(
         self, table_name: str, n_buckets: int = 64
     ) -> None:
@@ -403,3 +435,11 @@ def _escape_partition(value: str) -> str:
     return "".join(
         f"%{ord(ch):02X}" if ch in _HIVE_ESCAPED else ch for ch in value
     )
+
+
+def _unescape_partition(value: str) -> str:
+    """Inverse of ``_escape_partition`` (and of Spark's writer)."""
+    import re as _re
+
+    return _re.sub(r"%([0-9A-Fa-f]{2})",
+                   lambda m: chr(int(m.group(1), 16)), value)

@@ -2608,11 +2608,15 @@ def test_graph_management_load(spark, tmp_path):
                           default_graph="urn:g:dflt")
     assert st.read_graph("urn:g:dflt").count() == 2
 
-    # unknown extension is loud; SILENT suppresses load failures
+    # unknown extension is loud; SILENT suppresses load failures —
+    # but only DOCUMENT failures: the default graph must still resolve
+    # (config errors escape the SILENT net, see review-fixes test)
     with pytest.raises(ValueError, match="cannot infer"):
-        execute_sparql_update(st, "LOAD <file:///nope.bin>")
+        execute_sparql_update(st, "LOAD <file:///nope.bin>",
+                              default_graph="urn:g:dflt")
     assert execute_sparql_update(
-        st, "LOAD SILENT <file:///missing.nt>")["loaded"] is False
+        st, "LOAD SILENT <file:///missing.nt>",
+        default_graph="urn:g:dflt")["loaded"] is False
 
 
 def test_graph_management_parse_rejects(spark, tmp_path):
@@ -2628,3 +2632,67 @@ def test_graph_management_parse_rejects(spark, tmp_path):
         parse_sparql("COPY NAMED TO GRAPH <urn:g:1>")
     with pytest.raises(ValueError, match="GRAPH"):
         parse_sparql("CREATE DEFAULT")
+
+
+def test_graph_management_review_fixes(spark, tmp_path):
+    """Round-6 review-pass pins: atomic MOVE / single-commit CLEAR ALL
+    on the snapshot store, DROP DEFAULT never fails (§3.2.2 ≡ CLEAR),
+    bare-IRI GraphOrDefault (the spec's own COPY example), LOAD SILENT
+    not swallowing config errors, and bare keyword terms."""
+    from kgap_spark.query.sparql import (execute_sparql_update,
+                                         parse_sparql)
+    from kgap_spark.triples import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    rows = [("a", "p", "1", None, None, "urn:g:1", None),
+            ("b", "p", "2", None, None, "urn:g:2", None)]
+    st.merge(spark.createDataFrame(rows, S.TRIPLES))       # v1
+
+    # MOVE = ONE commit (no intermediate both-graphs-populated state)
+    v = st.current_version()
+    execute_sparql_update(st, "MOVE GRAPH <urn:g:1> TO GRAPH <urn:g:2>")
+    assert st.current_version() == v + 1
+    assert st.snapshots()[-1]["operation"] == "move-graph"
+    assert st.graphs() == ["urn:g:2"]
+    assert {r.subj for r in st.read().collect()} == {"a"}
+
+    # bare-IRI GraphOrDefault parses (SPARQL 1.1 Update §3.2.3 example)
+    u = parse_sparql("COPY DEFAULT TO <http://example.org/named>")
+    assert u.src == "DEFAULT" and u.dst == "http://example.org/named"
+    assert parse_sparql("MOVE <urn:a> TO <urn:b>").src == "urn:a"
+
+    # DROP DEFAULT on an empty default graph succeeds (≡ CLEAR DEFAULT)
+    r = execute_sparql_update(st, "DROP DEFAULT",
+                              default_graph="urn:g:absent")
+    assert r["graphs"] == []
+
+    # CLEAR ALL = ONE commit dropping every graph
+    execute_sparql_update(st, "INSERT DATA { GRAPH <urn:g:3> "
+                              '{ <c> <p> "3" . } }')
+    v = st.current_version()
+    execute_sparql_update(st, "CLEAR ALL")
+    assert st.current_version() == v + 1
+    assert st.graphs() == []
+
+    # LOAD SILENT still raises on a MISSING default_graph (operator
+    # misconfiguration is not a "failed document")
+    with pytest.raises(ValueError, match="default_graph"):
+        execute_sparql_update(st, "LOAD SILENT <file:///missing.nt>")
+
+    # bare graph-management keywords remain usable as compact terms
+    t = spark.createDataFrame(
+        [("s1", "p1", "all", None, None, "urn:g", None)], S.TRIPLES)
+    df = execute_sparql(t, "SELECT ?s WHERE { ?s ?p all }")
+    assert [r.s for r in df.collect()] == ["s1"]
+
+
+def test_select_star_column_order_stable_under_reorder(spark):
+    """SELECT * returns variables in textual first-occurrence order
+    regardless of the optimizer's join order."""
+    rows = [("s1", "u:p1", "o1", None, None, "urn:g", None),
+            ("s1", "u:p2", "x1", None, None, "urn:g", None)]
+    t = spark.createDataFrame(rows, S.TRIPLES)
+    df = execute_sparql(t, """
+        SELECT * WHERE { ?a ?p ?o . ?a <u:p2> ?x }
+    """)
+    assert df.columns == ["a", "p", "o", "x"]
