@@ -13,10 +13,18 @@ pointer), implemented here from first principles:
   ``_data/snap-<uuid>/graph=<g>/part-*.parquet`` tree; no commit ever
   deletes or rewrites a live file. Overwrites and deletes are manifest
   edits — the old files stay until ``expire_snapshots``.
-- **A manifest per version.** ``_meta/v<N>.json`` lists every live data
-  file with its graph partition value (manifest-level pruning: a
-  graph-scoped read plans only that graph's files — no directory
-  listing, no Hive pruning needed) plus an operation summary.
+- **A two-level manifest per version.** ``_meta/v<N>.json`` names
+  immutable manifest-PART files (``_meta/p-<uuid>.json``), each
+  holding a slice of data-file entries (path, graph partition value,
+  bytes) plus an operation summary. Commits are DELTAS: an append
+  writes one new part and reuses every surviving part id verbatim —
+  O(added files) metadata per commit, never a rewrite of the full
+  table listing; graph drops rewrite only the parts containing the
+  dropped graphs; rollback reuses part ids (pure metadata); past
+  ``PART_CAP`` parts a commit merges them (the rewrite-manifests
+  analog). Reads still plan from the resolved entry list
+  (manifest-level pruning: a graph-scoped read plans only that
+  graph's files — no directory listing, no Hive pruning needed).
 - **Commit = create-if-absent of the next manifest.** The committed
   version is the largest ``v<N>.json`` that exists AND parses;
   claiming ``v<N+1>`` with Hadoop ``create(path, overwrite=false)``
@@ -63,8 +71,10 @@ At 100 TB the manifest is the only driver-side state: one JSON entry
 per data file (file counts are bounded by the same range-partitioned
 write + auto-compaction policy as the parent), reads plan from it
 without listing directories (on object stores, LIST is the slow call),
-and the per-version delta is O(files touched), never O(table).
-Manifests are immutable once parseable, so parses are memoized.
+and — with the two-level parts — the per-commit METADATA WRITE is also
+O(files touched), never O(table): a million-file table appends by
+writing one small part file and a version file of part ids. Version
+files and parts are immutable once parseable, so parses are memoized.
 """
 
 from __future__ import annotations
@@ -127,6 +137,9 @@ class SnapshotStore(TripleStore):
         self._man_cache: dict[int, dict] = {}
         # (version, Counter) for _graph_file_counts
         self._counts_cache: tuple[int, Counter] | None = None
+        # part id → entries; parts are immutable once a version
+        # references them (bounded, cleared past 256 entries)
+        self._part_cache: dict[str, list[dict]] = {}
 
     # -- manifest layer ----------------------------------------------
     def _versions(self) -> list[int]:
@@ -180,12 +193,56 @@ class SnapshotStore(TripleStore):
             )
         return man
 
+    # -- manifest parts (two-level manifests) --------------------------
+    # A version file no longer embeds the full data-file list: it
+    # names immutable manifest-PART files (`_meta/p-<uuid>.json`),
+    # each holding a slice of entries. An append writes ONE new part
+    # and a version file listing the surviving part ids — O(added
+    # files), never O(table). Graph drops rewrite only the parts that
+    # contain the dropped graphs; rollback reuses the old version's
+    # part ids verbatim (pure metadata). When a version accumulates
+    # more than PART_CAP parts they are merged into one (the
+    # rewrite-manifests analog, amortized O(files)/PART_CAP per
+    # commit). Parts are written BEFORE the version CAS, so a crash
+    # or lost race leaves only orphan part files — swept by
+    # ``expire_snapshots(sweep_orphans=True)``, never referenced.
+
+    #: merge manifest parts when a commit would exceed this many
+    PART_CAP: int = 64
+
+    def _part_path(self, pid: str) -> str:
+        return fs.join(self.meta_dir, f"{pid}.json")
+
+    def _part_entries(self, pid: str) -> list[dict]:
+        if pid not in self._part_cache:
+            raw = fs.read_text_file(self.spark, self._part_path(pid))
+            if len(self._part_cache) > 256:
+                self._part_cache.clear()
+            self._part_cache[pid] = json.loads(raw)["entries"]
+        return self._part_cache[pid]
+
+    def _write_part(self, entries: list[dict]) -> str:
+        pid = f"p-{uuid.uuid4().hex[:12]}"
+        fs.write_text_file(self.spark, self._part_path(pid),
+                           json.dumps({"entries": entries}))
+        self._part_cache[pid] = list(entries)
+        return pid
+
+    def _parts_of(self, man: dict) -> list[str]:
+        return list(man.get("parts", []))
+
     def _files(self, version: int) -> list[dict]:
-        return self._manifest(version)["files"]
+        man = self._manifest(version)
+        if "parts" in man:
+            return [e for pid in man["parts"]
+                    for e in self._part_entries(pid)]
+        # v0 and legacy single-level manifests embed the list directly
+        return man["files"]
 
     def _commit(self, op: str, add: list[dict] = (),
                 drop_graphs: set[str] | None = None,
                 replace_files: list[dict] | None = None,
+                replace_parts: list[str] | None = None,
                 expected_base: int | None = None,
                 max_retries: int = 5) -> int:
         """Claim the next manifest version. Retries against a moved
@@ -193,8 +250,11 @@ class SnapshotStore(TripleStore):
         with ``expected_base``) first validate that no affected graph
         changed since ``expected_base``. A torn manifest blocking the
         next slot is deleted and re-claimed once older than
-        ``torn_grace_sec``."""
+        ``torn_grace_sec``. The added entries are written as ONE part
+        file up front (reused across CAS retries); parts orphaned by a
+        failed commit are swept by the vacuum, never referenced."""
         add = list(add)
+        add_pid = self._write_part(add) if add else None
         for _ in range(max_retries):
             cur = self.current_version()
             if expected_base is not None and cur != expected_base:
@@ -213,13 +273,39 @@ class SnapshotStore(TripleStore):
                         f"{op}: graphs {sorted(affected)[:5]} changed "
                         f"between v{expected_base} and v{cur}"
                     )
-            if replace_files is not None:
-                files = list(replace_files)
+            if replace_parts is not None:
+                parts = list(replace_parts)
+            elif replace_files is not None:
+                parts = ([self._write_part(list(replace_files))]
+                         if replace_files else [])
             else:
-                files = [
-                    e for e in self._files(cur)
-                    if drop_graphs is None or e["graph"] not in drop_graphs
-                ] + add
+                cur_man = self._manifest(cur)
+                if "parts" in cur_man:
+                    parts = list(cur_man["parts"])
+                elif cur_man["files"]:
+                    # legacy single-level manifest: wrap once
+                    parts = [self._write_part(cur_man["files"])]
+                else:
+                    parts = []
+                if drop_graphs:
+                    kept_parts = []
+                    for pid in parts:
+                        ents = self._part_entries(pid)
+                        kept = [e for e in ents
+                                if e["graph"] not in drop_graphs]
+                        if len(kept) == len(ents):
+                            kept_parts.append(pid)    # untouched part
+                        elif kept:
+                            kept_parts.append(self._write_part(kept))
+                        # fully-dropped part: omitted
+                    parts = kept_parts
+                if add_pid is not None:
+                    parts.append(add_pid)
+                if len(parts) > self.PART_CAP:
+                    merged = [e for pid in parts
+                              for e in self._part_entries(pid)]
+                    parts = [self._write_part(merged)] if merged else []
+            total = [e for pid in parts for e in self._part_entries(pid)]
             manifest = {
                 "version": cur + 1,
                 "parent": cur,
@@ -227,10 +313,10 @@ class SnapshotStore(TripleStore):
                 "ts": time.time(),
                 "summary": {
                     "added_files": len(add),
-                    "total_files": len(files),
-                    "total_bytes": sum(e.get("bytes", 0) for e in files),
+                    "total_files": len(total),
+                    "total_bytes": sum(e.get("bytes", 0) for e in total),
                 },
-                "files": files,
+                "parts": parts,
             }
             if fs.create_text_file(
                 self.spark, self._manifest_path(cur + 1),
@@ -629,9 +715,14 @@ class SnapshotStore(TripleStore):
 
     def rollback(self, version: int) -> int:
         """Restore snapshot ``version``'s exact file list as a NEW
-        commit (history is preserved; O(metadata))."""
-        files = self._files(version)  # raises if expired/unknown
-        return self._commit("rollback", replace_files=files)
+        commit (history is preserved). With two-level manifests this
+        reuses the old version's part ids verbatim — O(1) metadata,
+        no part rewrite."""
+        man = self._manifest(version)  # raises if expired/unknown
+        if "parts" in man:
+            return self._commit("rollback",
+                                replace_parts=list(man["parts"]))
+        return self._commit("rollback", replace_files=man["files"])
 
     def expire_snapshots(self, keep_last: int = 1,
                          sweep_orphans: bool = False,
@@ -665,18 +756,24 @@ class SnapshotStore(TripleStore):
         expire = [v for v in vs if v not in keep]
         for v in set(self._versions()) - set(vs):
             self._recover_torn(v)
-        referenced = {
-            e["path"] for v in keep
-            for e in (self._try_manifest(v) or {"files": []})["files"]
+        referenced = {e["path"] for v in keep for e in self._files(v)}
+        kept_parts = {
+            pid for v in keep for pid in self._parts_of(self._manifest(v))
         }
         dropped_paths = {
-            e["path"] for v in expire
-            for e in (self._try_manifest(v) or {"files": []})["files"]
+            e["path"] for v in expire for e in self._files(v)
         } - referenced
-        # manifests FIRST (see docstring), then the data files
+        expired_parts = {
+            pid for v in expire
+            for pid in self._parts_of(self._manifest(v))
+        } - kept_parts
+        # manifests FIRST (see docstring), then parts, then data files
         for v in expire:
             fs.delete(self.spark, self._manifest_path(v))
             self._man_cache.pop(v, None)
+        for pid in expired_parts:
+            fs.delete(self.spark, self._part_path(pid))
+            self._part_cache.pop(pid, None)
         for rel in dropped_paths:
             fs.delete(self.spark, fs.join(self.data_dir, rel),
                       recursive=False)
@@ -693,6 +790,16 @@ class SnapshotStore(TripleStore):
                         and now - ent["mtime"] > orphan_grace_sec):
                     fs.delete(self.spark,
                               fs.join(self.data_dir, ent["name"]))
+                    swept += 1
+            # orphan manifest PARTS: written by crashed/lost commits,
+            # referenced by no live version (age-gated like snap dirs)
+            for ent in fs.list_status(self.spark, self.meta_dir):
+                name = ent["name"]
+                if (name.startswith("p-") and name.endswith(".json")
+                        and name[:-5] not in kept_parts
+                        and now - ent["mtime"] > orphan_grace_sec):
+                    fs.delete(self.spark, fs.join(self.meta_dir, name))
+                    self._part_cache.pop(name[:-5], None)
                     swept += 1
         return {"expired": expire, "deleted_files": len(dropped_paths),
                 "swept_orphan_dirs": swept}

@@ -561,3 +561,108 @@ def test_changelog_cursor_commit_is_idempotent_and_monotonic(
     # torn cursor file is skipped, older position stands
     (tmp_path / "cursor" / "cursor-5.json").write_text("{ torn")
     assert cur.position() == 1
+
+
+# -- two-level manifests (delta commits) -------------------------------------
+
+def _manifest_json(tmp, v):
+    return json.loads((tmp / "s" / "_meta" / f"v{v}.json").read_text())
+
+
+def test_append_commits_are_delta_not_full_rewrite(spark, tmp_path):
+    """An append writes ONE new manifest part and a version file
+    listing the surviving part ids — O(added files) metadata per
+    commit, never a rewrite of the full file list (the two-level
+    design public table formats use)."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    for i in range(3):
+        st.append(_quads(spark, [(f"s{i}", "p", str(i), "urn:g:1")]))
+    m2, m3 = _manifest_json(tmp_path, 2), _manifest_json(tmp_path, 3)
+    assert "files" not in m3 and len(m3["parts"]) == 3
+    # the previous version's parts are REUSED verbatim, plus one new
+    assert m3["parts"][:2] == m2["parts"]
+    assert m3["summary"]["total_files"] >= 3
+    assert st.read().count() == 3
+
+
+def test_drop_rewrites_only_affected_parts(spark, tmp_path):
+    """delete_graph keeps untouched parts by id; only parts holding
+    the dropped graph are rewritten/omitted."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:keep")]))   # part A
+    st.append(_quads(spark, [("b", "p", "2", "urn:g:drop")]))   # part B
+    keep_part = _manifest_json(tmp_path, 2)["parts"][0]
+    st.delete_graph("urn:g:drop")                               # v3
+    m3 = _manifest_json(tmp_path, 3)
+    assert m3["parts"] == [keep_part]   # part A untouched, B omitted
+    assert {r.subj for r in st.read().collect()} == {"a"}
+
+
+def test_rollback_reuses_part_ids(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))      # v1
+    st.append(_quads(spark, [("b", "p", "2", "urn:g:1")]))      # v2
+    st.rollback(1)                                              # v3
+    assert (_manifest_json(tmp_path, 3)["parts"]
+            == _manifest_json(tmp_path, 1)["parts"])
+    assert {r.subj for r in st.read().collect()} == {"a"}
+
+
+def test_part_cap_merges_fragmented_manifests(spark, tmp_path):
+    old = SnapshotStore.PART_CAP
+    SnapshotStore.PART_CAP = 3
+    try:
+        st = SnapshotStore(spark, str(tmp_path / "s"))
+        for i in range(5):
+            st.append(_quads(spark, [(f"s{i}", "p", str(i), "urn:g:1")]))
+        tip = _manifest_json(tmp_path, st.current_version())
+        assert len(tip["parts"]) <= 3
+        assert st.read().count() == 5
+        assert tip["summary"]["total_files"] == sum(
+            len(json.loads((tmp_path / "s" / "_meta" / f"{p}.json")
+                           .read_text())["entries"])
+            for p in tip["parts"])
+    finally:
+        SnapshotStore.PART_CAP = old
+
+
+def test_vacuum_deletes_expired_and_orphan_parts(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))      # v1
+    st.overwrite_graphs(_quads(spark, [("b", "p", "2", "urn:g:1")]))
+    # an orphan part from a crashed commit
+    (tmp_path / "s" / "_meta" / "p-deadbeef0000.json").write_text(
+        '{"entries": []}')
+    out = st.expire_snapshots(keep_last=1, sweep_orphans=True,
+                              orphan_grace_sec=0.0)
+    meta = {p.name for p in (tmp_path / "s" / "_meta").iterdir()}
+    live_parts = set(_manifest_json(tmp_path, 2)["parts"])
+    assert {n for n in meta if n.startswith("p-")} == {
+        f"{p}.json" for p in live_parts}
+    assert out["swept_orphan_dirs"] >= 1
+    assert {r.subj for r in st.read().collect()} == {"b"}
+
+
+def test_legacy_single_level_manifest_still_reads(spark, tmp_path):
+    """A pre-upgrade manifest embedding `files` directly keeps
+    reading, and the next commit wraps it into a part."""
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))      # v1
+    m1 = _manifest_json(tmp_path, 1)
+    files = [e for p in m1["parts"]
+             for e in json.loads((tmp_path / "s" / "_meta" / f"{p}.json")
+                                 .read_text())["entries"]]
+    legacy = dict(m1, files=files)
+    legacy.pop("parts")
+    (tmp_path / "s" / "_meta" / "v1.json").write_text(json.dumps(legacy))
+    # the manifest was originally written through Hadoop's local FS,
+    # which keeps a sidecar checksum — rewriting via pathlib stales it
+    crc = tmp_path / "s" / "_meta" / ".v1.json.crc"
+    if crc.exists():
+        crc.unlink()
+    st2 = SnapshotStore(spark, str(tmp_path / "s"))
+    assert {r.subj for r in st2.read().collect()} == {"a"}
+    st2.append(_quads(spark, [("b", "p", "2", "urn:g:1")]))     # v2
+    m2 = _manifest_json(tmp_path, 2)
+    assert "parts" in m2 and len(m2["parts"]) == 2
+    assert {r.subj for r in st2.read().collect()} == {"a", "b"}
