@@ -102,17 +102,28 @@ _KEYWORDS = {
     "ORDER", "LIMIT", "OFFSET", "AS", "DESC", "ASC", "UNION", "BIND",
     "VALUES", "CONSTRUCT", "DESCRIBE", "INSERT", "DELETE", "DATA",
     "MINUS", "IN",
-    # graph-management update forms (SPARQL 1.1 Update §3.2)
-    "CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD", "LOAD",
-    "SILENT", "TO", "INTO", "DEFAULT", "NAMED", "ALL",
+    # graph-management update forms (SPARQL 1.1 Update §3.2) — single
+    # source of truth in _GRAPHMAN_KWS below
 }
-# …but those 13 double as ordinary colon-less terms in TERM position:
-# pre-round-6 queries could use bare `all`/`to`/`add` as compact store
-# terms (expand_pname's passthrough), and promoting them query-wide
-# would regress that
-_TERM_OK_KWS = {"CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD",
-                "LOAD", "SILENT", "TO", "INTO", "DEFAULT", "NAMED",
-                "ALL"}
+# Graph-management keywords. They also double as ordinary colon-less
+# terms in TERM position: pre-round-6 queries could use bare
+# `all`/`to`/`add` as compact store terms (expand_pname's
+# passthrough), and promoting them query-wide would regress that.
+_GRAPHMAN_KWS = {"CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD",
+                 "LOAD", "SILENT", "TO", "INTO", "DEFAULT", "NAMED",
+                 "ALL"}
+_KEYWORDS |= _GRAPHMAN_KWS
+_TERM_OK_KWS = _GRAPHMAN_KWS
+
+# GraphOrDefault keyword references in the Update IR. Distinct NUL
+# sentinels, never equal to a parsed graph NAME: the tokenizer cannot
+# produce NUL, so a graph literally named "ALL"/"DEFAULT" (written
+# `GRAPH ALL`, `GRAPH <DEFAULT>`, …) can never collide with the
+# keyword forms `CLEAR ALL` / `CLEAR DEFAULT` (review finding: the
+# string-valued sentinel let `DROP GRAPH ALL` wipe every graph).
+REF_DEFAULT = "\x00DEFAULT"
+REF_NAMED = "\x00NAMED"
+REF_ALL = "\x00ALL"
 _AGGS = {"COUNT", "MAX", "MIN", "SUM", "AVG", "SAMPLE", "GROUP_CONCAT"}
 _FUNCS = {"LANG", "STR", "CONTAINS", "STRLEN", "BOUND", "REGEX",
           "CONCAT", "IF",
@@ -273,8 +284,8 @@ class Update:
     # graph-management forms (§3.2)
     op: str | None = None         # clear|drop|create|copy|move|add|load
     silent: bool = False
-    src: str | None = None        # graph IRI | "DEFAULT" | "NAMED" | "ALL"
-    dst: str | None = None        # graph IRI | "DEFAULT"
+    src: str | None = None        # graph IRI | REF_DEFAULT/NAMED/ALL
+    dst: str | None = None        # graph IRI | REF_DEFAULT
     load_path: str | None = None  # LOAD document IRI/path
 
 
@@ -535,10 +546,12 @@ class _Parser:
         if self.at_kw("GRAPH"):
             self.next()
             return self._graph_iri()
-        for kw in ("DEFAULT",) + (("NAMED", "ALL") if named_all else ()):
-            if self.at_kw(kw):
+        kws = {"DEFAULT": REF_DEFAULT, "NAMED": REF_NAMED,
+               "ALL": REF_ALL}
+        for kw, ref in kws.items():
+            if (kw == "DEFAULT" or named_all) and self.at_kw(kw):
                 self.next()
-                return kw
+                return ref
         t = self.peek()
         if t and t.kind in ("IRI", "PNAME"):
             return self._graph_iri()
@@ -3291,7 +3304,7 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
     spark = store.spark
 
     def resolve(ref: str) -> str:
-        if ref == "DEFAULT":
+        if ref == REF_DEFAULT:
             if default_graph is None:
                 raise ValueError(
                     f"{u.op.upper()}: DEFAULT graph referenced but no "
@@ -3300,8 +3313,13 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
             return default_graph
         return ref
 
+    # existence = "is a live graph", answered from METADATA (manifest
+    # on the snapshot store, partition listing on the plain store) —
+    # no Spark job, consistent with the NAMED/ALL enumeration
+    live = set(store.graphs())
+
     def exists(g: str) -> bool:
-        return bool(store.read().filter(F.col("graph") == g).take(1))
+        return g in live
 
     if u.op == "load":
         path = u.load_path
@@ -3311,7 +3329,7 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
         fmt = _LOAD_FMT.get(ext)
         # config errors resolve OUTSIDE the SILENT net: a missing
         # default_graph is an operator mistake, not a failed document
-        target = resolve(u.dst or "DEFAULT")
+        target = resolve(u.dst if u.dst is not None else REF_DEFAULT)
         try:
             if fmt is None:
                 raise ValueError(
@@ -3329,16 +3347,17 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
         return {"op": "load", "loaded": True, "merge": out}
 
     if u.op in ("clear", "drop"):
-        if u.src in ("NAMED", "ALL"):
-            graphs = store.graphs()   # manifest/partition metadata,
-        else:                         # never a data scan
+        if u.src in (REF_NAMED, REF_ALL):
+            graphs = sorted(live)
+        else:
             g = resolve(u.src)
             if not exists(g):
                 # CLEAR of an absent graph succeeds; so does
                 # DROP DEFAULT (§3.2.2: ≡ CLEAR DEFAULT — the default
                 # graph always exists); DROP of an absent NAMED graph
                 # is the one loud case (unless SILENT)
-                if u.op == "drop" and u.src != "DEFAULT" and not u.silent:
+                if (u.op == "drop" and u.src != REF_DEFAULT
+                        and not u.silent):
                     raise ValueError(f"DROP GRAPH <{g}>: no such graph")
                 graphs = []
             else:

@@ -225,6 +225,11 @@ class SnapshotStore(TripleStore):
         pid = f"p-{uuid.uuid4().hex[:12]}"
         fs.write_text_file(self.spark, self._part_path(pid),
                            json.dumps({"entries": entries}))
+        # bound the cache on the WRITE path too: a long-lived writer
+        # commits thousands of parts and its reads always hit, so the
+        # miss-path eviction alone never fires (review finding)
+        if len(self._part_cache) > 256:
+            self._part_cache.clear()
         self._part_cache[pid] = list(entries)
         return pid
 
@@ -631,6 +636,12 @@ class SnapshotStore(TripleStore):
         if src == dst:
             return
         base = self.current_version()
+        if not any(e["graph"] == src for e in self._files(base)):
+            # absent/empty source: no-op — the parent's dynamic
+            # overwrite of zero partitions behaves the same way, and
+            # committing drop_graphs={src, dst} here would silently
+            # WIPE dst (review finding)
+            return
         data = self.read_graph(src, version=base).withColumn(
             "graph", F.lit(dst))
         snap_rel, entries = self._write_snap(data)

@@ -387,8 +387,11 @@ class TripleStore:
         commit."""
         if src == dst:
             return
-        data = self.read_graph(src).withColumn(
-            "graph", F.lit(dst)).localCheckpoint(eager=True)
+        # no checkpoint needed: the plan scans only src partitions
+        # while the overwrite rewrites only dst partitions (no
+        # read-overwrite overlap), and delete_graph(src) runs after
+        # the write job completes
+        data = self.read_graph(src).withColumn("graph", F.lit(dst))
         self.overwrite_graphs(data)
         self.delete_graph(src)
 

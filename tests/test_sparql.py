@@ -2658,7 +2658,8 @@ def test_graph_management_review_fixes(spark, tmp_path):
 
     # bare-IRI GraphOrDefault parses (SPARQL 1.1 Update §3.2.3 example)
     u = parse_sparql("COPY DEFAULT TO <http://example.org/named>")
-    assert u.src == "DEFAULT" and u.dst == "http://example.org/named"
+    from kgap_spark.query.sparql import REF_DEFAULT
+    assert u.src == REF_DEFAULT and u.dst == "http://example.org/named"
     assert parse_sparql("MOVE <urn:a> TO <urn:b>").src == "urn:a"
 
     # DROP DEFAULT on an empty default graph succeeds (≡ CLEAR DEFAULT)
@@ -2696,3 +2697,35 @@ def test_select_star_column_order_stable_under_reorder(spark):
         SELECT * WHERE { ?a ?p ?o . ?a <u:p2> ?x }
     """)
     assert df.columns == ["a", "p", "o", "x"]
+
+
+def test_graph_management_sentinel_collision_and_absent_move(spark, tmp_path):
+    """Review-pass pins: a graph literally named ALL/DEFAULT can never
+    collide with the keyword forms (NUL sentinels), and
+    SnapshotStore.move_graph of an absent source no-ops instead of
+    wiping the destination."""
+    from kgap_spark.query.sparql import execute_sparql_update
+    from kgap_spark.triples import SnapshotStore
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    rows = [("a", "p", "1", None, None, "ALL", None),
+            ("b", "p", "2", None, None, "urn:g:keep", None)]
+    st.merge(spark.createDataFrame(rows, S.TRIPLES))
+
+    # DROP GRAPH ALL targets the graph NAMED "ALL", never every graph
+    r = execute_sparql_update(st, "DROP GRAPH ALL")
+    assert r["graphs"] == ["ALL"]
+    assert st.graphs() == ["urn:g:keep"]
+    # the keyword form still clears everything
+    execute_sparql_update(st, "CLEAR ALL")
+    assert st.graphs() == []
+
+    # absent-source MOVE must not touch dst (it used to commit
+    # drop_graphs={src, dst} with nothing added — dst wiped)
+    st.merge(spark.createDataFrame(
+        [("keep", "p", "9", None, None, "urn:g:dst", None)], S.TRIPLES))
+    v = st.current_version()
+    st.move_graph("urn:g:absent", "urn:g:dst")
+    assert st.current_version() == v          # no commit at all
+    assert {r.subj for r in st.read_graph("urn:g:dst").collect()} == {
+        "keep"}
