@@ -81,6 +81,9 @@ _elem_st = st.one_of(
     st.tuples(st.just("graph"),
               st.tuples(_graph_term_st,
                         st.lists(_pattern_st, min_size=1, max_size=2))),
+    st.tuples(st.just("union"),
+              st.tuples(st.lists(_pattern_st, min_size=1, max_size=2),
+                        st.lists(_pattern_st, min_size=1, max_size=2))),
 )
 
 _filter_st = st.tuples(
@@ -165,6 +168,14 @@ def _eval_group(kb, elements, filt):
                 sub = _eval_patterns(g3, pats)
             sols = [dict(mu, **nu) for mu in sols for nu in sub
                     if _compatible(mu, nu)]
+        elif kind == "union":
+            left, right = payload
+            # §18.2.2.x: Union(eval(left), eval(right)) — a MULTISET
+            # union of the two arms' solutions, joined into the
+            # accumulated set compatibly
+            sub = _eval_patterns(kb3, left) + _eval_patterns(kb3, right)
+            sols = [dict(mu, **nu) for mu in sols for nu in sub
+                    if _compatible(mu, nu)]
         else:  # minus
             sub = _eval_patterns(kb3, payload)
             sols = [
@@ -203,6 +214,10 @@ def _in_scope_vars(elements):
                 vs.add(gterm[1])
             for pat in pats:
                 vs |= {t[1] for t in pat if isinstance(t, tuple)}
+        elif kind == "union":
+            for pats in payload:
+                for pat in pats:
+                    vs |= {t[1] for t in pat if isinstance(t, tuple)}
     return vs
 
 
@@ -219,6 +234,13 @@ def _render(elements, filt) -> str:
                 " ".join(_render_term(t) for t in pat) for pat in pats
             )
             parts.append(f"GRAPH {gt} {{ {inner} }}")
+        elif kind == "union":
+            arms = [
+                " . ".join(" ".join(_render_term(t) for t in pat)
+                           for pat in pats)
+                for pats in payload
+            ]
+            parts.append(f"{{ {arms[0]} }} UNION {{ {arms[1]} }}")
         else:
             kw = "OPTIONAL" if kind == "optional" else "MINUS"
             inner = " . ".join(
