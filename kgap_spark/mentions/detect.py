@@ -100,6 +100,106 @@ def _first_token_grams(pages: DataFrame, alias_dict: DataFrame,
     )
 
 
+# Direct-scan fast path: above this many distinct (valid) aliases the
+# per-document contains() chain stops being cheaper than the exploded
+# gram join; callers fall back to the generic path.
+MAX_DIRECT_SCAN_ALIASES = 64
+
+
+def mention_entities_direct(
+    pages: DataFrame, alias_dict: DataFrame, text_col: str = "text"
+) -> DataFrame | None:
+    """Disambiguated ``(url, entity_id)`` mention pairs for a SMALL
+    dictionary via a direct substring scan — provably equivalent to
+    ``disambiguate(detect_mentions(pages, d)).select("url", "entity_id")``
+    but with no token explode, no join, and no tf aggregation.
+
+    Why it is equivalent (the knowledge Catalyst cannot use):
+    - a gram is 1..MAX_ALIAS_TOKENS tokens of ``split(lower(text), \\s+)``
+      joined by ONE space, so ``lower(alias)`` occurs as a gram iff
+      ``' '||alias||' '`` occurs in the single-space-collapsed, trimmed,
+      space-padded lowercased text (token boundaries are exactly the
+      spaces); aliases whose own whitespace is not already
+      single-space-normalized, or with > MAX_ALIAS_TOKENS tokens, can
+      never equal a gram and are dropped up front;
+    - the argmax in ``disambiguate`` is per (url, alias) over the
+      lang-routed candidate entities by (prior DESC, entity_id ASC) —
+      a pure function of (alias, doc lang) that is precomputed
+      driver-side into a tiny CASE-on-lang expression per alias, so tf
+      (which only rides along in the payload) never matters.
+
+    Scale shape: one regexp pass + |aliases| codegen'd ``Contains``
+    per document, one explode bounded by |aliases|, ONE shuffle (the
+    caller's distinct) — vs the generic path's corpus-sized explode,
+    broadcast join and two aggregations. Returns None when the
+    dictionary exceeds ``MAX_DIRECT_SCAN_ALIASES`` distinct aliases
+    (or cannot be collected) — the generic path stays the fallback.
+    """
+    import re as _re
+
+    rows = alias_dict.select("alias", "entity_id", "lang", "prior").collect()
+    by_alias: dict[str, list[tuple[str, str | None, float]]] = {}
+    for r in rows:
+        if r["alias"] is None or r["entity_id"] is None:
+            continue
+        a = r["alias"].lower()
+        # Java \s (ASCII) — the same class split() uses executor-side
+        toks = [t for t in _re.split(r"\s+", a, flags=_re.ASCII) if t]
+        if not toks or len(toks) > MAX_ALIAS_TOKENS or " ".join(toks) != a:
+            continue  # can never equal a gram in the generic path
+        by_alias.setdefault(a, []).append(
+            (r["entity_id"], r["lang"], float(r["prior"]))
+        )
+    if not by_alias or len(by_alias) > MAX_DIRECT_SCAN_ALIASES:
+        return None
+
+    def _best(cands: list[tuple[str, float]]) -> str:
+        # argmax by (prior DESC, entity_id ASC) — disambiguate's key
+        return min(cands, key=lambda c: (-c[1], c[0]))[0]
+
+    padded = F.col("_padded")
+    picks = []
+    for a, entries in by_alias.items():
+        star = [(e, p) for e, lang, p in entries if lang in (None, "*")]
+        by_lang: dict[str, list[tuple[str, float]]] = {}
+        for e, lang, p in entries:
+            if lang not in (None, "*"):
+                by_lang.setdefault(lang, []).append((e, p))
+        if by_lang:
+            winner = None
+            for lang in sorted(by_lang):
+                w = F.lit(_best(star + by_lang[lang]))
+                cond = F.col("lang") == lang
+                winner = F.when(cond, w) if winner is None \
+                    else winner.when(cond, w)
+            winner = winner.otherwise(
+                F.lit(_best(star)) if star else F.lit(None).cast("string")
+            )
+        else:
+            winner = F.lit(_best(star))
+        picks.append(F.when(padded.contains(" " + a + " "), winner))
+    # the normalized text is hoisted into its OWN projection so the
+    # regexp pass runs once per row — inlined into the explode's array
+    # expression it would be re-evaluated per alias (measured 10x at
+    # sf1); explode() is a Generate node, outside codegen CSE
+    normalized = pages.select(
+        F.col("url"),
+        *([F.col("lang")] if "lang" in pages.columns else []),
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            F.lit(" "),
+        ).alias("_padded"),
+    )
+    matched = normalized.select(
+        F.col("url"),
+        F.explode(
+            F.filter(F.array(*picks), lambda x: x.isNotNull())
+        ).alias("entity_id"),
+    )
+    return matched
+
+
 def detect_mentions(
     pages: DataFrame, alias_dict: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -73,7 +73,10 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples with lang routing + prior-argmax disambiguation (SURVEY
     §2.4 J6, §2.6 argmax window)."""
     from kgap_spark.link.score import disambiguate
-    from kgap_spark.mentions.detect import detect_mentions
+    from kgap_spark.mentions.detect import (
+        detect_mentions,
+        mention_entities_direct,
+    )
 
     docs = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
@@ -83,8 +86,14 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias_dict = spark.createDataFrame(
         MENTION_DICT, "alias string, entity_id string, lang string, prior double"
     )
-    cands = detect_mentions(docs, alias_dict)
-    linked = disambiguate(cands)
+    # r07 optimization: small dictionaries take the direct-scan path
+    # (one contains() chain per doc, ONE shuffle) — equivalence with
+    # the generic explode+join+argmax path is proven in
+    # tests/test_functions.py::test_mention_entities_direct_equivalence
+    # and by the unchanged DuckDB oracle.
+    linked = mention_entities_direct(docs, alias_dict)
+    if linked is None:  # dictionary too large for the direct scan
+        linked = disambiguate(detect_mentions(docs, alias_dict))
     return (
         linked.select(
             F.col("url").alias("subj"),

@@ -477,6 +477,81 @@ def test_detect_mentions_case_and_null_lang(spark):
     assert got == {("u1", "e:paris"), ("u2", "e:paris")}
 
 
+def test_mention_entities_direct_equivalence(spark):
+    """The r07 direct-scan fast path must produce EXACTLY the same
+    (url, entity_id) set as disambiguate(detect_mentions(...)) on an
+    adversarial corpus: irregular whitespace, leading/trailing
+    whitespace, ambiguous aliases, lang routing (specific, '*', NULL
+    doc lang), multi-token aliases split across newlines/tabs, aliases
+    that can never match a gram (4 tokens, internal double space,
+    leading space, empty), and empty/whitespace-only documents."""
+    from kgap_spark.link.score import disambiguate
+    from kgap_spark.mentions.detect import (
+        detect_mentions,
+        mention_entities_direct,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "en", "spark joins  the\tstream"),
+            ("u2", "de", "  der vector\nraum  "),
+            ("u3", "en", "the vector space"),          # 'vector' is de-only
+            ("u4", None, "window functions and the window"),  # en-only alias
+            ("u5", "en", "hash\ntable lookup via hash  table"),
+            ("u6", "en", "join the road or the join op"),     # ambiguous
+            ("u7", "en", ""),
+            ("u8", "en", "   \t\n "),
+            ("u9", "en", "wordspark sparkword spark"),  # boundary checks
+            ("u10", "en", "a b c d quad gram here"),
+        ],
+        "url string, lang string, text string",
+    )
+    alias = spark.createDataFrame(
+        [
+            ("spark", "e:spark", "*", 0.9),
+            ("Stream", "e:stream", None, 0.7),
+            ("vector", "e:vector-de", "de", 0.5),
+            ("vector", "e:vector-en2", "de", 0.5),   # prior tie → id asc
+            ("window", "e:window", "en", 0.8),
+            ("hash table", "e:ht", "*", 0.95),
+            ("join", "e:join-op", "*", 0.7),
+            ("join", "e:join-road", "*", 0.4),
+            ("a b c d", "e:quad", "*", 0.9),          # 4 tokens: never a gram
+            ("bad  alias", "e:bad", "*", 0.9),        # double space: never
+            (" lead", "e:lead", "*", 0.9),            # leading space: never
+            ("", "e:empty", "*", 0.9),                # empty: never
+        ],
+        "alias string, entity_id string, lang string, prior double",
+    )
+    direct = mention_entities_direct(pages, alias)
+    assert direct is not None
+    got = {(r.url, r.entity_id) for r in direct.collect()}
+    generic = disambiguate(detect_mentions(pages, alias))
+    want = {(r.url, r.entity_id) for r in generic.collect()}
+    assert got == want
+    # spot-check the semantics the equivalence relies on
+    assert ("u3", "e:vector-de") not in got       # lang routing enforced
+    assert ("u2", "e:vector-de") in got           # prior tie → entity_id asc
+    assert ("u6", "e:join-op") in got             # argmax by prior
+    assert ("u6", "e:join-road") not in got
+    assert not {u for u, _ in got} & {"u7", "u8", "u10"}
+    assert ("u9", "e:spark") in got               # exact token boundary
+
+
+def test_mention_entities_direct_large_dict_falls_back(spark):
+    """Above MAX_DIRECT_SCAN_ALIASES the fast path must decline."""
+    from kgap_spark.mentions.detect import mention_entities_direct
+
+    pages = spark.createDataFrame(
+        [("u1", "en", "x")], "url string, lang string, text string"
+    )
+    alias = spark.createDataFrame(
+        [(f"w{i}", f"e:{i}", "*", 0.5) for i in range(200)],
+        "alias string, entity_id string, lang string, prior double",
+    )
+    assert mention_entities_direct(pages, alias) is None
+
+
 def test_detect_mentions_fuzzy_end_to_end(spark):
     """A typo'd surface form must link to the right entity via the
     fuzzy LSH path, with prior discounted below an exact match; clean

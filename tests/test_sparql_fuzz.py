@@ -279,11 +279,18 @@ def test_engine_agrees_with_naive_evaluator(spark, case):
     t = spark.createDataFrame(rows, S.TRIPLES)
 
     df = execute_sparql(t, query)
-    got = sorted(
+    # None-safe total sort key: unbound vars (None) sort before any
+    # string — plain sorted() raises TypeError on None-vs-str tuples
+    def _nsort(rows):
+        return sorted(rows, key=lambda tup: tuple(
+            (v is not None, v if v is not None else "") for v in tup
+        ))
+
+    got = _nsort(
         tuple(r[v] if v in df.columns else None for v in scope)
         for r in df.collect()
     )
-    expected = sorted(
+    expected = _nsort(
         tuple(mu.get(v) for v in scope)
         for mu in _eval_group(kb, elements, filt)
     )
