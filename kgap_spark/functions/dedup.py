@@ -174,20 +174,41 @@ def minhash_band_candidates(
 
     shingle→minhash→band→bucket-join, all in native SQL functions. The
     band bucket-join is the only pair-producing step — candidate count
-    scales with bucket collisions."""
-    sh = _with_shingles(docs, id_col, text_col, n)
-    banded = sh.select(
+    scales with bucket collisions.
+
+    r07 shuffle removal (guide §2.3/§2.4): the per-(doc, band) min used
+    to be an explode + groupBy — a shuffle of |docs|·|shingles|·bands
+    rows. But every doc's shingles sit in ONE row after shingling, so
+    the band signature is a per-row ``array_min(transform(...))`` —
+    zero shuffle, and the first exchange now carries only
+    |docs|·bands signature rows (the 100 TB win: the shuffled bytes no
+    longer scale with document length)."""
+    sh = with_shingle_array(docs, id_col, text_col, n).filter(
+        F.size("shingles") > 0
+    )
+    # min(md5) over the multiset == min over the distinct set, so the
+    # signature needs no array_distinct; md5 strings compare exactly
+    # like F.min over exploded rows did
+    sig = sh.select(
         "doc",
         F.explode(
-            F.array(*[F.lit(b) for b in range(bands)])
-        ).alias("band"),
-        "shingle",
-    ).select(
-        "doc", "band",
-        F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle"))
-              .cast("binary")).alias("h"),
-    )
-    sig = banded.groupBy("doc", "band").agg(F.min("h").alias("band_sig"))
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.array_min(
+                        F.transform(
+                            "shingles",
+                            lambda s: F.md5(
+                                F.concat(F.lit(str(b) + ":"), s)
+                                .cast("binary")
+                            ),
+                        )
+                    ).alias("band_sig"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bs"),
+    ).select("doc", "_bs.band", "_bs.band_sig")
     # posting-list pair generation (see ngram_jaccard_pairs): one
     # groupBy on the bucket key instead of a self-join — candidates
     # expand in-task from each bucket's (bounded) doc list
@@ -235,37 +256,42 @@ def minhash_lsh_approx_join(
         raise ValueError("num_perm must be a multiple of bands")
     rows_per_band = num_perm // bands
     sh = _with_shingles(docs, id_col, text_col, n)
-    mh = (
-        sh.select(
-            "doc",
-            F.explode(
-                F.array(*[F.lit(p) for p in range(num_perm)])
-            ).alias("p"),
-            "shingle",
-        )
-        .select(
-            "doc", "p",
-            F.md5(
-                F.concat(F.col("p").cast("string"), F.lit(":"),
-                         F.col("shingle")).cast("binary")
-            ).alias("h"),
-        )
-        .groupBy("doc", "p")
-        .agg(F.min("h").alias("mh"))
-    )
-    bandsig = (
-        mh.withColumn("band", (F.col("p") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "mh"))),
-                    lambda s: s.getField("mh"),
+
+    # r07 shuffle removal (guide §2.3/§2.4, same as
+    # minhash_band_candidates): the per-(doc, perm) minhash and the
+    # per-(doc, band) signature used to be TWO explode+groupBy shuffles
+    # of |docs|·|shingles|·num_perm rows; both are per-row array
+    # expressions over the doc's shingle array — zero shuffles before
+    # the bucket groupBy, whose input is now |docs|·bands rows.
+    def _mh(p: int):
+        return F.array_min(
+            F.transform(
+                "shingles",
+                lambda s: F.md5(
+                    F.concat(F.lit(str(p) + ":"), s).cast("binary")
                 ),
-                "|",
-            ).alias("sig")
+            )
         )
+
+    sharr = with_shingle_array(docs, id_col, text_col, n).filter(
+        F.size("shingles") > 0
     )
+    bandsig = sharr.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[_mh(b * rows_per_band + r)
+                          for r in range(rows_per_band)],
+                    ).alias("sig"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bs"),
+    ).select("doc", "_bs.band", "_bs.sig")
     bucket = bandsig.groupBy("band", "sig").agg(
         F.sort_array(F.collect_list("doc")).alias("_docs")
     )
@@ -275,7 +301,9 @@ def minhash_lsh_approx_join(
         .select("pr.doc_a", "pr.doc_b")
         .distinct()
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # |shingle set| per doc is the size of the (already-distinct)
+    # per-row shingle array — no groupBy shuffle needed
+    sizes = sharr.select("doc", F.size("shingles").alias("sz"))
     inter = (
         cand.join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
         .join(

@@ -61,10 +61,29 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_BATCH_ROWS),
         )
-        # The alias dictionary (entity-linking candidate generator) is a
-        # classic broadcast dim; keep the threshold generous. At 100 TB
-        # the fact side grows but the dictionary does not.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r07: the old generous 64 MB auto-broadcast threshold made
+        # Catalyst broadcast the FULL lineitem fact side of tpch_q5
+        # (6M rows at sf1 — 3.5 s locally, an executor-OOM at 100 TB).
+        # Known-small dims (the alias dictionary, FTS df table, SPARQL
+        # dict slices) all use explicit F.broadcast() hints, which
+        # ignore this threshold, so the estimate-driven default only
+        # decides fact-vs-fact cases — keep it at Spark's 10 MB
+        # (overridable per deployment).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("KGAP_BROADCAST_THRESHOLD",
+                           str(10 * 1024 * 1024)),
+        )
+        # Shuffled-hash over sort-merge when a side fits per-partition
+        # (guide: no sort, spills only on the build side); AQE can also
+        # rewrite SMJ→SHJ at runtime when every post-shuffle partition
+        # is under the local-map threshold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("KGAP_SHJ_LOCALMAP_THRESHOLD",
+                           str(64 * 1024 * 1024)),
+        )
         # Self-contained local runs: quiet UI, modest driver memory.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("KGAP_SPARK_UI", "false"))

@@ -486,15 +486,25 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_latest_version(spark, sf_dir):
     """U6: versioned-member materialization — latest record per key
-    (MATERIALIZE, ldes-feeds-example.yml:16,20) via row_number window."""
+    (MATERIALIZE, ldes-feeds-example.yml:16,20).
+
+    r07: the row_number window (shuffle + full per-user sort) became a
+    hash-aggregation argmax — ``max(struct(ts, event_id, event_type))``
+    picks the same row as ``row_number() OVER (ORDER BY ts DESC,
+    event_id DESC) = 1`` because struct comparison is lexicographic and
+    (ts, event_id) leads. Map-side partial aggregation replaces the
+    per-partition sort, which also neutralizes hot-user skew at scale
+    (same pattern as link/score.disambiguate)."""
     _utc(spark)
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type",
-                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest"))
+    best = (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("_b"))
+    )
+    return best.select(
+        "user_id",
+        F.col("_b.event_type").alias("event_type"),
+        F.date_format("_b.ts", "yyyy-MM-dd HH:mm:ss").alias("latest"),
     )
 
 

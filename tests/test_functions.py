@@ -1078,6 +1078,28 @@ def test_jpeg_features_through_distributed_path(spark):
     assert rows["j1"].features is None
 
 
+def test_bucket_of_py_matches_spark_xxhash64(spark):
+    """The driver-side xxh64 twin must agree with Spark's
+    pmod(xxhash64(token), N) for every token shape: short/long (past
+    the 32-byte stripe path), multi-byte UTF-8, 4-byte tail, empty."""
+    from pyspark.sql import functions as F
+
+    from kgap_spark.index.fts import N_TOKEN_BUCKETS, bucket_of, bucket_of_py
+
+    tokens = [
+        "join", "stream", "a", "ab", "abc", "abcd", "abcde", "abcdefg",
+        "abcdefgh", "abcdefghi", "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+        "tok123", "Ünïcodé", "日本語トークン", "emoji🎉mix", "",
+        "exactly-sixteen!", "8bytes!!", "punct-u_a.tion",
+    ]
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    got = {r.token: r.b for r in
+           df.select("token", bucket_of(F.col("token")).alias("b")).collect()}
+    for t in tokens:
+        assert bucket_of_py(t) == got[t], t
+        assert 0 <= bucket_of_py(t) < N_TOKEN_BUCKETS
+
+
 def test_fts_boolean_query_parse():
     from kgap_spark.index.fts import parse_boolean_query
 

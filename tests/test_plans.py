@@ -31,13 +31,28 @@ def test_filter_pushdown_to_parquet(spark, sf):
 
 
 def test_dictionary_join_is_broadcast(spark, sf):
-    """J6: the alias-dictionary candidate join must be a broadcast hash
-    join — never a shuffle of the page-side grams."""
-    from kgap_spark.workload import QUERIES
+    """J6: the generic alias-dictionary candidate join must be a
+    broadcast hash join — never a shuffle of the page-side grams.
+    (kg_mentions itself now takes the r07 direct-scan path with NO
+    join node at all; the generic operator keeps the broadcast.)"""
+    from kgap_spark.mentions.detect import detect_mentions
+    from kgap_spark.workload import MENTION_DICT, QUERIES
 
-    plan = _plan(QUERIES["kg_mentions"](spark, sf))
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        "lang", "text",
+    )
+    alias = spark.createDataFrame(
+        MENTION_DICT,
+        "alias string, entity_id string, lang string, prior double",
+    )
+    plan = _plan(detect_mentions(docs, alias))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the query path: no join operator of any kind, single scan
+    qplan = _plan(QUERIES["kg_mentions"](spark, sf))
+    assert "Join" not in qplan
+    assert "SortMergeJoin" not in qplan
 
 
 def test_mentions_plan_has_single_scan_and_codegen(spark, sf):
