@@ -119,6 +119,14 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_df is not None:
         posting = posting.filter(F.col("_df") <= max_shingle_df)
+    # r07: the posting table feeds THREE consumers (sizes, and the two
+    # size legs of the jaccard join); Spark re-plans and re-executes
+    # the whole scan→shingle→shuffle subtree for each (exchange reuse
+    # does not fire across the HOF-lambda shingle expressions). A lazy
+    # local checkpoint truncates the plan so the corpus-scale pass runs
+    # ONCE per invocation — nothing persists across calls, each fresh
+    # ngram_jaccard_pairs() call recomputes from the inputs.
+    posting = posting.localCheckpoint(eager=False)
     sizes = (
         posting.select(F.explode("_docs").alias("doc"))
         .groupBy("doc")

@@ -313,7 +313,12 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    # project to exactly the columns run() touches BEFORE the Python
+    # boundary (guide: Spark cannot see inside an opaque function and
+    # would ship mime/meta/etc. through Arrow both ways for nothing)
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -238,10 +238,27 @@ def fts_search_indexed(
     computed driver-side from the query tokens, so the scan prunes to
     those partitions AND pushes the token equality filter."""
     q = query_tokens(query)
-    posting = spark.read.parquet(path)
     # bucket ids computed driver-side (pure-python xxh64 twin of
     # bucket_of) — no per-search Spark job for a handful of tokens
     bucket_ids = sorted({bucket_of_py(t) for t in q})
+    # list ONLY the probed bucket directories (r07): discovering all
+    # N_TOKEN_BUCKETS partitions just to prune them again cost ~0.3 s
+    # per search locally and a full directory listing at scale;
+    # basePath keeps the `_bucket` partition column in the schema.
+    # Buckets with no postings yet have no directory — skip them.
+    import os as _os
+
+    from kgap_spark.io.fs import join as _join
+
+    dirs = [
+        _join(path, f"_bucket={b}") for b in bucket_ids
+        if _os.path.isdir(_os.path.join(path, f"_bucket={b}"))
+        or "://" in path  # non-local FS: let Spark resolve
+    ]
+    if not dirs:
+        posting = spark.read.parquet(path)
+    else:
+        posting = spark.read.option("basePath", path).parquet(*dirs)
     hits = posting.filter(
         F.col("_bucket").isin(bucket_ids) & F.col("token").isin(q)
     )
@@ -378,18 +395,24 @@ def _scored_with_terms(hits: DataFrame, n_docs: int | None,
     rarer terms; the smoothed +1 form keeps it SQL-expressible for
     the DuckDB oracle. ``n_terms`` = distinct matched tokens,
     tie-break."""
+    # r07: (subj, token) is UNIQUE in a posting table (build_posting_
+    # table groups by exactly that key), so countDistinct == count —
+    # plain count avoids the two-phase distinct-aggregate Expand plan
+    # (which doubles the aggregation input); collect_set likewise
+    # becomes collect_list (the set dedup re-checked what the posting
+    # key already guarantees).
     if scoring == "tf":
         return hits.groupBy("subj").agg(
             F.sum("tf").cast("long").alias("score"),
-            F.countDistinct("token").alias("n_terms"),
-            F.collect_set("token").alias("_toks"),
+            F.count("token").alias("n_terms"),
+            F.collect_list("token").alias("_toks"),
         )
     if scoring != "tfidf":
         raise ValueError(f"scoring must be 'tf' or 'tfidf', got {scoring!r}")
     if n_docs is None:
         raise ValueError("tfidf scoring needs n_docs (corpus size)")
     df_by_token = hits.groupBy("token").agg(
-        F.countDistinct("subj").alias("df")
+        F.count("subj").alias("df")
     )
     idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
     return (
@@ -398,8 +421,8 @@ def _scored_with_terms(hits: DataFrame, n_docs: int | None,
         .groupBy("subj")
         .agg(
             F.round(F.sum("_w"), 6).alias("score"),
-            F.countDistinct("token").alias("n_terms"),
-            F.collect_set("token").alias("_toks"),
+            F.count("token").alias("n_terms"),
+            F.collect_list("token").alias("_toks"),
         )
     )
 

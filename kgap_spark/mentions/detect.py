@@ -191,10 +191,24 @@ def mention_entities_direct(
             F.lit(" "),
         ).alias("_padded"),
     )
-    matched = normalized.select(
+    # the picks array is ALSO computed in a Project (codegen + runtime
+    # subexpression elimination), not inside the Generate's generator
+    # expression — Generate evaluates its expression interpreted, which
+    # measured ~0.5 s/50k docs slower than the codegen'd projection
+    ents = normalized.select(
+        F.col("url"),
+        F.filter(F.array(*picks), lambda x: x.isNotNull()).alias("_ents"),
+    )
+    # the when() wrapper is semantically a no-op (size >= 0 is always
+    # true for a non-null array, and _ents is never null) but keeps
+    # InferFiltersFromGenerate from seeing a bare attribute generator —
+    # that rule would add a size()>0 pre-filter and push it down BELOW
+    # the two projections, re-inlining the whole picks array (10
+    # regexp_replace per row, measured 6 s vs 1.1 s at sf1)
+    matched = ents.select(
         F.col("url"),
         F.explode(
-            F.filter(F.array(*picks), lambda x: x.isNotNull())
+            F.when(F.size("_ents") >= 0, F.col("_ents"))
         ).alias("entity_id"),
     )
     return matched
