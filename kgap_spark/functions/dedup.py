@@ -169,35 +169,51 @@ def _jaccard_from_intersections(
     )
 
 
-def minhash_band_candidates(
+MAX_BUCKET_DOCS = MAX_SHINGLE_DF  # df-cap for LSH band buckets
+
+
+def _cap_buckets(bucket: DataFrame, max_bucket_docs: int | None) -> DataFrame:
+    """Drop band buckets larger than ``max_bucket_docs`` BEFORE pair
+    expansion — the same hub-key guard as ``max_shingle_df`` and
+    ``connected_components.MAX_ALIAS_GROUP``. A bucket of 10⁶ docs
+    (boilerplate cluster, or exact dupes fed to LSH without exact
+    dedup first) is a single-task 5·10¹¹-pair bomb; an over-cap bucket
+    is an exact-/near-identical cluster that belongs to
+    ``exact_duplicates``, not a candidate set. Use
+    ``lsh_overflow_buckets`` to count/route what was dropped."""
+    if max_bucket_docs is None:
+        return bucket
+    return bucket.filter(F.size("_docs") <= max_bucket_docs)
+
+
+def lsh_overflow_buckets(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     bands: int = 4,
+    max_bucket_docs: int = MAX_BUCKET_DOCS,
 ) -> DataFrame:
-    """MinHash + LSH banding, content-hash flavor: per band b, the
-    document's signature is min(md5(b || shingle)); docs agreeing on any
-    band's signature are candidate near-duplicates.
+    """The band buckets ``minhash_band_candidates`` DROPS under its
+    bucket cap — (band, band_sig, n_docs) per over-cap bucket, so a
+    pipeline can surface the counts and route those documents to
+    ``exact_duplicates`` (an over-cap bucket means a near-identical
+    cluster, not a pairwise-candidate set)."""
+    return (
+        _band_signatures(docs, id_col, text_col, n, bands)
+        .groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_docs)
+    )
 
-    shingle→minhash→band→bucket-join, all in native SQL functions. The
-    band bucket-join is the only pair-producing step — candidate count
-    scales with bucket collisions.
 
-    r07 shuffle removal (guide §2.3/§2.4): the per-(doc, band) min used
-    to be an explode + groupBy — a shuffle of |docs|·|shingles|·bands
-    rows. But every doc's shingles sit in ONE row after shingling, so
-    the band signature is a per-row ``array_min(transform(...))`` —
-    zero shuffle, and the first exchange now carries only
-    |docs|·bands signature rows (the 100 TB win: the shuffled bytes no
-    longer scale with document length)."""
+def _band_signatures(docs, id_col, text_col, n, bands):
+    """(doc, band, band_sig) — per-row array_min signatures (no
+    shuffle); shared by the candidate and overflow paths."""
     sh = with_shingle_array(docs, id_col, text_col, n).filter(
         F.size("shingles") > 0
     )
-    # min(md5) over the multiset == min over the distinct set, so the
-    # signature needs no array_distinct; md5 strings compare exactly
-    # like F.min over exploded rows did
-    sig = sh.select(
+    return sh.select(
         "doc",
         F.explode(
             F.array(*[
@@ -217,11 +233,47 @@ def minhash_band_candidates(
             ])
         ).alias("_bs"),
     ).select("doc", "_bs.band", "_bs.band_sig")
+
+
+def minhash_band_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    max_bucket_docs: int | None = MAX_BUCKET_DOCS,
+) -> DataFrame:
+    """MinHash + LSH banding, content-hash flavor: per band b, the
+    document's signature is min(md5(b || shingle)); docs agreeing on any
+    band's signature are candidate near-duplicates.
+
+    shingle→minhash→band→bucket-join, all in native SQL functions. The
+    band bucket-join is the only pair-producing step — candidate count
+    scales with bucket collisions.
+
+    r07 shuffle removal (guide §2.3/§2.4): the per-(doc, band) min used
+    to be an explode + groupBy — a shuffle of |docs|·|shingles|·bands
+    rows. But every doc's shingles sit in ONE row after shingling, so
+    the band signature is a per-row ``array_min(transform(...))`` —
+    zero shuffle, and the first exchange now carries only
+    |docs|·bands signature rows (the 100 TB win: the shuffled bytes no
+    longer scale with document length). (min(md5) over the multiset ==
+    min over the distinct set, so no array_distinct needed; md5
+    strings compare exactly like F.min over exploded rows did.)
+
+    **Scale guard — bucket cap:** buckets with more than
+    ``max_bucket_docs`` documents are dropped before pair expansion
+    (see ``_cap_buckets``); ``lsh_overflow_buckets`` reports them.
+    Pass ``None`` to disable (small fixtures only)."""
+    sig = _band_signatures(docs, id_col, text_col, n, bands)
     # posting-list pair generation (see ngram_jaccard_pairs): one
     # groupBy on the bucket key instead of a self-join — candidates
     # expand in-task from each bucket's (bounded) doc list
-    bucket = sig.groupBy("band", "band_sig").agg(
-        F.sort_array(F.collect_list("doc")).alias("_docs")
+    bucket = _cap_buckets(
+        sig.groupBy("band", "band_sig").agg(
+            F.sort_array(F.collect_list("doc")).alias("_docs")
+        ),
+        max_bucket_docs,
     )
     pair_array = _pairs_from_sorted_docs()
     return (
@@ -239,6 +291,7 @@ def minhash_lsh_approx_join(
     max_jaccard_dist: float = 0.5,
     num_perm: int = 16,
     bands: int = 4,
+    max_bucket_docs: int | None = MAX_BUCKET_DOCS,
 ) -> DataFrame:
     """Deterministic MinHash-LSH approximate similarity join — the
     same API and semantics as ``minhash_lsh_near_duplicates`` (Spark
@@ -300,8 +353,11 @@ def minhash_lsh_approx_join(
             ])
         ).alias("_bs"),
     ).select("doc", "_bs.band", "_bs.sig")
-    bucket = bandsig.groupBy("band", "sig").agg(
-        F.sort_array(F.collect_list("doc")).alias("_docs")
+    bucket = _cap_buckets(
+        bandsig.groupBy("band", "sig").agg(
+            F.sort_array(F.collect_list("doc")).alias("_docs")
+        ),
+        max_bucket_docs,
     )
     pair_array = _pairs_from_sorted_docs()
     cand = (

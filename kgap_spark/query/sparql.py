@@ -84,8 +84,8 @@ _TOKEN_RE = re.compile(
     (?P<WS>\s+)
   | (?P<COMMENT>\#[^\n]*)
   | (?P<IRI><[^<>"{}|^`\\\s]*>)
-  | (?P<STRING>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3}
-              |'{3}(?:[^'\\]|\\.|'(?!'{2}))*'{3}
+  | (?P<STRING>"{3}(?:[^"\\]|\\.|"(?!"{2})|"(?="{3}))*"{3}
+              |'{3}(?:[^'\\]|\\.|'(?!'{2})|'(?='{3}))*'{3}
               |"(?:[^"\\]|\\.)*"
               |'(?:[^'\\]|\\.)*')
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
@@ -1812,13 +1812,36 @@ def _compile_expr(e, df: DataFrame,
                 if e.args:
                     # BNODE(str), §17.4.2.9: the SAME node for equal
                     # args within one solution mapping, DISTINCT
-                    # across solutions — so the label mixes a per-row
-                    # nonce (partition id ‖ row offset: equal for
-                    # every instance evaluated over the same row in
-                    # one stage) with the argument. md5(arg) alone
-                    # would merge nodes across solutions.
-                    nonce = F.monotonically_increasing_id() \
+                    # across solutions. The nonce is a content hash of
+                    # the solution's (non-internal) columns — NOT a
+                    # physical row id: monotonically_increasing_id
+                    # changes between projection stages and under
+                    # stage retry, which broke the same-node-within-
+                    # one-solution guarantee for two BNODE calls
+                    # compiled into different BINDs. Value-identical
+                    # duplicate solutions (bag semantics) share a
+                    # label under this scheme — the documented
+                    # trade-off for determinism.
+                    # columns holding GENERATED bnode labels (an
+                    # earlier BIND(BNODE(..))) are masked out of the
+                    # hash — otherwise a second BNODE("k") compiled
+                    # after the first lands on a solution that now
+                    # carries b1, changing the nonce and breaking the
+                    # same-node guarantee. Masking is by the generated
+                    # shape (_: + 32 hex); solutions distinguished
+                    # ONLY by such a column share labels — documented.
+                    sol_cols = [
+                        F.when(F.col(c).cast("string")
+                               .rlike("^_:[0-9a-f]{32}$"), F.lit(None))
+                        .otherwise(F.concat(F.lit(c + "="),
+                                            F.col(c).cast("string")))
+                        for c in df.columns if not c.startswith("_")
+                    ]
+                    nonce = (
+                        F.xxhash64(F.filter(F.array(*sol_cols),
+                                            lambda x: x.isNotNull()))
                         .cast("string")
+                        if sol_cols else F.lit("row"))
                     return F.concat(
                         F.lit("_:"),
                         F.md5(F.concat(nonce, F.lit(":"),
@@ -3295,8 +3318,9 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
 
     Store model notes (documented divergences, GraphDB-context-like):
     the store is all-named-graphs — ``DEFAULT`` resolves to the
-    ``default_graph`` argument, and ``NAMED``/``ALL`` both mean every
-    live graph. ``CREATE`` validates per spec (error on an existing
+    ``default_graph`` argument; ``ALL`` means every live graph and
+    ``NAMED`` every live graph EXCEPT the configured default graph
+    (§3.2.3 — with no default_graph configured they coincide). ``CREATE`` validates per spec (error on an existing
     graph unless SILENT) but is otherwise a no-op: the store has no
     representation of an empty graph — graphs exist exactly while
     they hold quads (same as GraphDB contexts). ``SILENT`` suppresses
@@ -3349,6 +3373,11 @@ def _execute_graph_update(store, u, default_graph: str | None) -> dict:
     if u.op in ("clear", "drop"):
         if u.src in (REF_NAMED, REF_ALL):
             graphs = sorted(live)
+            # §3.2.3: NAMED excludes the default graph — with a
+            # configured default_graph, CLEAR/DROP NAMED must not
+            # destroy default-graph data (ALL keeps everything)
+            if u.src == REF_NAMED and default_graph is not None:
+                graphs = [g for g in graphs if g != default_graph]
         else:
             g = resolve(u.src)
             if not exists(g):

@@ -110,11 +110,13 @@ class ChangelogCursor:
         tip = self.store.current_version()
         if tip <= pos:
             return None, tip
+        from kgap_spark.triples.snapshots import SnapshotNotFoundError
+
         try:
             return self.store.read_changes(pos, tip), tip
-        except ValueError as e:
-            if "does not exist" not in str(e):
-                raise
+        except SnapshotNotFoundError as e:
+            # typed classification — message-text matching would turn
+            # a reworded error into a silent full-table "incremental"
             if not allow_bootstrap:
                 raise ChangelogExpiredError(
                     f"cursor v{pos} was vacuumed from the store "

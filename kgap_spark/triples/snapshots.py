@@ -106,6 +106,13 @@ class SnapshotConflictError(RuntimeError):
     operation's read snapshot and its commit attempt."""
 
 
+class SnapshotNotFoundError(ValueError):
+    """The requested snapshot version has no readable manifest —
+    expired (vacuumed), aborted mid-commit, or never committed.
+    A dedicated type so consumers (e.g. the changelog cursor) can
+    classify a vacuumed window without matching message text."""
+
+
 
 
 class SnapshotStore(TripleStore):
@@ -186,7 +193,7 @@ class SnapshotStore(TripleStore):
                     "files": []}
         man = self._try_manifest(version)
         if man is None:
-            raise ValueError(
+            raise SnapshotNotFoundError(
                 f"snapshot v{version} does not exist or is torn "
                 f"(expired, aborted, or never committed; "
                 f"current={self.current_version()})"
@@ -724,16 +731,65 @@ class SnapshotStore(TripleStore):
             })
         return out
 
+    def _validate_rollback_target(self, man: dict) -> None:
+        """Fresh (cache-bypassing) re-parse of the target's parts and
+        existence probes for every data file they reference — a
+        concurrent ``expire_snapshots`` between reading the target
+        manifest and the CAS can delete both, and committing a tip
+        over deleted metadata/data is effective data loss. Raises
+        ``SnapshotConflictError`` on any missing piece."""
+        try:
+            if "parts" in man:
+                entries = []
+                for pid in man["parts"]:
+                    raw = fs.read_text_file(self.spark,
+                                            self._part_path(pid))
+                    entries.extend(json.loads(raw)["entries"])
+            else:
+                entries = list(man["files"])
+        except Exception as e:
+            raise SnapshotConflictError(
+                f"rollback to v{man['version']}: manifest part vanished "
+                f"mid-flight (concurrent expire_snapshots?): {e}"
+            ) from e
+        for e in entries:
+            if not fs.exists(self.spark, fs.join(self.data_dir, e["path"])):
+                raise SnapshotConflictError(
+                    f"rollback to v{man['version']}: data file "
+                    f"{e['path']} was vacuumed mid-flight "
+                    "(concurrent expire_snapshots)"
+                )
+
     def rollback(self, version: int) -> int:
         """Restore snapshot ``version``'s exact file list as a NEW
         commit (history is preserved). With two-level manifests this
         reuses the old version's part ids verbatim — O(1) metadata,
-        no part rewrite."""
+        no part rewrite.
+
+        Validated against a concurrent vacuum: parts and data files
+        are re-checked both before the CAS and after it; if a vacuum
+        won the race after the CAS, the just-committed manifest is
+        removed again (the store's normal torn-tip recovery shape) and
+        ``SnapshotConflictError`` raised, so the live tip never
+        references deleted metadata or data."""
         man = self._manifest(version)  # raises if expired/unknown
+        self._validate_rollback_target(man)
         if "parts" in man:
-            return self._commit("rollback",
-                                replace_parts=list(man["parts"]))
-        return self._commit("rollback", replace_files=man["files"])
+            new_v = self._commit("rollback",
+                                 replace_parts=list(man["parts"]))
+        else:
+            new_v = self._commit("rollback", replace_files=man["files"])
+        try:
+            self._validate_rollback_target(man)
+        except SnapshotConflictError:
+            # undo: drop our manifest so the tip falls back to the
+            # parent (readers see at worst a torn tip, which every
+            # path already tolerates), then surface the conflict
+            fs.delete(self.spark, self._manifest_path(new_v),
+                      recursive=False)
+            self._man_cache.pop(new_v, None)
+            raise
+        return new_v
 
     def expire_snapshots(self, keep_last: int = 1,
                          sweep_orphans: bool = False,

@@ -1166,25 +1166,20 @@ FROM e WHERE lang NOT IN ('en', 'de')
 def q_emb_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k vs the vec_id=0 embedding — exact ANN
     baseline, all-native double arithmetic."""
-    from kgap_spark.functions.similarity import _dot, _norm
+    from kgap_spark.functions.similarity import cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
     # inline the query vector as a literal array (driver-side fetch):
     # no join node at all — the scan + TakeOrderedAndProject is the
-    # whole plan (float→double widening is exact, values unchanged)
+    # whole plan (float→double widening is exact, values unchanged).
+    # r07: route through cosine_topk, which precomputes ||q|| in
+    # Python — the previous inline _norm(qe) over the literal array is
+    # a higher-order function, which Catalyst cannot constant-fold, so
+    # every row re-reduced the 128-element query norm. The Python sum
+    # folds left-to-right over the same doubles — bit-identical.
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0)
             .select("embedding").first()[0]]
-    qe = F.array(*[F.lit(x) for x in qvec])
-    cos = F.round(
-        _dot(F.col("embedding"), qe)
-        / (_norm(F.col("embedding")) * _norm(qe)),
-        5,
-    )
-    return (
-        e.select("vec_id", cos.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return cosine_topk(e, qvec, k=10)
 
 
 ORACLE_EMB_COSINE_TOPK = """

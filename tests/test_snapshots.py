@@ -608,6 +608,69 @@ def test_rollback_reuses_part_ids(spark, tmp_path):
     assert {r.subj for r in st.read().collect()} == {"a"}
 
 
+def test_rollback_detects_mid_flight_vacuum(spark, tmp_path):
+    """Advice fix: rollback must re-validate that the target's parts
+    AND data files still exist around the CAS — a concurrent
+    expire_snapshots between reading the manifest and committing
+    would otherwise leave a live tip referencing deleted files."""
+    from kgap_spark.triples.snapshots import SnapshotConflictError
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))      # v1
+    # v2 REWRITES the graph, so v1's data files are only referenced
+    # by v1 — expiring v1 really deletes them
+    st.overwrite_graphs(_quads(spark, [("b", "p", "2", "urn:g:1")]))
+    man1 = st._manifest(1)
+
+    # simulate the vacuum winning the race AFTER the manifest read:
+    # expire v1 (drops its only-referenced data files + parts)
+    st.expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotConflictError, match="mid-flight"):
+        st._validate_rollback_target(man1)
+
+    # post-CAS detection path: monkeypatch the second validation to
+    # fire after commit — the just-committed manifest must be removed
+    # again so the tip falls back (torn-tip recovery shape)
+    st2 = SnapshotStore(spark, str(tmp_path / "s2"))
+    st2.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))     # v1
+    st2.append(_quads(spark, [("b", "p", "2", "urn:g:1")]))     # v2
+    calls = {"n": 0}
+    orig = st2._validate_rollback_target
+
+    def flaky(man):
+        calls["n"] += 1
+        if calls["n"] == 2:                      # the post-CAS check
+            raise SnapshotConflictError("simulated mid-flight vacuum")
+        return orig(man)
+
+    st2._validate_rollback_target = flaky
+    tip_before = st2.current_version()
+    with pytest.raises(SnapshotConflictError):
+        st2.rollback(1)
+    # the compensating delete removed the rollback manifest: the live
+    # tip is the pre-rollback one and still reads fine
+    assert st2.current_version() == tip_before
+    assert {r.subj for r in st2.read().collect()} == {"a", "b"}
+
+    # normal rollback still works end-to-end
+    st2._validate_rollback_target = orig
+    st2.rollback(1)
+    assert {r.subj for r in st2.read().collect()} == {"a"}
+
+
+def test_snapshot_not_found_is_typed(spark, tmp_path):
+    """_manifest raises the dedicated SnapshotNotFoundError (still a
+    ValueError for compatibility) — the changelog cursor classifies a
+    vacuumed window by TYPE, not by message text."""
+    from kgap_spark.triples.snapshots import SnapshotNotFoundError
+
+    st = SnapshotStore(spark, str(tmp_path / "s"))
+    st.append(_quads(spark, [("a", "p", "1", "urn:g:1")]))
+    with pytest.raises(SnapshotNotFoundError):
+        st._manifest(9)
+    assert issubclass(SnapshotNotFoundError, ValueError)
+
+
 def test_part_cap_merges_fragmented_manifests(spark, tmp_path):
     old = SnapshotStore.PART_CAP
     SnapshotStore.PART_CAP = 3

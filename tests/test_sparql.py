@@ -2233,6 +2233,17 @@ def test_string_literal_quote_forms(alt_kb):
         .where.triples[0][2].value == 'a "q" b'
     assert pq("SELECT ?o WHERE { ?s ?p 'chat'@fr }") \
         .where.triples[0][2].lang == "fr"
+    # content ending in quote(s) adjacent to the closing delimiter —
+    # the grammar permits 1-2 content quotes before the final """ (the
+    # LAST three quotes terminate, like Python triple-quotes)
+    assert pq('SELECT ?o WHERE { ?s ?p """a"""" }') \
+        .where.triples[0][2].value == 'a"'
+    assert pq('SELECT ?o WHERE { ?s ?p """a""""" }') \
+        .where.triples[0][2].value == 'a""'
+    assert pq("SELECT ?o WHERE { ?s ?p '''it is'''' }") \
+        .where.triples[0][2].value == "it is'"
+    assert pq('SELECT ?o WHERE { ?s ?p """""" }') \
+        .where.triples[0][2].value == ""
 
 
 def test_builtin_hash_date_functions(spark):
@@ -2685,6 +2696,42 @@ def test_graph_management_review_fixes(spark, tmp_path):
         [("s1", "p1", "all", None, None, "urn:g", None)], S.TRIPLES)
     df = execute_sparql(t, "SELECT ?s WHERE { ?s ?p all }")
     assert [r.s for r in df.collect()] == ["s1"]
+
+
+def test_clear_named_excludes_default_graph(spark, tmp_path):
+    """SPARQL 1.1 Update §3.2.3: NAMED excludes the default graph —
+    CLEAR NAMED / DROP NAMED with a configured default_graph must keep
+    default-graph data; CLEAR ALL still removes everything; with no
+    default_graph configured, NAMED == ALL (documented store model)."""
+    from kgap_spark import schemas as S
+    from kgap_spark.query.sparql import execute_sparql_update
+    from kgap_spark.triples import SnapshotStore
+
+    def fresh(name):
+        st = SnapshotStore(spark, str(tmp_path / name))
+        rows = [("a", "p", "1", None, None, "urn:g:default", None),
+                ("b", "p", "2", None, None, "urn:g:named1", None),
+                ("c", "p", "3", None, None, "urn:g:named2", None)]
+        st.merge(spark.createDataFrame(rows, S.TRIPLES))
+        return st
+
+    st = fresh("s1")
+    r = execute_sparql_update(st, "CLEAR NAMED",
+                              default_graph="urn:g:default")
+    assert r["graphs"] == ["urn:g:named1", "urn:g:named2"]
+    assert st.graphs() == ["urn:g:default"]
+
+    st = fresh("s2")
+    execute_sparql_update(st, "DROP NAMED", default_graph="urn:g:default")
+    assert st.graphs() == ["urn:g:default"]
+
+    st = fresh("s3")  # ALL clears the default graph too
+    execute_sparql_update(st, "CLEAR ALL", default_graph="urn:g:default")
+    assert st.graphs() == []
+
+    st = fresh("s4")  # no default configured: NAMED means every graph
+    execute_sparql_update(st, "CLEAR NAMED")
+    assert st.graphs() == []
 
 
 def test_select_star_column_order_stable_under_reorder(spark):
