@@ -137,7 +137,13 @@ def mention_entities_direct(
     """
     import re as _re
 
-    rows = alias_dict.select("alias", "entity_id", "lang", "prior").collect()
+    # bounded fetch: take(cap+1) instead of collect() so an unexpectedly
+    # huge dictionary can never OOM the driver before the size check
+    row_cap = MAX_DIRECT_SCAN_ALIASES * 64
+    rows = alias_dict.select("alias", "entity_id", "lang", "prior") \
+        .take(row_cap + 1)
+    if len(rows) > row_cap:
+        return None
     by_alias: dict[str, list[tuple[str, str | None, float]]] = {}
     for r in rows:
         if r["alias"] is None or r["entity_id"] is None:
